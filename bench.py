@@ -1,0 +1,74 @@
+"""Benchmark harness (driver-run per round → BENCH_r{N}.json).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line. Results are forced with a count-style action (``noop`` write) so we
+measure distributed compute, not driver-side row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Headline set: flagship pipeline + relational + (as they land) north-star ops.
+HEADLINE = [
+    "flagship_distributor_pipeline",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "w1_topk_per_group",
+    "w2_running_totals",
+    "g1_rollup_revenue",
+    "j1_semi_anti_join",
+    "ref_key_dedup",
+    "ref_upsert_merge",
+    "ref_compaction",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from petfinder_database_distributor_spark.registry import load_all
+    from petfinder_database_distributor_spark.session import get_spark
+
+    specs = load_all()
+    spark = get_spark(app_name="pdd_spark_bench")
+
+    # Warm the JVM/codegen once with a trivial job so q1 doesn't pay startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    names = [n for n in HEADLINE if n in specs] + [
+        n for n in sorted(specs) if n not in HEADLINE
+    ]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
