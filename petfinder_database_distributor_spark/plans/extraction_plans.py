@@ -1,0 +1,144 @@
+"""P1–P3 + G2 extraction queries: synthesize deterministic XML "pages" from
+the customer table (live HTML is out of correctness scope), then extract
+columns and link rows via the native xpath functions.
+
+The DuckDB oracle states the expected OUTPUT directly from the same
+derivations — the Spark side must reproduce it through the full
+build-XML → xpath-project → clean → explode pipeline, so the extraction
+path itself is what's being checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from petfinder_database_distributor_spark.functions.scalars import (
+    clean_text,
+    extract_name_from_about,
+    normalize_url,
+)
+from petfinder_database_distributor_spark.operators.extraction import (
+    explode_links,
+    xpath_columns,
+)
+from petfinder_database_distributor_spark.registry import register
+from petfinder_database_distributor_spark.schema import load_table
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic XML page per customer: a <pet> block (name carries the
+    'About {name}' prefix and a trailing footnote '*', like real extractions)
+    plus 12 href slots, slot i empty when (c_custkey + i) % 3 == 0."""
+    cust = load_table(spark, sf_dir, "customer")
+    links = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda i: F.when(
+                (F.col("c_custkey") + i) % 3 != 0,
+                F.concat(
+                    F.lit('<a href="/pet/'),
+                    (F.col("c_custkey") * 12 + i).cast("string"),
+                    F.lit('/details/"/>'),
+                ),
+            ).otherwise(F.lit('<a href=""/>')),
+        ),
+    )
+    xml = F.concat(
+        F.lit("<page><pet><name>About "),
+        F.col("c_name"),
+        F.lit("*</name><segment>"),
+        F.col("c_mktsegment"),
+        F.lit("</segment></pet>"),
+        links,
+        F.lit("</page>"),
+    )
+    return cust.select(F.col("c_custkey").alias("page_id"), xml.alias("xml"))
+
+
+@register(
+    "p1_xpath_project",
+    oracle="""
+    SELECT c_custkey AS page_id,
+           c_name AS name,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+    doc="P1 XPath column projection + X1/X3 cleaning: XML page → (name, segment) columns (pet_scraper.py:97-161)",
+)
+def p1_xpath_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages(spark, sf_dir)
+    projected = xpath_columns(
+        pages,
+        "xml",
+        {"raw_name": "/page/pet/name/text()", "segment": "/page/pet/segment/text()"},
+        keep=("page_id",),
+    )
+    # clean_text strips the trailing footnote '*'; extract_name_from_about
+    # strips the 'About ' prefix — the same post-extraction stack the
+    # reference applies (pet_scraper.py:293-332).
+    return projected.select(
+        "page_id",
+        extract_name_from_about(clean_text(F.col("raw_name"))).alias("name"),
+        "segment",
+    )
+
+
+@register(
+    "p3_link_fanout",
+    oracle="""
+    SELECT c.c_custkey AS page_id, s.i AS slot,
+           'https://www.petfinder.com/pet/' || (c.c_custkey * 12 + s.i) || '/details/' AS url
+    FROM customer c, generate_series(1, 12) s(i)
+    WHERE (c.c_custkey + s.i) % 3 <> 0
+    """,
+    doc="P3+G2+X6 link fan-out: page → ≤12 href slots → explode → skip empties → absolutize (link_scraper.py:66-152)",
+)
+def p3_link_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages(spark, sf_dir)
+    links = explode_links(pages, "xml", "/page/a/@href", keep=("page_id",))
+    return links.select(
+        "page_id", F.col("slot").cast("long").alias("slot"), normalize_url(F.col("href")).alias("url")
+    )
+
+
+@register(
+    "ingest_frontend",
+    oracle="""
+    WITH extracted AS (
+      SELECT c.c_custkey AS page_id,
+             'https://www.petfinder.com/pet/' || (c.c_custkey * 12 + s.i) || '/details/' AS url,
+             (c.c_custkey * 12 + s.i) AS pet_key
+      FROM customer c, generate_series(1, 12) s(i)
+      WHERE (c.c_custkey + s.i) % 3 <> 0
+    ),
+    deduped AS (
+      SELECT * FROM extracted
+      QUALIFY row_number() OVER (PARTITION BY url ORDER BY page_id) = 1
+    )
+    SELECT d.url, d.page_id
+    FROM deduped d
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = d.pet_key)
+    """,
+    doc="Ingestion front-end composed: enumerate → fan-out (G2) → key-dedup (D1) → anti-join existing (F4) BEFORE any expensive fetch (O1 plan shape, server.py:189-207)",
+)
+def ingest_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.dedup import (
+        anti_join_new_keys,
+        key_dedup,
+    )
+
+    pages = _pages(spark, sf_dir)
+    links = explode_links(pages, "xml", "/page/a/@href", keep=("page_id",))
+    links = links.select(
+        "page_id",
+        normalize_url(F.col("href")).alias("url"),
+        (F.col("page_id") * 12 + F.col("slot")).alias("pet_key"),
+    )
+    deduped = key_dedup(links, ["url"], [F.col("page_id")])
+    existing = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pet_key")
+    )
+    fresh = anti_join_new_keys(deduped, existing, ["pet_key"])
+    return fresh.select("url", "page_id")
