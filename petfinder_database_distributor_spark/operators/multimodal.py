@@ -1,0 +1,99 @@
+"""Multimodal column plumbing (north star): image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, decoded / feature-extracted
+via Arrow-batched ``mapInPandas`` UDFs.
+
+The container has no image/audio libraries, so the decode step is a
+DETERMINISTIC FAKE clearly marked below (``_fake_decode``) — the Spark-side
+plumbing (binary schema, Arrow batch shape, UDF signature, partitioned
+execution) is real and tested. Swap ``_fake_decode`` for a real
+PIL/torchaudio call in production; the plan shape does not change.
+
+Scale notes: payload bytes never pass through a shuffle here — metadata
+extraction is narrow, and feature extraction is mapInPandas (one Arrow
+batch at a time, bounded executor memory via
+spark.sql.execution.arrow.maxRecordsPerBatch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Treat a text column's UTF-8 bytes as an opaque media payload with
+    typed metadata — the schema pattern for image/audio/video columns:
+    (id, payload binary, n_bytes, checksum, media_type)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("checksum"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("byte_histogram", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """DETERMINISTIC FAKE decode — stands in for PIL.Image.open /
+    torchaudio.load (not installed in this container). Derives plausible
+    media dimensions and a 16-bin byte histogram from the payload alone so
+    results are reproducible and testable."""
+    n = len(payload)
+    width = 64 + n % 577
+    height = 64 + n % 433
+    n_frames = 1 + n % 30
+    hist = [0] * 16
+    for b in payload:
+        hist[b >> 4] += 1
+    return width, height, n_frames, hist
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: Arrow-batched,
+    one pandas DataFrame per batch — the plumbing a real image/audio decode
+    UDF uses (frame sampling, resize, spectrogram all share this shape).
+
+    The UDF closure is deliberately self-contained (no module-level
+    references): Python workers unpickle it by value, so the package need
+    not be importable on executor nodes — matters when the driver process
+    runs outside the repo directory or the package isn't shipped via
+    --py-files."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def fake_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+            # mirrors _fake_decode; inlined so the closure pickles by value
+            n = len(payload)
+            hist = [0] * 16
+            for b in payload:
+                hist[b >> 4] += 1
+            return 64 + n % 577, 64 + n % 433, 1 + n % 30, hist
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, nf, hist = fake_decode(bytes(payload))
+                rows.append((int(doc_id), w, h, nf, hist))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_frames", "byte_histogram"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, FEATURE_SCHEMA)

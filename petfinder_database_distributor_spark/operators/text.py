@@ -1,0 +1,127 @@
+"""Text-analysis operators for LLM-data pipelines (north star layer,
+BASELINE.json): tokenization, quality scoring, language-ID heuristic,
+fingerprinting. All native Column expressions — codegen'd, no Python UDFs,
+narrow (no shuffle) so they pipeline inside the scan at any scale.
+
+Portable-hash discipline: ``md5int`` (first 15 hex digits of md5 → int64)
+is computable identically in Spark (``conv(substr(md5(x),1,15),16,10)``)
+and DuckDB (``('0x'||substr(md5(x),1,15))::BIGINT``), which lets every
+hash-based operator (minhash, simhash, fingerprints) be oracle-checked
+value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword profiles for the n-gram/stopword language-ID
+# heuristic. Deterministic and engine-portable (plain substring counts).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "zh": ("的", "是", "了"),
+}
+
+MERSENNE_P = 2147483647  # 2^31 - 1, modulus for the minhash family
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization (lowercased, empties dropped)."""
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda x: x != "")
+
+
+def distinct_tokens(c: Column) -> Column:
+    return F.array_distinct(tokens(c))
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Sub-word-ish token count: word chunks of ≤4 chars — a cheap, portable
+    proxy for BPE token counting (ceil(len/4) summed over words)."""
+    return F.aggregate(
+        tokens(c), F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("int")
+    )
+
+
+def md5int(c: Column) -> Column:
+    """Portable 60-bit integer hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def punct_ratio(c: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    stripped = F.regexp_replace(c, r"[.,!?;:'\"()\[\]{}-]", "")
+    return F.when(F.length(c) > 0, (F.length(c) - F.length(stripped)) / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(c: Column, stopwords: tuple[str, ...] = ("the", "a", "of", "and", "is")) -> Column:
+    toks = tokens(c)
+    sw = F.filter(toks, lambda t: t.isin(*stopwords))
+    return F.when(F.size(toks) > 0, F.size(sw) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(c: Column) -> Column:
+    toks = tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]: rewards mid-length
+    docs, low punctuation density, presence of stopwords (fluent text), and
+    plausible word lengths — the standard cheap pre-filter before expensive
+    LLM-pipeline stages."""
+    n = token_count(c)
+    length_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    punct_score = 1 - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(c) * 4, F.lit(1.0))
+    mwl = mean_word_length(c)
+    wl_score = F.when((mwl >= 3) & (mwl <= 8), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (length_score + punct_score + sw_score + wl_score) / 4
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-profile language ID: picks the language whose profile words
+    occur most often as tokens; ties broken by language code order; 'und'
+    when nothing matches."""
+    toks = tokens(c)
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(*words))))
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse-sorted order so earlier codes win ties via strict '>'
+    for lang, score in reversed(scores):
+        take = score > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best
+
+
+def bag_of_words_fingerprint(c: Column) -> Column:
+    """Content fingerprint invariant to word order & repetition: md5 of the
+    sorted distinct token list. The cheap exact-dedup key for text."""
+    return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(c))))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (0-indexed Spark arrays)."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+                ),
+            )
+        )
+    )

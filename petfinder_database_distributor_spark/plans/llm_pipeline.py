@@ -1,2 +1,437 @@
-"""North-star LLM-data-pipeline operators (BASELINE.json): dedup families,
-similarity search, text analysis, multimodal plumbing. Populated in M6."""
+"""North-star LLM-data-pipeline queries (BASELINE.json): text analysis,
+dedup families (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
+similarity search (brute-force + SRP-LSH ANN), multimodal plumbing.
+
+Every hash-based operator uses the portable md5int primitive so even
+MinHash/SimHash/LSH results are value-checked against DuckDB. SQL oracles
+restate the same algorithm in DuckDB list/lambda dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+    simhash_neardup_pairs,
+)
+from petfinder_database_distributor_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+)
+from petfinder_database_distributor_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    as_double,
+    lsh_topk,
+)
+from petfinder_database_distributor_spark.operators.text import (
+    bag_of_words_fingerprint,
+    bpe_ish_token_count,
+    lang_id,
+    md5int,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from petfinder_database_distributor_spark.registry import register
+from petfinder_database_distributor_spark.schema import load_table
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = """
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+"""
+
+_MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+  FROM ({_TOKS_SQL}) WHERE len(t) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(t)::BIGINT AS n_tokens,
+           list_sum(list_transform(t, w -> ceil(length(w) / 4.0)::BIGINT))::BIGINT AS n_tokens_bpe,
+           round(list_sum(list_transform(t, w -> length(w)))::DOUBLE / len(t), 6) AS mean_word_len
+    FROM ({_TOKS_SQL})
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish subword estimate + mean word length",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_tokens_bpe"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')))::DOUBLE / length(text)
+                  ELSE 0.0 END AS punct,
+             CASE WHEN len(t) > 0
+                  THEN len(list_filter(t, x -> x IN ('the','a','of','and','is')))::DOUBLE / len(t)
+                  ELSE 0.0 END AS sw,
+             CASE WHEN len(t) > 0
+                  THEN list_sum(list_transform(t, w -> length(w)))::DOUBLE / len(t)
+                  ELSE 0.0 END AS mwl
+      FROM toks
+    )
+    SELECT doc_id,
+           round(punct, 6) AS punct_ratio,
+           round(sw, 6) AS stopword_ratio,
+           round((least(n / 50.0, 1.0)
+                  + (1 - least(punct * 5, 1.0))
+                  + least(sw * 4, 1.0)
+                  + CASE WHEN mwl >= 3 AND mwl <= 8 THEN 1.0 ELSE 0.5 END) / 4, 6) AS quality
+    FROM m
+    """,
+    doc="Document quality scoring: length / punctuation density / stopword fluency / word-length plausibility",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(t, x -> x IN ('der','die','und'))) AS s_de,
+             len(list_filter(t, x -> x IN ('the','a','of'))) AS s_en,
+             len(list_filter(t, x -> x IN ('el','la','de'))) AS s_es,
+             len(list_filter(t, x -> x IN ('le','la','et'))) AS s_fr,
+             len(list_filter(t, x -> x IN ('的','是','了'))) AS s_zh
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM s
+    """,
+    doc="Language-ID heuristic: stopword-profile argmax with deterministic tie-break",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL})
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint,
+           {_MD5INT.format(x="array_to_string(list_sort(list_distinct(t)), ' ')")} AS fingerprint_int
+    FROM toks
+    """,
+    doc="Document fingerprinting: order/repetition-invariant bag-of-words hash (string + portable int64)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    from petfinder_database_distributor_spark.operators.text import distinct_tokens
+
+    sorted_bag = F.concat_ws(" ", F.array_sort(distinct_tokens(t)))
+    return docs.select(
+        "doc_id",
+        bag_of_words_fingerprint(t).alias("fingerprint"),
+        md5int(sorted_bag).alias("fingerprint_int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+          FROM toks)
+    SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS group_size
+    FROM f GROUP BY fingerprint
+    """,
+    doc="Exact dedup by content fingerprint: hash-groupBy, min-id representative",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    banded AS (SELECT doc_id, s, (len(s) // 16) AS band FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM banded a JOIN banded b
+      ON a.doc_id < b.doc_id AND abs(a.band - b.band) <= 1
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+    doc="Near-dup pairs by 3-gram Jaccard with size-band blocking (no all-pairs)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, band_width=16)
+
+
+_MINHASH_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hx AS (SELECT doc_id, ({_MD5INT.format(x="u.x")}) % 2147483647 AS h
+           FROM sh, unnest(sh.s) u(x)),
+    sig AS (SELECT doc_id, r.i AS i,
+                   min(((2 * r.i + 1) * h + (17 * r.i + 3)) % 2147483647) AS m
+            FROM hx, range(0, 32) r(i) GROUP BY doc_id, r.i),
+    bands AS (SELECT doc_id, i // 2 AS band,
+                     md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bh
+              FROM sig GROUP BY doc_id, i // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(x.s, y.s))::DOUBLE
+             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+    FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+    WHERE len(list_intersect(x.s, y.s))::DOUBLE
+            / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_SQL,
+    doc="MinHash(k=32)+LSH(16 bands × 2 rows) near-dup pairs with exact-Jaccard verification — the 100 TB dedup shape",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    hx AS (SELECT doc_id, {_MD5INT.format(x="u.x")} AS h
+           FROM (SELECT doc_id, list_distinct(t) AS dt FROM toks) d, unnest(d.dt) u(x)),
+    bits AS (SELECT doc_id, r.j AS j,
+                    CASE WHEN sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                         THEN (1::BIGINT << r.j) ELSE 0 END AS b
+             FROM hx, range(0, 16) r(j) GROUP BY doc_id, r.j)
+    SELECT doc_id, sum(b)::BIGINT AS simhash FROM bits GROUP BY doc_id
+    """,
+    doc="16-bit SimHash signatures over distinct tokens (portable hash)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    hx AS (SELECT doc_id, {_MD5INT.format(x="u.x")} AS h
+           FROM (SELECT doc_id, list_distinct(t) AS dt FROM toks) d, unnest(d.dt) u(x)),
+    bits AS (SELECT doc_id, r.j AS j,
+                    CASE WHEN sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                         THEN (1::BIGINT << r.j) ELSE 0 END AS b
+             FROM hx, range(0, 16) r(j) GROUP BY doc_id, r.j),
+    sims AS (SELECT doc_id, sum(b)::BIGINT AS simhash FROM bits GROUP BY doc_id),
+    halves AS (
+      SELECT doc_id, simhash, 0 AS half, simhash % 256 AS key FROM sims
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS half, simhash // 256 AS key FROM sims
+    ),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
+                             b.doc_id AS id_b, b.simhash AS sim_b
+             FROM halves a JOIN halves b
+               ON a.half = b.half AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 2
+    """,
+    doc="SimHash near-dup pairs via half-signature pigeonhole blocking + hamming verify",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=2)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_r
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs (exact baseline on a subset; LSH path = ann_lsh_topk)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    c = cosine(as_double(F.col("va")), as_double(F.col("vb")))
+    return pairs.select("id_a", "id_b", c.alias("cos")).filter(
+        F.col("cos") >= 0.4
+    ).select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos_r"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_QUERIES_SQL = "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8"
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS ({_ANN_QUERIES_SQL}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_inner_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
+                  * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+      FROM q, embeddings e WHERE q.query_id <> e.vec_id
+    )
+    SELECT query_id, vec_id, rank, round(cos, 6) AS cos_r
+    FROM (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Exact cosine top-5 per query (broadcast queries, map-side scores, one window shuffle)",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return brute_force_topk(queries, emb, k=5)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH planes AS (
+      SELECT i, list_transform(range(0, 64),
+                               j -> ((i * 73856093 + j * 19349663) % 2001 - 1000) / 1000.0) AS p
+      FROM range(0, 8) r(i)
+    ),
+    buckets AS (
+      SELECT e.vec_id, e.embedding,
+             sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.p) >= 0
+                      THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT AS bucket
+      FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM buckets WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_inner_product(q.qvec::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
+                  * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+      FROM q JOIN buckets c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+    )
+    SELECT query_id, vec_id, rank, round(cos, 6) AS cos_r
+    FROM (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="SRP-LSH ANN top-5: deterministic hyperplane buckets bound candidates per query — the scale path",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(queries, emb, k=5, n_bits=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           sha256(text) AS checksum,
+           'application/octet-stream' AS media_type
+    FROM documents
+    """,
+    doc="Multimodal column pattern: opaque binary payload + typed metadata (bytes, checksum)",
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_binary_payload(docs, "doc_id", "text").select(
+        "doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "checksum", "media_type"
+    )
+
+
+@register(
+    "mm_decode_features",
+    oracle=None,  # mapInPandas UDF plumbing — rows-only check by design
+    doc="Arrow-batched mapInPandas decode/feature-extract over binary payloads (deterministic fake decode; see operators/multimodal.py)",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs, "doc_id", "text")
+    return decode_features(payloads, "doc_id", "payload")
