@@ -26,6 +26,7 @@ from petfinder_database_distributor_spark.operators.text import (
     shingles,
     tokens,
 )
+from petfinder_database_distributor_spark.util import ensure_parallelism
 
 
 def exact_dedup_groups(
@@ -45,7 +46,7 @@ def exact_dedup_groups(
 
 def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     toks = tokens(F.col(text_col))
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col), shingles(toks, n).alias("sh")
     ).filter(F.size("sh") > 0)
 
@@ -62,42 +63,57 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    band_width: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs by word-n-gram Jaccard, with size-band blocking:
-    candidates must fall in adjacent shingle-count bands (near-dups have
-    near-equal lengths), so the join is a bounded equi-join instead of
-    all-pairs. Returns (id_a, id_b, jaccard ≥ threshold)."""
+    """EXACT near-dup pairs by word-n-gram Jaccard via an inverted-index
+    self-join: explode shingles into postings, equi-join postings on the
+    shingle, group-count shared shingles (= |A∩B|), then Jaccard from
+    counts alone: |A∩B| / (|A| + |B| - |A∩B|).
+
+    Exact for any threshold > 0 — a qualifying pair shares >= 1 shingle, so
+    the postings join loses nothing — yet never materializes all-pairs:
+    shuffle volume is Σ df(s)² over distinct shingles (the inverted-index
+    bound), and the shingle arrays themselves are dropped before the join
+    (only (id, size) ride along). At 100 TB, pair with a stopword-shingle
+    df-cap or switch to minhash_lsh_pairs when hot shingles appear."""
     sh = with_shingles(df, id_col, text_col, n)
-    banded = sh.withColumn("band", F.floor(F.size("sh") / band_width))
-    left = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("sh").alias("sh_a"),
-        F.explode(
-            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
-        ).alias("band"),
+    inv = sh.select(
+        F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band"
+    a = inv.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = inv.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    pairs = left.join(right, on="band").filter(F.col("id_a") < F.col("id_b"))
+    jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 
-def minhash_signature(sh: Column, k: int = 32) -> Column:
-    """k-wide MinHash signature over a shingle array (portable hash family,
-    see module docstring)."""
-    hxs = F.transform(sh, lambda s: md5int(s) % MERSENNE_P)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(hxs, lambda x: ((2 * i + 1) * x + (17 * i + 3)) % MERSENNE_P)
-        ),
-    )
+def minhash_signature(hx: Column, k: int = 32) -> Column:
+    """k-wide MinHash signature over an array of PRE-HASHED shingle values
+    (portable hash family, see module docstring). Taking hashes rather than
+    shingles keeps the md5 work out of the k-way permutation loop.
+
+    The k permutations are unrolled in Python (not a ``transform`` over
+    ``sequence(0,k)``) so the ``hx`` attribute appears k times in the
+    expression tree: CollapseProject inlines a producer referenced once
+    regardless of cost, which would silently re-evaluate the md5 hashing
+    projection k times per row; with k references it stays materialized.
+
+    NB: the per-i lambda must be built by a closure factory with a SINGLE
+    parameter — ``lambda x, i=i: ...`` would be treated by ``F.transform``
+    as its binary (element, index) lambda form, silently replacing i with
+    the array index."""
+
+    def perm(i: int):
+        return lambda x: ((2 * i + 1) * x + (17 * i + 3)) % MERSENNE_P
+
+    return F.array(*[F.array_min(F.transform(hx, perm(i))) for i in range(k)])
 
 
 def minhash_lsh_pairs(
@@ -112,12 +128,19 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup pairs: signature → band buckets → equi-join on
     (band, bucket hash) → exact Jaccard verification ≥ threshold.
 
-    The candidate join shuffles only (band, md5-of-r-values) keys — at 100 TB
-    this is the only scalable shape for unknown-similarity dedup (no
-    all-pairs stage exists anywhere in the plan)."""
+    The candidate join shuffles only (band, md5-of-r-values) keys — never
+    the shingle arrays, which are re-joined by id only for the bounded
+    candidate set — at 100 TB this is the only scalable shape for
+    unknown-similarity dedup (no all-pairs stage exists anywhere)."""
     r = k // bands
     sh = with_shingles(df, id_col, text_col, n)
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
+    # Hash each shingle exactly once; the k permutations then run over the
+    # hashed attribute (see minhash_signature docstring).
+    hashed = sh.select(
+        F.col(id_col),
+        F.transform(F.col("sh"), lambda s: md5int(s) % MERSENNE_P).alias("hx"),
+    )
+    sig = hashed.select(F.col(id_col), minhash_signature(F.col("hx"), k).alias("sig"))
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.struct(
@@ -133,44 +156,60 @@ def minhash_lsh_pairs(
         ),
     )
     buckets = sig.select(
-        F.col(id_col), F.col("sh"), F.explode(band_structs).alias("bb")
-    ).select(F.col(id_col), "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    left = buckets.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh"
-    )
-    right = buckets.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh"
-    )
+    left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
     cand = (
         left.join(right, on=["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
     )
+    return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def simhash16(text_col: Column) -> Column:
-    """16-bit SimHash over distinct tokens: bit j is set iff the sum of
-    (±1 per token, + when token-hash bit j is 1) is positive. Bit positions
-    are compile-time constants, so the 16 per-bit sums unroll into plain
-    codegen'd expressions (no array machinery in the hot path)."""
-    hxs = F.transform(F.array_distinct(tokens(text_col)), lambda t: md5int(t))
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per row: bit j is set iff the sum of (±1 per distinct
+    token, + when token-hash bit j is 1) is positive.
 
-    def bit_term(mask: Column):
-        return lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1)
+    Single-pass shape: one projection hashes each distinct token once; one
+    ``aggregate`` folds the token hashes into a 16-wide ±1 sum vector via
+    ``zip_with``; a final projection assembles the signature from the sum
+    vector (an attribute there, so its 16 references are free). The old
+    16-aggregate unrolling re-hashed every token 16× because higher-order
+    functions are interpreted (no codegen CSE across them)."""
+    hx = F.transform(F.array_distinct(tokens(F.col(text_col))), md5int)
 
+    def step(acc: Column, x: Column) -> Column:
+        bit_vec = F.array(
+            *[
+                F.when(x.bitwiseAND(F.lit(1 << j).cast("long")) != 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for j in range(16)
+            ]
+        )
+        return F.zip_with(acc, bit_vec, lambda a, b: a + b)
+
+    zero16 = F.array_repeat(F.lit(0).cast("long"), 16)
+    sums = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), hx.alias("hx"))
+        .select(F.col(id_col), F.aggregate("hx", zero16, step).alias("sums"))
+    )
     out = F.lit(0).cast("long")
     for j in range(16):
-        mask = F.lit(1 << j).cast("long")
-        bit_sum = F.aggregate(hxs, F.lit(0).cast("long"), bit_term(mask))
-        out = out + F.when(bit_sum > 0, mask).otherwise(F.lit(0).cast("long"))
-    return out
+        out = out + F.when(
+            F.element_at("sums", j + 1) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), out.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -181,7 +220,7 @@ def simhash_neardup_pairs(
     exactly on at least one half when the flipped bits land in one half —
     the classic multi-index pigeonhole trick), then verify exact hamming
     distance via bit_count(xor)."""
-    sims = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    sims = simhash_signatures(df, id_col, text_col)
     halves = sims.select(
         F.col(id_col),
         "simhash",

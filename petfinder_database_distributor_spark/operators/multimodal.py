@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from petfinder_database_distributor_spark.util import ensure_parallelism
+
 
 def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Treat a text column's UTF-8 bytes as an opaque media payload with
@@ -96,4 +98,6 @@ def decode_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
                 rows, columns=["doc_id", "width", "height", "n_frames", "byte_histogram"]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(extract, FEATURE_SCHEMA)
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        extract, FEATURE_SCHEMA
+    )

@@ -24,13 +24,17 @@ from petfinder_database_distributor_spark.operators.extraction import (
 )
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.util import ensure_parallelism
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic XML page per customer: a <pet> block (name carries the
     'About {name}' prefix and a trailing footnote '*', like real extractions)
-    plus 12 href slots, slot i empty when (c_custkey + i) % 3 == 0."""
-    cust = load_table(spark, sf_dir, "customer")
+    plus 12 href slots, slot i empty when (c_custkey + i) % 3 == 0.
+
+    The scan is repartitioned to cluster parallelism because everything
+    downstream (xpath DOM parsing per row) is CPU-bound and narrow."""
+    cust = ensure_parallelism(load_table(spark, sf_dir, "customer"))
     links = F.concat_ws(
         "",
         F.transform(

@@ -16,7 +16,7 @@ from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash16,
+    simhash_signatures,
     simhash_neardup_pairs,
 )
 from petfinder_database_distributor_spark.operators.multimodal import (
@@ -208,21 +208,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    banded AS (SELECT doc_id, s, (len(s) // 16) AS band FROM sh)
+    WITH sh AS ({_SHINGLES_SQL})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            len(list_intersect(a.s, b.s))::DOUBLE
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-    FROM banded a JOIN banded b
-      ON a.doc_id < b.doc_id AND abs(a.band - b.band) <= 1
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.s, b.s))::DOUBLE
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
     """,
-    doc="Near-dup pairs by 3-gram Jaccard with size-band blocking (no all-pairs)",
+    doc="EXACT near-dup pairs by 3-gram Jaccard (inverted-index join, count-based intersection — never all-pairs)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, band_width=16)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
 _MINHASH_SQL = f"""
@@ -273,7 +271,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    return simhash_signatures(docs, "doc_id", "text")
 
 
 @register(
