@@ -1,2 +1,143 @@
 """Incremental-pipeline queries (Structured Streaming, SURVEY.md §2.8).
-Populated in M5."""
+
+Each query executes real streaming machinery — micro-batch planner, offset
+log / checkpoint, state store — over the events table staged as chunked
+files (one file = one micro-batch = the reference's unit of work), bounded
+with ``Trigger.AvailableNow`` so it terminates with a deterministic result
+the driver can hash-compare against DuckDB like any batch query.
+
+T-behavior coverage: T1 (chunked micro-batches), T2 (offset-log
+checkpointing; resume exercised in tests/test_streaming.py), T3
+(at-least-once replay staged via duplicate_overlap + idempotent sinks),
+T5 (maxFilesPerTrigger pacing), T7 (malformed rows dropped, not fatal).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from petfinder_database_distributor_spark.registry import register
+from petfinder_database_distributor_spark.streaming.incremental import (
+    SCRATCH_ROOT,
+    read_event_stream,
+    run_upsert_stream,
+    stage_event_chunks,
+    stateful_user_counters,
+    windowed_event_counts,
+)
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a bounded streaming query into an in-memory sink and return the
+    sink's contents after termination."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_upsert_merge",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value, epoch_us(ts) AS last_ts_us
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="T1+T2+T3+D2: chunked micro-batch stream → foreachBatch idempotent merge "
+    "(latest event per user by content ordering) → versioned atomic snapshots; "
+    "final table equals the batch upsert exactly",
+)
+def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    final = run_upsert_stream(
+        spark,
+        stage,
+        run_dir=f"{SCRATCH_ROOT}/run_upsert_{sf_dir.strip('/').replace('/', '_')}",
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros("ts").alias("last_ts_us"),
+    )
+
+
+@register(
+    "stream_windowed_totals",
+    oracle="""
+    SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Event-time tumbling windows (1 day × event_type) over the micro-batch "
+    "stream, complete-mode state; decimal-exact sums match batch bit-for-bit",
+)
+def stream_windowed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    agg = windowed_event_counts(read_event_stream(spark, stage))
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_dedup_replay",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+    FROM events
+    """,
+    doc="T3 at-least-once replay: every event staged into TWO micro-batches; "
+    "streaming dropDuplicates state emits each exactly once (append mode)",
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4, duplicate_overlap=True)
+    deduped = (
+        read_event_stream(spark, stage)
+        .dropDuplicates(["event_id"])
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    return _run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_stateful_counters",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="A2 running counters as a custom stateful operator "
+    "(applyInPandasWithState): per-user running totals emitted per batch; "
+    "the final (max-count) emission per user equals the batch aggregate",
+)
+def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    counters = stateful_user_counters(read_event_stream(spark, stage))
+    emitted = _run_to_memory(counters, "update")
+    # Running totals are monotone in n_events; keep each user's final emission.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,220 @@
+"""Incremental pipeline operators — Structured Streaming restatement of the
+reference's hand-rolled continuous loop (SURVEY.md §2.8).
+
+Reference behavior → Spark mapping implemented here:
+
+- T1 micro-batch loop (one search page per unit, ``server.py:318-404``) →
+  a chunked file-stream source: the table is staged as N parquet files and
+  read with ``maxFilesPerTrigger=1`` so each file is one micro-batch.
+- T2 checkpoint/resume after every unit (``server.py:377-378``) →
+  ``option("checkpointLocation", ...)``; the offset log IS the reference's
+  ``scraping_progress.json`` with the bookkeeping managed by the engine.
+- T3 at-least-once + idempotent upsert (``server.py:200-203``,
+  ``pet_scraper.py:410-498``) → ``foreachBatch`` merge whose winner is
+  decided by CONTENT ordering columns (not arrival time), so replaying a
+  batch cannot change the result — exactly-once-effective.
+- O5 atomic commit via tmp+fsync+rename (``pet_scraper.py:468-488``) →
+  versioned state directories: each batch writes a complete new ``v{N}``
+  snapshot and readers always see the latest complete version. At 100 TB
+  the same ``foreachBatch`` body targets a Delta/Iceberg MERGE (partition
+  overwrite), keeping this exact plan shape.
+- T5 rate pacing → ``maxFilesPerTrigger`` (volume-based pacing); T6
+  graceful stop → ``query.stop()`` / bounded ``availableNow`` triggers.
+
+Every query here runs REAL streaming machinery (micro-batch planner,
+offset log, state store) but terminates via ``Trigger.AvailableNow`` and
+produces a deterministic result, so the driver can hash-compare it against
+a DuckDB oracle like any batch query.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from petfinder_database_distributor_spark.schema import load_table
+
+# Scratch space for staged chunks / checkpoints / state versions. Kept
+# inside the repo (gitignored); on a cluster this would be object storage.
+SCRATCH_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".stream_scratch",
+)
+
+
+def _fresh_dir(path: str) -> str:
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def stage_event_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    duplicate_overlap: bool = False,
+    subset: int | None = None,
+) -> str:
+    """Stage the events table as ``n_chunks`` single parquet files (one
+    micro-batch each, T1's unit of work). ``duplicate_overlap`` writes every
+    event into two different chunks — the at-least-once replay scenario the
+    reference defends against with its dup-check (T3). ``subset`` stages
+    only the first ``subset`` chunks (the crash-then-resume scenario, T2).
+
+    Files are committed with the reference's own atomic protocol (write
+    elsewhere, then ``os.replace``) so a concurrently-starting reader never
+    sees a partial file."""
+    tag = "_".join(
+        [sf_dir.strip("/").replace("/", "_"), str(n_chunks)]
+        + (["dup"] if duplicate_overlap else [])
+        + ([f"sub{subset}"] if subset is not None else [])
+    )
+    stage = _fresh_dir(f"{SCRATCH_ROOT}/stage_{tag}")
+    events = load_table(spark, sf_dir, "events")
+    for i in range(subset if subset is not None else n_chunks):
+        chunk = events.filter(F.col("event_id") % n_chunks == i)
+        if duplicate_overlap:
+            chunk = chunk.unionByName(
+                events.filter(F.col("event_id") % n_chunks == (i + 1) % n_chunks)
+            )
+        tmp = f"{stage}/_tmp"
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.replace(part, f"{stage}/chunk_{i}.parquet")
+        shutil.rmtree(tmp)
+    return stage
+
+
+def read_event_stream(spark: SparkSession, stage_dir: str, max_files: int = 1) -> DataFrame:
+    """File-stream source over staged chunks, one file per micro-batch.
+    Schema is explicit (streaming sources never infer)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage_dir)
+    )
+
+
+def latest_version(table_dir: str) -> str | None:
+    versions = glob.glob(f"{table_dir}/v*")
+    if not versions:
+        return None
+    return max(versions, key=lambda p: int(os.path.basename(p)[1:]))
+
+
+def foreach_batch_upsert(table_dir: str, key_cols: list[str], order_cols: list[str]):
+    """T3/D2 idempotent merge sink: union the incoming batch with the
+    current table snapshot, keep one row per key — the winner chosen by the
+    CONTENT ordering columns (descending), never by arrival order, so
+    replaying any batch is a no-op. Each batch commits a complete ``v{N}``
+    snapshot (O5's atomic-rename, at table granularity); older versions are
+    GC'd, keeping one fallback."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = latest_version(table_dir)
+        merged = batch_df
+        if cur is not None:
+            merged = spark.read.parquet(cur).unionByName(batch_df)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        winner = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        winner.write.mode("overwrite").parquet(f"{table_dir}/v{batch_id}")
+        for old in sorted(
+            glob.glob(f"{table_dir}/v*"), key=lambda p: int(os.path.basename(p)[1:])
+        )[:-2]:
+            shutil.rmtree(old, ignore_errors=True)
+
+    return merge
+
+
+def run_upsert_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    run_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    fresh: bool = True,
+) -> DataFrame:
+    """Run the staged chunks through the foreachBatch upsert to completion
+    (availableNow) and return the final table snapshot. ``fresh=False``
+    reuses the existing checkpoint + state — the T2 resume path: only files
+    not yet recorded in the offset log are processed."""
+    if fresh:
+        _fresh_dir(run_dir)
+    table_dir = f"{run_dir}/table"
+    query = (
+        read_event_stream(spark, stage_dir)
+        .writeStream.foreachBatch(foreach_batch_upsert(table_dir, key_cols, order_cols))
+        .option("checkpointLocation", f"{run_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(latest_version(table_dir))
+
+
+def windowed_event_counts(stream: DataFrame) -> DataFrame:
+    """Event-time tumbling-window aggregation (1 day × event_type): the
+    shape watermarked late-data aggs take. Output key is the epoch-aligned
+    day index (integer) so results compare engine-portably; the value sum
+    is decimal-exact (order-independent)."""
+    return (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(32,2)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            (F.unix_micros(F.col("w.start")) / F.lit(86_400_000_000)).cast("long").alias("day_idx"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stateful_user_counters(stream: DataFrame) -> DataFrame:
+    """A2's running counters as a custom stateful operator
+    (``applyInPandasWithState``): per-user event count + exact value total
+    (integer cents, so accumulation order can't change the result). Emits
+    the updated running totals every time a user appears in a batch —
+    monotone, so the final value per user is the row with max n_events."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
