@@ -215,7 +215,12 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_worklist_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = spark.range(1, 101).select(F.col("id").cast("long").alias("page"))
-    types = spark.createDataFrame([("dog",), ("cat",)], ["pet_type"])
+    # Literal dim built JVM-side (explode of an array literal): a
+    # createDataFrame from local rows would route through the Python-RDD
+    # path and pay a Python worker spin-up just to emit two rows.
+    types = spark.range(1).select(
+        F.explode(F.array(F.lit("dog"), F.lit("cat"))).alias("pet_type")
+    )
     return pages.crossJoin(types).select(
         "page", "pet_type", search_url(F.col("pet_type"), F.col("page")).alias("url")
     )

@@ -1,0 +1,161 @@
+"""S1/S2 fetch-pipeline and S3/S5/S8/S9 export queries (SURVEY.md §2.1).
+
+The fetch query runs the REAL acquisition plan shape — urls → pandas-UDF
+fetch → xpath projection → clean stack — against the deterministic fixture
+fetcher, so the oracle can state the expected output directly from the key
+(the fetch+extract path itself is what's being checked).
+
+The export round-trip query pushes a typed table through the reference's
+complete on-disk encoding (strings + 'True'/'False'/'' booleans + newline
+escaping), writes real CSV files, reads them back with an explicit schema
+and decodes — the oracle states the net effect ('' and NULL collapse to
+NULL for strings; tri-state booleans survive exactly).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from petfinder_database_distributor_spark.functions.scalars import (
+    clean_text,
+    extract_name_from_about,
+    parse_boolean,
+)
+from petfinder_database_distributor_spark.operators.extraction import xpath_columns
+from petfinder_database_distributor_spark.registry import register
+from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.sources.export import (
+    decode_from_export,
+    encode_for_export,
+    json_rows,
+    read_csv_table,
+    write_csv_table,
+)
+from petfinder_database_distributor_spark.sources.fetch import fetch_documents
+from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT
+from petfinder_database_distributor_spark.util import ensure_parallelism
+
+
+@register(
+    "s1_fetch_extract",
+    oracle="""
+    SELECT p_partkey AS pet_key,
+           'Pet ' || p_partkey AS name,
+           CASE p_partkey % 3 WHEN 0 THEN 'Adult' WHEN 1 THEN 'Young' ELSE 'Senior' END AS age,
+           CASE p_partkey % 2 WHEN 0 THEN 'Male' ELSE 'Female' END AS gender
+    FROM part
+    """,
+    doc="S1+P1+X1/X3 acquisition pipeline: url list → pandas-UDF fetch (fixture) → "
+    "xpath projection → clean stack (pet_scraper.py:60-93, :97-161, :241-249)",
+)
+def s1_fetch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = ensure_parallelism(load_table(spark, sf_dir, "part"))
+    urls = parts.select(
+        F.col("p_partkey").alias("pet_key"),
+        F.concat(
+            F.lit("https://www.petfinder.com/pet/"),
+            F.col("p_partkey").cast("string"),
+            F.lit("/details/"),
+        ).alias("url"),
+    )
+    pages = urls.withColumn("html", fetch_documents(F.col("url"))).filter(
+        F.col("html").isNotNull()  # T7: failed fetches drop out here
+    )
+    projected = xpath_columns(
+        pages,
+        "html",
+        {
+            "raw_name": "/page/pet/name/text()",
+            "age": "/page/pet/age/text()",
+            "gender": "/page/pet/gender/text()",
+        },
+        keep=("pet_key",),
+    )
+    return projected.select(
+        "pet_key",
+        extract_name_from_about(clean_text(F.col("raw_name"))).alias("name"),
+        "age",
+        "gender",
+    )
+
+
+def _typed_pets_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed rows with the reference's value mixes: nullable strings, a
+    long-text column with embedded newlines, a tri-state boolean."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("pet/"), F.col("doc_id").cast("string")).alias("link"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .otherwise(F.col("source"))
+        .alias("name"),
+        F.concat(F.col("lang"), F.lit("\n"), F.substring(F.col("text"), 1, 40), F.lit("\rend"))
+        .alias("about_me"),
+        parse_boolean(F.nullif(F.col("lang"), F.lit("en"))).alias("flag"),
+    )
+
+
+@register(
+    "export_roundtrip_csv",
+    oracle="""
+    SELECT 'pet/' || doc_id AS link,
+           nullif(CASE WHEN doc_id % 7 = 0 THEN NULL
+                       WHEN doc_id % 5 = 0 THEN '' ELSE source END, '') AS name,
+           replace(replace(lang || chr(10) || substring(text, 1, 40) || chr(13) || 'end',
+                   chr(10), '\\n'), chr(13), '\\n') AS about_me,
+           CASE WHEN lang = 'en' THEN NULL
+                WHEN contains(lang, 'no') OR contains(lang, 'false') OR contains(lang, 'n')
+                     THEN FALSE
+                WHEN contains(lang, 'yes') OR contains(lang, 'true') OR contains(lang, 'y')
+                     THEN TRUE
+                ELSE TRUE END AS flag
+    FROM documents
+    """,
+    doc="S5→S3 round-trip through the full on-disk encoding: typed table → "
+    "encode (P4/X4/X5) → real CSV write → schema'd scan → decode; tri-state "
+    "booleans survive, '' and NULL strings collapse to NULL (the documented "
+    "CSV-boundary semantics, SURVEY.md §1.3)",
+)
+def export_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    typed = _typed_pets_ish(spark, sf_dir)
+    encoded = encode_for_export(
+        typed,
+        string_cols=["link", "name", "about_me"],
+        bool_cols=["flag"],
+        text_cols=["about_me"],
+    )
+    path = f"{SCRATCH_ROOT}/export_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_csv_table(encoded, path, single_file=True)
+    raw = read_csv_table(
+        spark, path, "link string, name string, about_me string, flag string"
+    )
+    return decode_from_export(raw, ["flag"])
+
+
+@register(
+    "s8_json_rows",
+    oracle="""
+    SELECT to_json(struct_pack(
+             link := 'pet/' || doc_id,
+             name := CASE WHEN doc_id % 7 = 0 THEN '' WHEN doc_id % 5 = 0 THEN ''
+                          ELSE source END,
+             flag := CASE WHEN lang = 'en' THEN ''
+                          WHEN contains(lang, 'no') OR contains(lang, 'false')
+                               OR contains(lang, 'n') THEN 'False'
+                          WHEN contains(lang, 'yes') OR contains(lang, 'true')
+                               OR contains(lang, 'y') THEN 'True'
+                          ELSE 'True' END))::VARCHAR AS payload
+    FROM documents
+    """,
+    doc="S8 JSON serving projection: one compact JSON object per row over the "
+    "export-encoded columns (server.py:463-490)",
+)
+def s8_json_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    typed = _typed_pets_ish(spark, sf_dir).drop("about_me")
+    encoded = encode_for_export(
+        typed, string_cols=["link", "name"], bool_cols=["flag"]
+    )
+    return json_rows(encoded, ["link", "name", "flag"])

@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_pipeline,
         reference_ops,
         relational,
+        source_sink_plans,
         streaming_plans,
     )
 
