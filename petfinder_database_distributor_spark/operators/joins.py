@@ -1,0 +1,110 @@
+"""Join operators Spark lacks as primitives, composed from DataFrame ops
+(north-star generalization layer; the reference itself has only the
+anti/cross-join patterns — SURVEY.md §2.11).
+
+- as-of join: the union+window technique — one shuffle on (keys), no
+  per-key driver loops, no range explosion. Scales because the window sort
+  is per-key and both inputs shuffle exactly once.
+- range join (point-in-interval): bucketized equi-join — intervals explode
+  into fixed-width buckets, points compute their bucket, the join runs on
+  (bucket) as a plain hash join with a residual predicate. Turns an
+  O(n·m) theta-join (BroadcastNestedLoop) into a shuffle-bounded equi-join;
+  the broadcast-NLJ stays the right plan only when one side is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same key group (``backward``; the
+    trades/quotes join). Implementation: tag both sides, union, and take
+    ``last(value, ignorenulls)`` over a per-key window ordered by
+    (ts, side) — right rows sort before left rows at equal ts, so ties
+    match (<= semantics, like DuckDB/pandas ASOF).
+
+    One shuffle total (the window partitioning); left rows with no prior
+    right row keep nulls (left-outer semantics)."""
+    if direction != "backward":
+        raise ValueError("only backward as-of is implemented")
+    # left_ts travels as __ts and is renamed back at the end — excluding it
+    # here keeps the output free of duplicate columns.
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l_tagged.unionByName(r_tagged).select(
+        *keys,
+        "__ts",
+        "__side",
+        *lcols,
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"matched_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return (
+        matched.filter(F.col("__side") == 1)
+        .drop("__side")
+        .withColumnRenamed("__ts", left_ts)
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval join ([lo, hi) semantics) as a bucketized
+    equi-join. Each interval is exploded into ceil(len/width) bucket rows;
+    each point lands in exactly one bucket; the equi-join on (bucket) is a
+    plain shuffled hash join and the residual ``lo <= p < hi`` removes
+    same-bucket false positives. Pick ``bucket_width`` near the typical
+    interval length: shuffle blow-up is then ~2× rows instead of |p|·|i|."""
+    exploded = intervals.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col(lo_col) / bucket_width).cast("long"),
+                ((F.col(hi_col) - 1) / bucket_width).cast("long"),
+            )
+        ).alias("__bucket"),
+    )
+    bucketed_points = points.withColumn(
+        "__bucket", (F.col(point_col) / bucket_width).cast("long")
+    )
+    residual: Column = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) < F.col(hi_col)
+    )
+    return bucketed_points.join(exploded, on="__bucket").filter(residual).drop("__bucket")

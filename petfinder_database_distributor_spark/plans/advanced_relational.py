@@ -1,0 +1,214 @@
+"""Advanced relational coverage the driver tables invite (north-star
+generalization beyond the reference's surface, SURVEY.md §2.11): as-of and
+range joins, CUBE grouping sets, set operations, JSON extraction, global
+top-k, gap sessionization."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from petfinder_database_distributor_spark.operators.joins import (
+    asof_join,
+    range_join_bucketed,
+)
+from petfinder_database_distributor_spark.registry import register
+from petfinder_database_distributor_spark.schema import load_table
+
+
+@register(
+    "j2_asof_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+    SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id, p.value,
+           c.event_id AS matched_click_id, epoch_us(c.ts) AS matched_click_ts_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="As-of (backward) join: each purchase matched to the user's most recent "
+    "prior click — union+window technique, one shuffle, no range explosion",
+)
+def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        F.col("matched_click_id").alias("matched_click_id"),
+        F.unix_micros("matched_click_ts").alias("matched_click_ts_us"),
+    )
+
+
+@register(
+    "j3_range_join",
+    oracle="""
+    WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         b AS (SELECT i AS band_id, i * 200 AS lo, i * 200 + 500 AS hi FROM range(0, 20) r(i))
+    SELECT b.band_id, count(*) AS n_events, CAST(sum(e.cents) AS BIGINT) AS total_cents
+    FROM e JOIN b ON e.cents >= b.lo AND e.cents < b.hi
+    GROUP BY b.band_id
+    """,
+    doc="Point-in-interval range join over OVERLAPPING bands via bucketized "
+    "equi-join (shuffle-bounded; the scalable alternative to broadcast-NLJ)",
+)
+def j3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+    bands = spark.range(0, 20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 200).alias("lo"),
+        (F.col("id") * 200 + 500).alias("hi"),
+    )
+    joined = range_join_bucketed(points, bands, "cents", "lo", "hi", bucket_width=200)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+@register(
+    "g2_cube_marks",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets with grouping_id markers (all 4 subtotal levels in "
+    "one shuffle; bitmask semantics match across engines)",
+)
+def g2_cube_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("decimal(32,2)")
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT 'both' AS side, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'only_1995' AS side, o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    """,
+    doc="Set operations: INTERSECT / EXCEPT over per-year customer key sets",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).select(F.lit("both").alias("side"), "o_custkey")
+    only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("side"), "o_custkey")
+    return both.unionByName(only95)
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_total
+    FROM events
+    GROUP BY 1
+    """,
+    doc="JSON path extraction from a string column (get_json_object, JVM-side) "
+    "feeding an aggregate",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(k.alias("k")).groupBy((F.col("k") % 10).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("k_total"),
+    )
+
+
+@register(
+    "topk_orders_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k: ORDER BY + LIMIT compiles to TakeOrderedAndProject "
+    "(per-partition heaps + driver merge of k rows, never a full sort)",
+)
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+           min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gap sessionization (1 h inactivity): lag → boundary flag → running sum "
+    "session ids → per-session rollup; one shuffle on user_id",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 3_600_000_000), 1).otherwise(0).alias("new_sess"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("new_sess").over(cum).cast("long").alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+    )

@@ -48,6 +48,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import every plan module (each registers its queries on import)."""
     from petfinder_database_distributor_spark.plans import (  # noqa: F401
+        advanced_relational,
         extraction_plans,
         flagship,
         llm_pipeline,
