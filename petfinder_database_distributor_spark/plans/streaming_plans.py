@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.streaming.incremental import (
     SCRATCH_ROOT,
+    STREAM_SHUFFLE_PARTITIONS,
     read_event_stream,
     run_upsert_stream,
+    scoped_conf,
     stage_event_chunks,
     stateful_user_counters,
     windowed_event_counts,
@@ -35,14 +37,15 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     sink's contents after termination."""
     name = f"mem_{uuid.uuid4().hex[:10]}"
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_conf(spark, spark__sql__shuffle__partitions=STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

@@ -32,12 +32,41 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from petfinder_database_distributor_spark.schema import load_table
+
+# State-store tasks pay per-partition file overhead every micro-batch, so a
+# bounded stream wants far fewer shuffle partitions than a batch scan-heavy
+# job (2-3× wall-clock at test scale). Sized for the test SFs; at real
+# scale set ~2× executor cores BEFORE the first run — the state-store
+# partition count freezes into the checkpoint.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, **settings: str | int):
+    """Temporarily set runtime SQL confs, restoring previous values."""
+    keys = {k.replace("__", "."): str(v) for k, v in settings.items()}
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, prev in old.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
 
 # Scratch space for staged chunks / checkpoints / state versions. Kept
 # inside the repo (gitignored); on a cluster this would be object storage.
@@ -157,14 +186,15 @@ def run_upsert_stream(
     if fresh:
         _fresh_dir(run_dir)
     table_dir = f"{run_dir}/table"
-    query = (
-        read_event_stream(spark, stage_dir)
-        .writeStream.foreachBatch(foreach_batch_upsert(table_dir, key_cols, order_cols))
-        .option("checkpointLocation", f"{run_dir}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_conf(spark, spark__sql__shuffle__partitions=STREAM_SHUFFLE_PARTITIONS):
+        query = (
+            read_event_stream(spark, stage_dir)
+            .writeStream.foreachBatch(foreach_batch_upsert(table_dir, key_cols, order_cols))
+            .option("checkpointLocation", f"{run_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.read.parquet(latest_version(table_dir))
 
 

@@ -1,0 +1,62 @@
+"""Physical-plan assertions: the optimizations the engine is designed
+around must actually appear in the executed plans (scan pruning, predicate
+pushdown, broadcast of small sides, top-k without a full sort, and — for
+the dedup family — the absence of any all-pairs join)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from petfinder_database_distributor_spark.registry import load_all
+from tests.conftest import SF_SMALL
+
+SPECS = load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        SPECS[name].fn(spark, SF_SMALL).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p, "shipdate filter must reach the scan"
+    assert "l_comment" not in p, "untouched wide column must be pruned from the scan"
+    assert "l_orderkey" not in p, "unused key column must be pruned from the scan"
+
+
+def test_q5_broadcasts_small_dimensions(spark):
+    p = plan_of(spark, "q5_region_nation_revenue")
+    assert "BroadcastHashJoin" in p, "dim joins must broadcast, not shuffle"
+    assert "EqualTo(r_name,ASIA)" in p, "region filter must be pushed to the scan"
+
+
+def test_topk_uses_bounded_sort(spark):
+    p = plan_of(spark, "topk_orders_global")
+    assert "TakeOrderedAndProject" in p, "ORDER BY+LIMIT must not full-sort"
+
+
+def test_bruteforce_ann_broadcasts_queries(spark):
+    p = plan_of(spark, "ann_bruteforce_topk")
+    assert "BroadcastNestedLoopJoin" in p, "small query side must broadcast"
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_pairs"]
+)
+def test_dedup_family_never_all_pairs(spark, name):
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p, f"{name} must not materialize all-pairs"
+    assert "BroadcastNestedLoopJoin" not in p, f"{name} must join on bucket keys only"
+
+
+def test_ingest_frontend_anti_join_before_fetch(spark):
+    # O1 plan shape: the key-dedup/anti-join runs on cheap columns; no
+    # Python UDF (fetch) appears upstream of the anti join in this plan.
+    p = plan_of(spark, "ingest_frontend")
+    assert "LeftAnti" in p
