@@ -212,3 +212,116 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("start_us"),
         F.max(F.unix_micros("ts")).alias("end_us"),
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           min(l_quantity) AS qmin, max(l_quantity) AS qmax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (sort-based agg; fractions "
+    "are powers of two over integer-valued doubles, so both engines' lerp "
+    "forms are bit-identical)",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.25)).alias("q25"),
+        F.percentile(q, F.lit(0.5)).alias("q50"),
+        F.percentile(q, F.lit(0.75)).alias("q75"),
+        F.min(q).alias("qmin"),
+        F.max(q).alias("qmax"),
+    )
+
+
+@register(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="PIVOT (long→wide): per-user event-type counts; explicit pivot values "
+    "keep the plan to a single shuffle (no distinct-values pre-scan)",
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cents_24h
+    FROM events
+    """,
+    doc="RANGE-frame window: per-user trailing 24h value sum keyed on event "
+    "time (value-based frame, not row-count) — exact integer cents",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.sum(cents).over(w).cast("long").alias("cents_24h"),
+    )
+
+
+@register(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-defeating two-phase aggregation: salt the hot grouping key "
+    "(cardinality 5 over millions of rows), partial-agg on (key, salt), then "
+    "final-agg on key — the manual shape when AQE skew handling isn't enough; "
+    "result provably equals the direct groupBy",
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_salts = 16
+    cents = F.round(F.col("value") * 100).cast("long")
+    salted = ev.select(
+        "event_type",
+        (F.col("event_id") % n_salts).alias("__salt"),  # deterministic salt
+        cents.alias("cents"),
+    )
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("cents").alias("pc")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.sum("pc").cast("long").alias("total_cents"),
+    )
