@@ -94,3 +94,50 @@ def compaction_delete(
         on=list(key_cols),
         how="left_anti",
     )
+
+
+def merge_into_partitioned(
+    spark,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    partition_col: str,
+) -> None:
+    """D2 at 100 TB: partition-scoped upsert via dynamic partition overwrite.
+
+    The reference rewrites the WHOLE table per upsert (pet_scraper.py:421-488,
+    O(table) each time). Here only partitions that contain updated keys are
+    read, merged and replaced:
+
+    1. project the distinct ``partition_col`` values of the batch (bounded by
+       batch size, collected driver-side only to build a pruning predicate);
+    2. scan the table WITH partition pruning on those values;
+    3. union + content-ordered winner per key (same idempotent rule as the
+       streaming sink);
+    4. write back with ``partitionOverwriteMode=dynamic`` — untouched
+       partitions are never read or written.
+
+    The partition column must be a stable function of the key (e.g. a hash
+    bucket or an event date) so a key's rows can never straddle partitions.
+    """
+    affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    try:
+        existing = spark.read.parquet(table_dir).filter(
+            F.col(partition_col).isin(affected)
+        )
+        merged = existing.unionByName(updates)
+    except Exception:  # first write: table does not exist yet
+        merged = updates
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    winner = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        winner.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -159,3 +159,82 @@ def s8_json_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         typed, string_cols=["link", "name"], bool_cols=["flag"]
     )
     return json_rows(encoded, ["link", "name", "flag"])
+
+
+@register(
+    "g1_datasource_ingest",
+    oracle="""
+    SELECT g.page, t.pet_type, s.i AS slot,
+           'https://www.petfinder.com/pet/' || ((g.page * 2 + t.ti) * 12 + s.i)
+             || '/details/' AS url
+    FROM generate_series(1, 50) g(page),
+         (VALUES ('dog', 0), ('cat', 1)) t(pet_type, ti),
+         generate_series(1, 12) s(i)
+    WHERE (g.page + s.i) % 5 <> 0
+    """,
+    doc="G1+S2+P3 through a REAL Spark table source: custom Python Data Source "
+    "enumerates page x pet-type and fetches fixture pages (partitioned page "
+    "ranges), then xpath fan-out + URL absolutization downstream",
+)
+def g1_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.functions.scalars import normalize_url
+    from petfinder_database_distributor_spark.operators.extraction import explode_links
+    from petfinder_database_distributor_spark.sources.pages_datasource import (
+        register_pet_pages,
+    )
+
+    register_pet_pages(spark)
+    pages = (
+        spark.read.format("pet_pages")
+        .option("n_pages", 50)
+        .option("n_partitions", 8)
+        .load()
+    )
+    links = explode_links(pages, "html", "/page/a/@href", keep=("page", "pet_type"))
+    return links.select(
+        "page",
+        "pet_type",
+        F.col("slot").cast("int").alias("slot"),
+        normalize_url(F.col("href")).alias("url"),
+    )
+
+
+@register(
+    "merge_partitioned_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us
+    FROM events
+    WHERE event_id % 4 <> 3 OR user_id % 8 IN (0, 1)
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="D2 at scale: partition-scoped upsert via dynamic partition overwrite — "
+    "base load, then a second batch touching only 2 of 8 hash-bucket "
+    "partitions; untouched partitions are never read or rewritten "
+    "(tests/test_merge_partitioned.py asserts their files are byte-untouched)",
+)
+def merge_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.operators.dedup import (
+        merge_into_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", (F.col("user_id") % 8).alias("bucket")
+    )
+    table_dir = f"{SCRATCH_ROOT}/merge_part_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    base = ev.filter(F.col("event_id") % 4 != 3)
+    merge_into_partitioned(
+        spark, table_dir, base, ["user_id"], ["ts", "event_id"], "bucket"
+    )
+    updates = ev.filter((F.col("event_id") % 4 == 3) & (F.col("user_id") % 8 <= 1))
+    merge_into_partitioned(
+        spark, table_dir, updates, ["user_id"], ["ts", "event_id"], "bucket"
+    )
+    final = spark.read.parquet(table_dir)
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"),
+    )
