@@ -105,17 +105,24 @@ def stage_event_chunks(
     )
     stage = _fresh_dir(f"{SCRATCH_ROOT}/stage_{tag}")
     events = load_table(spark, sf_dir, "events")
-    for i in range(subset if subset is not None else n_chunks):
-        chunk = events.filter(F.col("event_id") % n_chunks == i)
-        if duplicate_overlap:
-            chunk = chunk.unionByName(
-                events.filter(F.col("event_id") % n_chunks == (i + 1) % n_chunks)
-            )
-        tmp = f"{stage}/_tmp"
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        os.replace(part, f"{stage}/chunk_{i}.parquet")
-        shutil.rmtree(tmp)
+    n_stage = subset if subset is not None else n_chunks
+    # One partitioned write job stages every chunk at once (a per-chunk
+    # filter+write loop costs one full scan per chunk); files are then
+    # renamed into the flat layout the file-stream source watches.
+    chunk_of = F.col("event_id") % n_chunks
+    assignments = F.array(chunk_of, (chunk_of + 1) % n_chunks) if duplicate_overlap else F.array(chunk_of)
+    staged = events.select(
+        "*", F.explode(assignments).alias("__chunk")
+    ).filter(F.col("__chunk") < n_stage)
+    tmp = f"{stage}/_tmp"
+    staged.repartition(n_stage, "__chunk").write.mode("overwrite").partitionBy(
+        "__chunk"
+    ).parquet(tmp)
+    for i in range(n_stage):
+        parts = glob.glob(f"{tmp}/__chunk={i}/part-*.parquet")
+        for j, part in enumerate(sorted(parts)):
+            os.replace(part, f"{stage}/chunk_{i}_{j}.parquet")
+    shutil.rmtree(tmp)
     return stage
 
 

@@ -42,9 +42,15 @@ def test_checkpoint_resume(spark):
 
     events = load_table(spark, SF_SMALL, "events")
 
+    import glob as _glob
+
+    def _copy_chunk(i: int) -> None:
+        for src in _glob.glob(f"{full_stage}/chunk_{i}_*.parquet"):
+            shutil.copy(src, f"{live}/{os.path.basename(src)}")
+
     # Phase 1: only chunks 0–1 exist; run to completion and "crash".
     for i in (0, 1):
-        shutil.copy(f"{full_stage}/chunk_{i}.parquet", f"{live}/chunk_{i}.parquet")
+        _copy_chunk(i)
     partial = run_upsert_stream(
         spark, live, run_dir, ["user_id"], ["ts", "event_id"], fresh=True
     )
@@ -53,7 +59,7 @@ def test_checkpoint_resume(spark):
 
     # Phase 2: more chunks arrive; restart with the SAME checkpoint.
     for i in (2, 3):
-        shutil.copy(f"{full_stage}/chunk_{i}.parquet", f"{live}/chunk_{i}.parquet")
+        _copy_chunk(i)
     final = run_upsert_stream(
         spark, live, run_dir, ["user_id"], ["ts", "event_id"], fresh=False
     )
