@@ -108,3 +108,108 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(qid, cid, "rank", F.round(F.col("cos"), 6).alias("cos_r"))
     )
+
+
+def quantize(vec: Column, scale: int = 1000) -> Column:
+    """Integer-quantize an embedding (round(x*scale)). Quantization makes
+    every centroid update EXACT: integer sums are order-independent, so
+    k-means iterations are bit-identical across engines and cluster sizes —
+    the property that lets an ITERATIVE algorithm be oracle-checked."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _qd(qcol: Column) -> Column:
+    return qcol.cast("array<double>")
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame, vid: str) -> DataFrame:
+    """Nearest centroid by cosine (ties → smaller centroid_id). Centroids
+    broadcast (k rows); one window shuffle on the vector id."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        F.col(vid),
+        "qe",
+        "centroid_id",
+        cosine(_qd(F.col("qe")), F.col("cvec")).alias("cos"),
+    )
+    w = Window.partitionBy(vid).orderBy(F.col("cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(vid), "qe", "centroid_id")
+    )
+
+
+def _update(assigned: DataFrame, scale: int) -> DataFrame:
+    """Elementwise-mean centroid update from exact integer sums."""
+    dims = assigned.select(
+        "centroid_id", F.posexplode("qe").alias("pos", "v")
+    ).groupBy("centroid_id", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return dims.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+            lambda e: e["s"].cast("double") / (e["n"] * scale),
+        ).alias("cvec")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    iters: int = 2,
+    nprobe: int = 4,
+    scale: int = 1000,
+    qid: str = "query_id",
+    cid: str = "vec_id",
+    qvec: str = "qvec",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: k-means inverted file + multi-probe search.
+
+    Train ``n_clusters`` centroids with ``iters`` Lloyd rounds
+    (deterministic init: the first n_clusters corpus ids), assign every
+    corpus vector to its cell (the inverted file), then each query probes
+    its ``nprobe`` nearest cells and ranks only those candidates exactly.
+
+    Scale shape: training touches each vector iters+1 times (broadcast
+    centroids, no pairwise joins); search cost drops from |corpus| to
+    ~nprobe/n_clusters of it per query. Centroid math is exact (integer
+    sums, see quantize), so results are deterministic and oracle-checked.
+    """
+    qcorpus = corpus.select(F.col(cid), quantize(F.col(cvec), scale).alias("qe"))
+    centroids = qcorpus.filter(F.col(cid) < n_clusters).select(
+        F.col(cid).cast("int").alias("centroid_id"), _qd(F.col("qe")).alias("cvec")
+    )
+    for _ in range(iters):
+        assigned = _assign(qcorpus, centroids, cid)
+        centroids = _update(assigned, scale)
+    ivf = _assign(qcorpus, centroids, cid)  # the inverted file
+
+    qq = queries.select(F.col(qid), quantize(F.col(qvec), scale).alias("qe"))
+    probe_scored = qq.crossJoin(F.broadcast(centroids)).select(
+        F.col(qid),
+        F.col("qe").alias("q_qe"),
+        "centroid_id",
+        cosine(_qd(F.col("qe")), F.col("cvec")).alias("pcos"),
+    )
+    wp = Window.partitionBy(qid).orderBy(F.col("pcos").desc(), F.col("centroid_id"))
+    probes = (
+        probe_scored.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col(qid), "q_qe", "centroid_id")
+    )
+    cand = probes.join(ivf, on="centroid_id").filter(F.col(qid) != F.col(cid))
+    scored = cand.select(
+        F.col(qid),
+        F.col(cid),
+        cosine(_qd(F.col("q_qe")), _qd(F.col("qe"))).alias("cos"),
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(cid))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, cid, "rank", F.round(F.col("cos"), 6).alias("cos_r"))
+    )

@@ -433,3 +433,70 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, "doc_id", "text")
     return decode_features(payloads, "doc_id", "payload")
+
+
+_IVF_COS = (
+    "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
+    " * sqrt(list_inner_product({b}, {b})))"
+)
+
+_IVF_ASSIGN = f"""
+  SELECT vec_id, qe, centroid_id FROM (
+    SELECT v.vec_id, v.qe, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_COS.format(a="v.qe", b="c.cvec")} DESC,
+                                       c.centroid_id) AS rn
+    FROM {{vecs}} v, {{cents}} c) WHERE rn = 1
+"""
+
+_IVF_UPDATE = """
+  SELECT centroid_id, list(s / (n * 1000.0) ORDER BY i) AS cvec FROM (
+    SELECT centroid_id, r.i, sum(qe[r.i + 1]) AS s, count(*) AS n
+    FROM {assigned}, range(0, 64) r(i) GROUP BY 1, 2) GROUP BY 1
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qe
+               FROM embeddings),
+    c0 AS (SELECT vec_id::INT AS centroid_id, qe AS cvec FROM q WHERE vec_id < 16),
+    a1 AS ({_IVF_ASSIGN.format(vecs="q", cents="c0")}),
+    c1 AS ({_IVF_UPDATE.format(assigned="a1")}),
+    a2 AS ({_IVF_ASSIGN.format(vecs="q", cents="c1")}),
+    c2 AS ({_IVF_UPDATE.format(assigned="a2")}),
+    ivf AS ({_IVF_ASSIGN.format(vecs="q", cents="c2")}),
+    qq AS (SELECT vec_id AS query_id, qe AS q_qe FROM q WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, q_qe, centroid_id FROM (
+        SELECT qq.query_id, qq.q_qe, c.centroid_id,
+               row_number() OVER (PARTITION BY qq.query_id
+                                  ORDER BY {_IVF_COS.format(a="qq.q_qe", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM qq, c2 c) WHERE rn <= 4),
+    cand AS (
+      SELECT p.query_id, f.vec_id,
+             {_IVF_COS.format(a="p.q_qe", b="f.qe")} AS cos
+      FROM probes p JOIN ivf f USING (centroid_id)
+      WHERE p.query_id <> f.vec_id)
+    SELECT query_id, vec_id, rank, round(cos, 6) AS cos_r
+    FROM (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM cand)
+    WHERE rank <= 5
+    """,
+    doc="IVF ANN top-5: k-means(16, 2 Lloyd rounds) inverted file + 4-probe "
+    "search — an ITERATIVE algorithm made bit-exact cross-engine via "
+    "integer-quantized centroids (exact order-free sums)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(queries, emb, k=5, n_clusters=16, iters=2, nprobe=4)
