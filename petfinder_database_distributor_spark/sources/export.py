@@ -31,20 +31,26 @@ def encode_for_export(
     bool_cols: list[str],
     text_cols: list[str] = (),
     order_col: str | None = None,
+    column_order: list[str] | None = None,
 ) -> DataFrame:
     """P4+X4+X5 export projection: emit exactly the declared columns in
     order, all strings — nulls as '', tri-state booleans as
-    'True'/'False'/'', long-text columns newline-escaped. ``order_col``
-    (the explicit ingest_seq, SURVEY.md §7.3.4) restores insertion order at
-    the boundary; DataFrames are unordered everywhere else."""
-    cols: list[Column] = []
+    'True'/'False'/'', long-text columns newline-escaped. ``column_order``
+    fixes the emitted order (P4's declared-schema ordering — the reference
+    interleaves boolean and string columns); default is strings then
+    booleans. ``order_col`` (the explicit ingest_seq, SURVEY.md §7.3.4)
+    restores insertion order at the boundary; DataFrames are unordered
+    everywhere else."""
+    encoded: dict[str, Column] = {}
     for c in string_cols:
         e = F.coalesce(F.col(c).cast("string"), F.lit(""))
         if c in text_cols:
             e = escape_newlines(e)
-        cols.append(e.alias(c))
+        encoded[c] = e.alias(c)
     for c in bool_cols:
-        cols.append(bool_to_string(F.col(c)).alias(c))
+        encoded[c] = bool_to_string(F.col(c)).alias(c)
+    ordering = column_order if column_order is not None else [*string_cols, *bool_cols]
+    cols = [encoded[c] for c in ordering]
     out = df.select(*([F.col(order_col)] if order_col else []), *cols)
     if order_col:
         out = out.orderBy(order_col)
