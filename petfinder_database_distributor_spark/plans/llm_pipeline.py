@@ -500,3 +500,60 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return ivf_topk(queries, emb, k=5, n_clusters=16, iters=2, nprobe=4)
+
+
+@register(
+    "text_bigram_tf",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    bg AS (SELECT doc_id, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS b
+           FROM toks WHERE len(t) >= 2)
+    SELECT bigram, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, u.x AS bigram FROM bg, unnest(bg.b) u(x))
+    GROUP BY bigram
+    HAVING count(*) >= 20
+    """,
+    doc="Corpus n-gram term/document frequency: tokenize → bigrams (shifted "
+    "zip_with) → explode → one hash-agg; HAVING keeps the hot tail bounded",
+)
+def text_bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import shingles, tokens
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # non-distinct bigrams: shingles() dedups, so build the raw list here
+    toks = tokens(F.col("text"))
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(toks, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    exploded = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    return (
+        exploded.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("tf") >= 20)
+    )
+
+
+@register(
+    "agg_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact distinct counts per group (expand+two-phase agg); the HLL "
+    "sketch variant (approx_count_distinct) is asserted within 5% in "
+    "tests/test_sketches.py — sketches can't hash-match across engines",
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
