@@ -108,3 +108,26 @@ def range_join_bucketed(
         F.col(point_col) < F.col(hi_col)
     )
     return bucketed_points.join(exploded, on="__bucket").filter(residual).drop("__bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int,
+    salt_source: str,
+) -> DataFrame:
+    """Skew-defeating equi-join: the hot key's rows no longer land in one
+    shuffle partition. Left rows get a deterministic salt (hash of
+    ``salt_source`` mod n_salts); the right side is replicated n_salts×
+    with every salt value; the join runs on (key, salt). Right-side
+    replication costs n_salts× its size — use for small-to-medium right
+    sides with a skewed left, or let AQE's skew-join handle it when
+    statistics suffice (this is the manual shape for when they don't)."""
+    salted_left = left.withColumn(
+        "__salt", F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
+    )
+    salted_right = right.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    )
+    return salted_left.join(salted_right, on=[key, "__salt"]).drop("__salt")

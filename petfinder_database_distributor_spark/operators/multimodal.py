@@ -101,3 +101,40 @@ def decode_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
         extract, FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_feature", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    max_frames: int = 4,
+) -> DataFrame:
+    """Video-style frame sampling as a one-to-many mapInPandas (the UDTF
+    shape): each payload expands to min(n_frames, max_frames) frame rows
+    with a per-frame feature. Decode is the same DETERMINISTIC FAKE as
+    decode_features (n_frames and features derive from payload length), so
+    the whole fan-out is oracle-checkable; swap in a real
+    cv2.VideoCapture/torchvision call without changing the plan."""
+
+    def expand(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(bytes(payload))
+                n_frames = min(1 + n % 30, max_frames)
+                for idx in range(n_frames):
+                    out.append((int(doc_id), idx, (n * 31 + idx) % 997))
+            yield _pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_feature"])
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        expand, FRAME_SCHEMA
+    )

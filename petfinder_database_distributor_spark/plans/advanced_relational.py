@@ -325,3 +325,32 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").cast("long").alias("n"),
         F.sum("pc").cast("long").alias("total_cents"),
     )
+
+
+@register(
+    "j4_salted_join",
+    oracle="""
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events e JOIN (VALUES ('click'), ('purchase'), ('view')) d(event_type)
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Skew-defeating salted equi-join: the hot key (event_type, cardinality "
+    "5 over the whole table) is salted 16 ways so no single shuffle partition "
+    "receives a whole key; result provably equals the plain join",
+)
+def j4_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.range(1).select(
+        F.explode(F.array(F.lit("click"), F.lit("purchase"), F.lit("view"))).alias(
+            "event_type"
+        )
+    )
+    joined = salted_join(ev, dim, "event_type", n_salts=16, salt_source="event_id")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
+    )

@@ -557,3 +557,23 @@ def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH meta AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT m.doc_id, r.i::INT AS frame_idx, (m.n * 31 + r.i) % 997 AS frame_feature
+    FROM meta m, range(0, 30) r(i)
+    WHERE r.i < least(1 + m.n % 30, 4)
+    """,
+    doc="Multimodal frame sampling: one-to-many Arrow-batched mapInPandas "
+    "(payload -> per-frame rows), deterministic fake decode so the fan-out "
+    "itself is value-checked",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs, "doc_id", "text")
+    return sample_frames(payloads, "doc_id", "payload", max_frames=4)
