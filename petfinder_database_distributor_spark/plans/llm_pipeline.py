@@ -577,3 +577,144 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, "doc_id", "text")
     return sample_frames(payloads, "doc_id", "payload", max_frames=4)
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL})
+    SELECT doc_id, c.i::INT AS chunk_idx,
+           array_to_string(t[c.i * 16 + 1 : c.i * 16 + 32], ' ') AS chunk,
+           least(32, len(t) - c.i * 16)::INT AS chunk_len
+    FROM toks, range(0, 100) c(i)
+    WHERE c.i = 0 OR c.i * 16 + 16 < len(t)
+    """,
+    doc="Document chunking for LLM context windows: overlapping token windows "
+    "(size 32, stride 16) via sequence+slice — the standard pre-embedding "
+    "splitter; narrow, no shuffle",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    window, stride = 32, 16
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size("t") - window).cast("double") / stride).cast("int") + 1
+    )
+    chunked = toked.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("t"), F.col("chunk_idx") * stride + 1, window)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.concat_ws(" ", piece).alias("chunk"),
+        F.size(piece).cast("int").alias("chunk_len"),
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace('contact user' || doc_id || '@example.com or +1-555-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' : ' || text,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM documents
+    """,
+    doc="PII scrubbing: email + phone regex redaction (JVM regexp_replace, "
+    "codegen'd) over text with synthetically injected PII so the rule "
+    "actually fires on every row",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"), F.lit(" : "), F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            with_pii, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+        "<PHONE>",
+    )
+    return docs.select("doc_id", redacted.alias("redacted"))
+
+
+@register(
+    "split_train_test",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN ({_MD5INT.format(x="'split:' || doc_id")}) % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents)
+    SELECT lang, split, count(*) AS n
+    FROM tagged GROUP BY lang, split
+    """,
+    doc="Deterministic train/test split: salt-hashed id mod 100 — stable "
+    "across runs, engines and cluster sizes (never rand()); per-language "
+    "split sizes as the check",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5int(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        docs.select(
+            "lang", F.when(bucket < 80, "train").otherwise("test").alias("split")
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tri AS (SELECT doc_id,
+                   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS g
+            FROM toks WHERE len(t) >= 3)
+    SELECT doc_id,
+           len(g)::BIGINT AS n_trigrams,
+           len(list_distinct(g))::BIGINT AS n_distinct,
+           round(1 - len(list_distinct(g))::DOUBLE / len(g), 6) AS repetition
+    FROM tri
+    """,
+    doc="Repetition-based quality signal: 1 - distinct/total trigram ratio "
+    "(the boilerplate/spam detector in C4/CCNet-style filtering)",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    shifted1 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    shifted2 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    raw = F.filter(
+        F.zip_with(
+            F.zip_with(toks, shifted1, lambda a, b: F.concat(a, F.lit(" "), b)),
+            shifted2,
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = docs.select("doc_id", raw.alias("g")).filter(F.size("g") > 0)
+    return out.select(
+        "doc_id",
+        F.size("g").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("g")).cast("long").alias("n_distinct"),
+        F.round(
+            1 - F.size(F.array_distinct("g")).cast("double") / F.size("g"), 6
+        ).alias("repetition"),
+    )
