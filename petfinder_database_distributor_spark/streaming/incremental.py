@@ -88,6 +88,7 @@ def stage_event_chunks(
     n_chunks: int = 4,
     duplicate_overlap: bool = False,
     subset: int | None = None,
+    contiguous: bool = False,
 ) -> str:
     """Stage the events table as ``n_chunks`` single parquet files (one
     micro-batch each, T1's unit of work). ``duplicate_overlap`` writes every
@@ -102,6 +103,7 @@ def stage_event_chunks(
         [sf_dir.strip("/").replace("/", "_"), str(n_chunks)]
         + (["dup"] if duplicate_overlap else [])
         + ([f"sub{subset}"] if subset is not None else [])
+        + (["contig"] if contiguous else [])
     )
     stage = _fresh_dir(f"{SCRATCH_ROOT}/stage_{tag}")
     events = load_table(spark, sf_dir, "events")
@@ -109,7 +111,17 @@ def stage_event_chunks(
     # One partitioned write job stages every chunk at once (a per-chunk
     # filter+write loop costs one full scan per chunk); files are then
     # renamed into the flat layout the file-stream source watches.
-    chunk_of = F.col("event_id") % n_chunks
+    if contiguous:
+        # time-ordered chunks (event_id is ingest order): chunk i holds the
+        # i-th contiguous id range — arrival order matches event time, the
+        # normal case for watermarked sources.
+        total = events.count()
+        per = -(-total // n_chunks)
+        chunk_of = F.least(
+            F.floor(F.col("event_id") / per).cast("long"), F.lit(n_chunks - 1)
+        )
+    else:
+        chunk_of = F.col("event_id") % n_chunks
     assignments = F.array(chunk_of, (chunk_of + 1) % n_chunks) if duplicate_overlap else F.array(chunk_of)
     staged = events.select(
         "*", F.explode(assignments).alias("__chunk")
@@ -118,10 +130,17 @@ def stage_event_chunks(
     staged.repartition(n_stage, "__chunk").write.mode("overwrite").partitionBy(
         "__chunk"
     ).parquet(tmp)
+    # The file-stream source orders files by modification time, and
+    # os.replace preserves the mtimes of the parallel write tasks (which
+    # finish in arbitrary order) — stamp strictly increasing mtimes so
+    # micro-batch order is the chunk order, deterministically.
+    base_t = os.stat(tmp).st_mtime
     for i in range(n_stage):
         parts = glob.glob(f"{tmp}/__chunk={i}/part-*.parquet")
         for j, part in enumerate(sorted(parts)):
-            os.replace(part, f"{stage}/chunk_{i}_{j}.parquet")
+            dest = f"{stage}/chunk_{i}_{j}.parquet"
+            os.replace(part, dest)
+            os.utime(dest, (base_t + i, base_t + i))
     shutil.rmtree(tmp)
     return stage
 

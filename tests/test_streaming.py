@@ -68,3 +68,81 @@ def test_checkpoint_resume(spark):
     # The offset log resumed (batch ids continued past phase 1) rather than
     # reprocessing from scratch: 4 single-file micro-batches → final v3.
     assert os.path.basename(latest_version(f"{run_dir}/table")) == "v3"
+
+
+def test_watermark_append_mode_closes_windows(spark):
+    """Watermarked event-time aggregation in APPEND mode: only windows the
+    watermark has passed are emitted, each exactly once, and their values
+    agree with the batch aggregate (late-data handling, SURVEY.md §2.8)."""
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        read_event_stream,
+        stage_event_chunks,
+    )
+
+    # time-contiguous chunks: arrival order matches event time, so closed
+    # windows are complete. (Interleaved chunks would make 3/4 of each
+    # window's data arrive behind the watermark and be dropped — correct
+    # behavior, but not what this test pins.)
+    stage = stage_event_chunks(spark, SF_SMALL, n_chunks=4, contiguous=True)
+    agg = (
+        read_event_stream(spark, stage)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("start_us"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("wm_append").collect()
+
+    batch = {
+        r["start_us"]: r["n"]
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("start_us"), "n")
+        .collect()
+    }
+    assert emitted, "watermark must close at least the early windows"
+    seen = [r["start_us"] for r in emitted]
+    assert len(seen) == len(set(seen)), "append mode must emit each window once"
+    for r in emitted:
+        assert batch[r["start_us"]] == r["n"], "closed windows must be final"
+    # the last (still-open) window must NOT have been emitted
+    assert max(batch) not in seen
+
+
+def test_foreach_batch_merge_is_replay_idempotent(spark):
+    """T3: re-delivering a micro-batch to the merge sink (at-least-once
+    delivery) must not change the table — the winner is chosen by content
+    ordering, not arrival order."""
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        foreach_batch_upsert,
+        latest_version,
+    )
+
+    run_dir = f"{SCRATCH_ROOT}/test_replay"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    table_dir = f"{run_dir}/table"
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "event_id", "ts")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    merge = foreach_batch_upsert(table_dir, ["user_id"], ["ts", "event_id"])
+    merge(b0, 0)
+    merge(b1, 1)
+    once = sorted(
+        (r["user_id"], r["event_id"])
+        for r in spark.read.parquet(latest_version(table_dir)).collect()
+    )
+    merge(b1, 2)  # replay of batch 1 after a "crash before offset commit"
+    replayed = sorted(
+        (r["user_id"], r["event_id"])
+        for r in spark.read.parquet(latest_version(table_dir)).collect()
+    )
+    assert replayed == once

@@ -1,0 +1,56 @@
+"""Regenerate PLANS.md — physical-plan evidence for the scale claims."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHOW = {
+    "q1_pricing_summary": "filter pushdown + column pruning + map-side partial agg",
+    "q5_region_nation_revenue": "broadcast hash joins for the dim chain",
+    "topk_orders_global": "TakeOrderedAndProject (bounded top-k, no full sort)",
+    "dedup_minhash_lsh": "LSH band-bucket equi-joins only — no all-pairs operator",
+    "ingest_frontend": "anti-join below the (would-be) fetch UDF — O1 plan shape",
+    "j3_range_join": "bucketized range join: equi-join + residual filter",
+}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from petfinder_database_distributor_spark.registry import load_all
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = [
+        "# PLANS — physical-plan evidence for the scale claims",
+        "",
+        "Generated with `.explain('formatted')` at sf0.1 (local[32], AQE on).",
+        "Regenerate: `python tools/gen_plans.py` (or rerun the snippet in git log).",
+        "",
+    ]
+    for name, why in SHOW.items():
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            specs[name].fn(spark, sf).explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        out += [f"## {name}", "", f"*Claim:* {why}", "", "```", tree.strip(), "```", ""]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()
