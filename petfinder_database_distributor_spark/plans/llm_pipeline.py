@@ -718,3 +718,65 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.size(F.array_distinct("g")).cast("double") / F.size("g"), 6
         ).alias("repetition"),
     )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY ({_MD5INT.format(x="'samp:' || doc_id")}), doc_id) AS rn
+      FROM documents)
+    SELECT lang, doc_id FROM ranked WHERE rn <= 10
+    """,
+    doc="Deterministic stratified sampling: exactly 10 docs per language, "
+    "chosen by salted-hash order (reproducible across engines/cluster sizes, "
+    "never rand()); one window shuffle on the stratum key",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5int(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "decontamination_check",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    f AS (SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp,
+                 CASE WHEN ({_MD5INT.format(x="'split:' || doc_id")}) % 100 < 80
+                      THEN 'train' ELSE 'test' END AS split
+          FROM toks)
+    SELECT tr.doc_id AS train_id, te.doc_id AS test_id, tr.fp AS fingerprint
+    FROM f tr JOIN f te ON tr.fp = te.fp AND tr.split = 'train' AND te.split = 'test'
+    """,
+    doc="Train/test decontamination: content-fingerprint equi-join across the "
+    "deterministic split — every train doc whose exact content also appears "
+    "in test (the eval-leakage scan every training pipeline needs)",
+)
+def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5int(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    f = docs.select(
+        "doc_id",
+        bag_of_words_fingerprint(F.col("text")).alias("fp"),
+        F.when(bucket < 80, "train").otherwise("test").alias("split"),
+    )
+    tr = f.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "fp"
+    )
+    te = f.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_id"), "fp"
+    )
+    return tr.join(te, on="fp").select(
+        "train_id", "test_id", F.col("fp").alias("fingerprint")
+    )
