@@ -354,3 +354,29 @@ def j4_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
     )
+
+
+_Q17_SQL = """
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM {li} l JOIN {pt} p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < 0.2 * (
+        SELECT CAST(CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE)
+                 / count(*)
+        FROM {li} l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register(
+    "q17_sql_correlated",
+    oracle=_Q17_SQL.format(li="lineitem", pt="part"),
+    doc="TPC-H Q17-style correlated scalar subquery through the spark.sql "
+    "front door (temp views): Catalyst decorrelates it into an aggregate + "
+    "join — no per-row subquery execution. The per-part average uses an "
+    "exact decimal sum so the 0.2x threshold is bit-identical cross-engine",
+)
+def q17_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(_Q17_SQL.format(li="v_lineitem", pt="v_part"))
