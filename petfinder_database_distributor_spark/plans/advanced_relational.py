@@ -380,3 +380,51 @@ def q17_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
     load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
     return spark.sql(_Q17_SQL.format(li="v_lineitem", pt="v_part"))
+
+
+_Q4_SQL = """
+    SELECT o.o_orderpriority AS priority, count(*) AS n_orders
+    FROM {ords} o
+    WHERE EXISTS (
+        SELECT 1 FROM {li} l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "q4_sql_exists",
+    oracle=_Q4_SQL.format(ords="orders", li="lineitem"),
+    doc="TPC-H Q4-style correlated EXISTS with a non-equi outer reference "
+    "(l_shipdate > o_orderdate): Catalyst decorrelates to a left-semi join "
+    "with a mixed equi + range condition — no per-row subquery",
+)
+def q4_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(_Q4_SQL.format(ords="v_orders", li="v_lineitem"))
+
+
+_Q13_SQL = """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM {cust} c LEFT JOIN {ords} o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority NOT LIKE '1-%'
+        GROUP BY c.c_custkey)
+    GROUP BY n_orders
+"""
+
+
+@register(
+    "q13_sql_outer_count",
+    oracle=_Q13_SQL.format(cust="customer", ords="orders"),
+    doc="TPC-H Q13-style customer-order distribution: LEFT OUTER join with an "
+    "extra join-side predicate (filter must stay in the ON clause, not WHERE, "
+    "to preserve customers with zero orders), count over the nullable side, "
+    "then a second aggregation over the counts",
+)
+def q13_sql_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(_Q13_SQL.format(cust="v_customer", ords="v_orders"))

@@ -780,3 +780,48 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.join(te, on="fp").select(
         "train_id", "test_id", F.col("fp").alias("fingerprint")
     )
+
+
+@register(
+    "udtf_chunk_documents",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL})
+    SELECT doc_id, c.i::INT AS chunk_idx,
+           array_to_string(t[c.i * 16 + 1 : c.i * 16 + 32], ' ') AS chunk,
+           least(32, len(t) - c.i * 16)::INT AS chunk_len
+    FROM toks, range(0, 100) c(i)
+    WHERE c.i = 0 OR c.i * 16 + 16 < len(t)
+    """,
+    doc="Same chunking semantics as text_chunking, but through Spark's "
+    "Python UDTF surface (one doc row -> many chunk rows via LATERAL "
+    "correlated table function) — the API the reference's P3 "
+    "link-extractor is morally an instance of (link_scraper.py:66-152). "
+    "Kept row-at-a-time deliberately to exercise the UDTF codepath; the "
+    "expression-based text_chunking is the 100 TB hot path",
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    window, stride = 32, 16
+
+    @udtf(returnType="chunk_idx int, chunk string, chunk_len int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            import re
+
+            toks = [w for w in re.split(r"\s+", (text or "").strip().lower()) if w]
+            if not toks:
+                return
+            n_chunks = max(1, -(-(len(toks) - window) // stride) + 1)
+            for i in range(n_chunks):
+                piece = toks[i * stride : i * stride + window]
+                yield i, " ".join(piece), len(piece)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.chunk_len
+        FROM v_docs_udtf d, LATERAL chunk_doc(d.text) c
+        """
+    )

@@ -144,3 +144,58 @@ def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(epoch_us(ts)) AS start_us,
+           max(epoch_us(ts)) + 1800000000 AS end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Watermarked session windows (30 min gap) in APPEND mode: sessions "
+    "merge while consecutive events are < gap apart and emit exactly once "
+    "when the watermark passes session end. A far-future sentinel event "
+    "closes the books so the bounded run emits EVERY session — the oracle is "
+    "the classic lag/cumsum gaps-and-islands restatement (note >= on the "
+    "boundary: Spark merges only strictly-overlapping session windows)",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        add_sentinel_chunk,
+    )
+
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4, contiguous=True)
+    add_sentinel_chunk(spark, stage, sf_dir)
+    agg = (
+        read_event_stream(spark, stage)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
+        )
+    )
+    emitted = _run_to_memory(agg, "append")
+    return emitted.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.unix_micros("sw.start").alias("start_us"),
+        F.unix_micros("sw.end").alias("end_us"),
+        "n_events",
+        "total_cents",
+    )

@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         extraction_plans,
         flagship,
         llm_pipeline,
+        physical,
         reference_ops,
         relational,
         source_sink_plans,

@@ -274,3 +274,33 @@ def stateful_user_counters(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def add_sentinel_chunk(spark: SparkSession, stage_dir: str, sf_dir: str) -> str:
+    """Append one FINAL micro-batch containing a single far-future sentinel
+    event (user_id = -1, ts = max+30 days). Its arrival pushes the watermark
+    past every real event, so append-mode stateful operators flush ALL of
+    their state in the trailing no-data batch — the bounded-stream analog of
+    'the day ended, close the books' (the reference's end-of-epoch sweep,
+    server.py:384-392). Callers filter user_id < 0 out of the result."""
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.select(
+        F.max("event_id").alias("event_id"), F.max("ts").alias("ts")
+    ).select(
+        (F.col("event_id") + 1).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    tmp = f"{stage_dir}/_sentinel_tmp"
+    row.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = sorted(glob.glob(f"{tmp}/part-*.parquet"))[0]
+    chunks = glob.glob(f"{stage_dir}/chunk_*.parquet")
+    last_t = max(os.stat(p).st_mtime for p in chunks)
+    dest = f"{stage_dir}/chunk_sentinel_0.parquet"
+    os.replace(part, dest)
+    os.utime(dest, (last_t + 1, last_t + 1))
+    shutil.rmtree(tmp)
+    return stage_dir

@@ -60,3 +60,26 @@ def test_ingest_frontend_anti_join_before_fetch(spark):
     # Python UDF (fetch) appears upstream of the anti join in this plan.
     p = plan_of(spark, "ingest_frontend")
     assert "LeftAnti" in p
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # The whole point of bucketing: the equi-join co-locates via the bucket
+    # layout, not a shuffle. Disable broadcast so the plan can't cheat.
+    from petfinder_database_distributor_spark.plans.physical import (
+        bucketed_orders_customer,
+    )
+    from petfinder_database_distributor_spark.streaming.incremental import scoped_conf
+
+    with scoped_conf(spark, spark__sql__autoBroadcastJoinThreshold="-1"):
+        joined = bucketed_orders_customer(spark, SF_SMALL)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+    assert "SortMergeJoin" in p, "bucketed equi-join should sort-merge"
+    assert "Exchange" not in p, "bucketed join must not shuffle either side"
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    p = plan_of(spark, "q4_sql_exists")
+    assert "LeftSemi" in p, "correlated EXISTS must decorrelate to a semi join"

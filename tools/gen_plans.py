@@ -46,6 +46,30 @@ def main() -> None:
             specs[name].fn(spark, sf).explain("formatted")
         tree = buf.getvalue().split("\n\n")[0]
         out += [f"## {name}", "", f"*Claim:* {why}", "", "```", tree.strip(), "```", ""]
+
+    # The bucketed join's no-Exchange property only shows once broadcast is
+    # off (otherwise the small side broadcasts and hides the layout win).
+    from petfinder_database_distributor_spark.plans.physical import (
+        bucketed_orders_customer,
+    )
+    from petfinder_database_distributor_spark.streaming.incremental import scoped_conf
+
+    with scoped_conf(spark, spark__sql__autoBroadcastJoinThreshold="-1"):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            bucketed_orders_customer(spark, sf).explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+    out += [
+        "## j5_bucketed_join (join stage, broadcast disabled)",
+        "",
+        "*Claim:* bucketBy(8, custkey) on both sides → sort-merge join with "
+        "ZERO Exchange — the shuffle was paid once at write time",
+        "",
+        "```",
+        tree.strip(),
+        "```",
+        "",
+    ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
