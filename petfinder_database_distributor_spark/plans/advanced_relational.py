@@ -428,3 +428,28 @@ def q13_sql_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     return spark.sql(_Q13_SQL.format(cust="v_customer", ords="v_orders"))
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_total
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured access through Spark 4's VariantType: parse_json once "
+    "into a binary variant, then typed variant_get paths — the open-schema "
+    "counterpart of the reference's fixed XPath projection (P1). Unlike "
+    "get_json_object (string re-parse per access), a variant column is "
+    "parsed once and shredded at read time",
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("k").cast("int").alias("k_max"),
+        F.sum("k").cast("long").alias("k_total"),
+    )

@@ -825,3 +825,98 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_docs_udtf d, LATERAL chunk_doc(d.text) c
         """
     )
+
+
+_BM25_TERMS = ("spark", "merge", "vector")
+
+_BM25_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, len(t) AS dl,
+             len(list_filter(t, x -> x = 'spark'))  AS tf1,
+             len(list_filter(t, x -> x = 'merge'))  AS tf2,
+             len(list_filter(t, x -> x = 'vector')) AS tf3
+      FROM toks
+    ),
+    s AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tt,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+      FROM d
+    )
+    SELECT doc_id,
+        CAST((2*n - 2*df1 + 1) * 22 * tf1 * tt AS DOUBLE)
+          / CAST((2*df1 + 1) * (10*tf1*tt + 3*tt + 9*dl*n) AS DOUBLE)
+      + CAST((2*n - 2*df2 + 1) * 22 * tf2 * tt AS DOUBLE)
+          / CAST((2*df2 + 1) * (10*tf2*tt + 3*tt + 9*dl*n) AS DOUBLE)
+      + CAST((2*n - 2*df3 + 1) * 22 * tf3 * tt AS DOUBLE)
+          / CAST((2*df3 + 1) * (10*tf3*tt + 3*tt + 9*dl*n) AS DOUBLE) AS bm25
+    FROM d, s
+    WHERE tf1 + tf2 + tf3 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+"""
+
+
+@register(
+    "search_bm25_topk",
+    oracle=_BM25_SQL,
+    doc="Keyword search: BM25-style top-k over the corpus for a 3-term query "
+    "(k1=1.2, b=0.75, rational IDF (N-df+.5)/(df+.5) instead of its log — a "
+    "monotone per-term substitute that keeps every sub-expression an exact "
+    "integer, so the score is one correctly-rounded IEEE division per term "
+    "and bit-identical cross-engine). Corpus stats (N, total tokens, per-term "
+    "df) reduce to ONE broadcast row; the per-doc side is a narrow scan — at "
+    "100 TB this is scan + broadcast + TakeOrderedAndProject, no wide shuffle",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+
+    def eq_term(w: str):
+        # single-parameter lambda via factory: a `lambda x, w=w` default arg
+        # would silently select F.filter's (element, index) binary form and
+        # bind w to the array INDEX
+        return lambda x: x == F.lit(w)
+
+    d = docs.select(
+        "doc_id",
+        F.size(t).alias("dl"),
+        *[
+            F.size(F.filter(t, eq_term(w))).alias(f"tf{i+1}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("long").alias("tt"),
+        *[
+            F.sum(F.when(F.col(f"tf{i+1}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i+1}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    joined = d.join(F.broadcast(stats))
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        n, tt, dl = F.col("n"), F.col("tt"), F.col("dl")
+        num = ((2 * n - 2 * df + 1) * 22 * tf * tt).cast("double")
+        den = ((2 * df + 1) * (10 * tf * tt + 3 * tt + 9 * dl * n)).cast("double")
+        return num / den
+
+    score = term_score(1) + term_score(2) + term_score(3)
+    return (
+        joined.filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select("doc_id", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
