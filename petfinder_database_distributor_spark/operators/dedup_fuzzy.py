@@ -252,3 +252,53 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: connected components by
+    iterative min-label propagation. Returns (id, component) where
+    ``component`` is the smallest member id — the canonical representative.
+
+    Labels only ever decrease and are bounded below, so the label-sum is a
+    monotone convergence witness: the loop moves one aggregated scalar per
+    iteration to the driver, never rows. Iterations = cluster diameter —
+    near-dup clusters are tight (pairs/stars), so 2-4 rounds in practice;
+    each round is one shuffle join + min-agg, persisted so lineage stays
+    flat. At petabyte scale swap the loop body for the alternating
+    small-star/large-star contraction (same fixpoint, O(log n) rounds)."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("component").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels

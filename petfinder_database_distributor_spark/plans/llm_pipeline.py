@@ -920,3 +920,44 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_SQL}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(v, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+    )
+    SELECT v AS doc_id, min(r) AS component,
+           count(*) OVER (PARTITION BY min(r)) AS cluster_size,
+           (v = min(r)) AS is_canonical
+    FROM reach GROUP BY v
+    """,
+    doc="Dedup-cluster resolution: MinHash-LSH pairs → connected components "
+    "(iterative min-label propagation, driver sees one scalar per round) → "
+    "canonical representative = min doc_id per cluster. The step between "
+    "pair-finding and actually dropping near-dups in a training-data "
+    "pipeline; oracle restates the fixpoint as a recursive CTE",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("cluster_size"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

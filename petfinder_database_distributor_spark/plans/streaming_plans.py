@@ -199,3 +199,58 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_cents",
     )
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream inner join with an event-time interval condition "
+    "(purchase within 30 min of a click, same user): both sides are "
+    "watermarked 1 h so the join state is BOUNDED — a click is evicted once "
+    "the purchase watermark passes its 30-min window, which is what makes "
+    "this shape runnable forever at scale. Time-contiguous micro-batches "
+    "keep arrivals inside the 1 h delay, so the bounded run emits every "
+    "pair and the batch self-join oracle is exact",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4, contiguous=True)
+    clicks = (
+        read_event_stream(spark, stage)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_event_stream(spark, stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    emitted = _run_to_memory(joined, "append")
+    return emitted.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
+    )
