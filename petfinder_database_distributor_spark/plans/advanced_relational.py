@@ -453,3 +453,47 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("int").alias("k_max"),
         F.sum("k").cast("long").alias("k_total"),
     )
+
+
+@register(
+    "transitions_grouped_pandas",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id, prev AS from_type, event_type AS to_type, count(*) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY user_id, prev, event_type
+    """,
+    doc="Per-user event-type transition counts through the grouped-map "
+    "applyInPandas surface (Arrow batch per group, deterministic in-group "
+    "sort by ts+event_id) — the custom-per-group-operator escape hatch for "
+    "semantics expressions can't state; the lag/window form (see oracle) is "
+    "what the hot path would use when they can",
+)
+def transitions_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    def transition_counts(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        prev = pdf["event_type"].shift()
+        mask = prev.notna()
+        out = (
+            pd.DataFrame(
+                {"from_type": prev[mask], "to_type": pdf["event_type"][mask]}
+            )
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out.insert(0, "user_id", pdf["user_id"].iloc[0])
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(
+        transition_counts, "user_id long, from_type string, to_type string, n long"
+    )

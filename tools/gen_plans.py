@@ -16,6 +16,8 @@ SHOW = {
     "dedup_minhash_lsh": "LSH band-bucket equi-joins only — no all-pairs operator",
     "ingest_frontend": "anti-join below the (would-be) fetch UDF — O1 plan shape",
     "j3_range_join": "bucketized range join: equi-join + residual filter",
+    "search_bm25_topk": "corpus stats collapse to one broadcast row; "
+    "top-k is TakeOrderedAndProject, no global sort",
 }
 
 
