@@ -88,23 +88,46 @@ def quality_score(c: Column) -> Column:
     return (length_score + punct_score + sw_score + wl_score) / 4
 
 
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Stopword-profile language ID over a (pre-materialized) token array:
+    picks the language whose profile words occur most often as tokens; ties
+    broken by language code order; 'und' when nothing matches.
+
+    Argmax is ONE ``array_max`` over (score, rank) structs — a when-chain
+    formulation duplicates every interpreted-HOF score expression 2^k times
+    (no CSE outside codegen), which made this operator dominate the bench.
+    Rank is descending in code order so struct-max tie-break picks the
+    earliest language code, matching the oracle's CASE order."""
+    profiles = sorted(LANG_PROFILES.items())
+    n = len(profiles)
+
+    def counter(words: tuple[str, ...]) -> Column:
+        # single-parameter lambda: a 2-arg form would bind (element, index)
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    winner = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    counter(words).alias("s"), F.lit(n - i).alias("r")
+                )
+                for i, (_, words) in enumerate(profiles)
+            ]
+        )
+    )
+    pick = F.lit("und")
+    for i, (lang, _) in enumerate(profiles):
+        pick = F.when(winner["r"] == n - i, F.lit(lang)).otherwise(pick)
+    return F.when(winner["s"] == 0, F.lit("und")).otherwise(pick)
+
+
 def lang_id(c: Column) -> Column:
-    """Stopword-profile language ID: picks the language whose profile words
-    occur most often as tokens; ties broken by language code order; 'und'
-    when nothing matches."""
-    toks = tokens(c)
-    scores = [
-        (lang, F.size(F.filter(toks, lambda t: t.isin(*words))))
-        for lang, words in sorted(LANG_PROFILES.items())
-    ]
-    best = F.lit("und")
-    best_score = F.lit(0)
-    # iterate in reverse-sorted order so earlier codes win ties via strict '>'
-    for lang, score in reversed(scores):
-        take = score > best_score
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_score = F.when(take, score).otherwise(best_score)
-    return best
+    """Single-column convenience form of :func:`lang_id_from_tokens`.
+
+    Prefer the two-stage form in plans (materialize ``tokens(c)`` in its own
+    projection, referenced >1 time so CollapseProject keeps it) — inline,
+    the tokenization is re-evaluated once per language profile."""
+    return lang_id_from_tokens(tokens(c))
 
 
 def bag_of_words_fingerprint(c: Column) -> Column:

@@ -32,7 +32,7 @@ from petfinder_database_distributor_spark.operators.similarity import (
 from petfinder_database_distributor_spark.operators.text import (
     bag_of_words_fingerprint,
     bpe_ish_token_count,
-    lang_id,
+    lang_id_from_tokens,
     md5int,
     mean_word_length,
     punct_ratio,
@@ -153,11 +153,19 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Language-ID heuristic: stopword-profile argmax with deterministic tie-break",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+
     docs = load_table(spark, sf_dir, "documents")
+    # two-stage: materialize the token array once (referenced 5× downstream,
+    # so CollapseProject keeps it), then one array_max argmax over profiles
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        lang_id(F.col("text")).alias("predicted_lang"),
+        tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "labeled_lang",
+        lang_id_from_tokens(F.col("toks")).alias("predicted_lang"),
     )
 
 
