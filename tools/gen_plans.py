@@ -18,6 +18,8 @@ SHOW = {
     "j3_range_join": "bucketized range join: equi-join + residual filter",
     "search_bm25_topk": "corpus stats collapse to one broadcast row; "
     "top-k is TakeOrderedAndProject, no global sort",
+    "text_lang_id": "narrow single-pass projection — no shuffle, no UDF; "
+    "argmax is one array_max, not a 2^k-duplicating when-chain",
 }
 
 
