@@ -62,30 +62,49 @@ def punct_ratio(c: Column) -> Column:
     )
 
 
-def stopword_ratio(c: Column, stopwords: tuple[str, ...] = ("the", "a", "of", "and", "is")) -> Column:
-    toks = tokens(c)
+DEFAULT_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is")
+
+
+def stopword_ratio_from_tokens(
+    toks: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> Column:
     sw = F.filter(toks, lambda t: t.isin(*stopwords))
     return F.when(F.size(toks) > 0, F.size(sw) / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def mean_word_length(c: Column) -> Column:
-    toks = tokens(c)
+def stopword_ratio(c: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    return stopword_ratio_from_tokens(tokens(c), stopwords)
+
+
+def mean_word_length_from_tokens(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_score(c: Column) -> Column:
+def mean_word_length(c: Column) -> Column:
+    return mean_word_length_from_tokens(tokens(c))
+
+
+def quality_score_from_tokens(
+    c: Column, toks: Column, punct: Column | None = None
+) -> Column:
     """Composite document-quality heuristic in [0,1]: rewards mid-length
     docs, low punctuation density, presence of stopwords (fluent text), and
     plausible word lengths — the standard cheap pre-filter before expensive
-    LLM-pipeline stages."""
-    n = token_count(c)
+    LLM-pipeline stages. Takes the token array (and optionally a
+    precomputed punct ratio) separately so plans can materialize the
+    expensive subexpressions once (interpreted HOFs get no CSE)."""
+    n = F.size(toks)
     length_score = F.least(n / F.lit(50.0), F.lit(1.0))
-    punct_score = 1 - F.least(punct_ratio(c) * 5, F.lit(1.0))
-    sw_score = F.least(stopword_ratio(c) * 4, F.lit(1.0))
-    mwl = mean_word_length(c)
+    punct_score = 1 - F.least((punct_ratio(c) if punct is None else punct) * 5, F.lit(1.0))
+    sw_score = F.least(stopword_ratio_from_tokens(toks) * 4, F.lit(1.0))
+    mwl = mean_word_length_from_tokens(toks)
     wl_score = F.when((mwl >= 3) & (mwl <= 8), F.lit(1.0)).otherwise(F.lit(0.5))
     return (length_score + punct_score + sw_score + wl_score) / 4
+
+
+def quality_score(c: Column) -> Column:
+    return quality_score_from_tokens(c, tokens(c))
 
 
 def lang_id_from_tokens(toks: Column) -> Column:

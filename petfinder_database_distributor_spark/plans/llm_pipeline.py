@@ -118,13 +118,25 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Document quality scoring: length / punctuation density / stopword fluency / word-length plausibility",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import (
+        quality_score_from_tokens,
+        stopword_ratio_from_tokens,
+        tokens,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
+    # tokenize + punct-scan once (each referenced >1 time downstream →
+    # CollapseProject keeps them materialized)
     return docs.select(
+        "doc_id", t, tokens(t).alias("toks"), punct_ratio(t).alias("pr")
+    ).select(
         "doc_id",
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(quality_score(t), 6).alias("quality"),
+        F.round(F.col("pr"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_from_tokens(F.col("toks")), 6).alias("stopword_ratio"),
+        F.round(
+            quality_score_from_tokens(t, F.col("toks"), punct=F.col("pr")), 6
+        ).alias("quality"),
     )
 
 
