@@ -57,13 +57,14 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     torchaudio.load (not installed in this container). Derives plausible
     media dimensions and a 16-bin byte histogram from the payload alone so
     results are reproducible and testable."""
+    import numpy as np
+
     n = len(payload)
     width = 64 + n % 577
     height = 64 + n % 433
     n_frames = 1 + n % 30
-    hist = [0] * 16
-    for b in payload:
-        hist[b >> 4] += 1
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16).tolist()
     return width, height, n_frames, hist
 
 
@@ -79,23 +80,34 @@ def decode_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     --py-files."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
-        def fake_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
-            # mirrors _fake_decode; inlined so the closure pickles by value
-            n = len(payload)
-            hist = [0] * 16
-            for b in payload:
-                hist[b >> 4] += 1
-            return 64 + n % 577, 64 + n % 433, 1 + n % 30, hist
-
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, nf, hist = fake_decode(bytes(payload))
-                rows.append((int(doc_id), w, h, nf, hist))
+            # Concatenate every payload in the Arrow batch into ONE byte
+            # buffer, histogram it in a single C-speed bincount pass, and
+            # split per-row counts back out via cumulative offsets — no
+            # interpreted per-byte (or even per-row) Python loop.
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            lengths = _np.array([len(p) for p in payloads], dtype=_np.int64)
+            if len(payloads) and lengths.sum():
+                flat = _np.frombuffer(b"".join(payloads), dtype=_np.uint8) >> 4
+                # row index of every byte, then 2-D histogram via bincount
+                # over (row * 16 + nibble)
+                row_idx = _np.repeat(_np.arange(len(payloads)), lengths)
+                hist2d = _np.bincount(
+                    row_idx * 16 + flat, minlength=len(payloads) * 16
+                ).reshape(len(payloads), 16)
+            else:
+                hist2d = _np.zeros((len(payloads), 16), dtype=_np.int64)
             yield _pd.DataFrame(
-                rows, columns=["doc_id", "width", "height", "n_frames", "byte_histogram"]
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "width": (64 + lengths % 577).astype("int32"),
+                    "height": (64 + lengths % 433).astype("int32"),
+                    "n_frames": (1 + lengths % 30).astype("int32"),
+                    "byte_histogram": list(hist2d.tolist()),
+                }
             )
 
     return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(

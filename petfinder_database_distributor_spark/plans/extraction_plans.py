@@ -20,6 +20,7 @@ from petfinder_database_distributor_spark.functions.scalars import (
 )
 from petfinder_database_distributor_spark.operators.extraction import (
     explode_links,
+    explode_links_fast,
     xpath_columns,
 )
 from petfinder_database_distributor_spark.registry import register
@@ -97,9 +98,30 @@ def p1_xpath_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c, generate_series(1, 12) s(i)
     WHERE (c.c_custkey + s.i) % 3 <> 0
     """,
-    doc="P3+G2+X6 link fan-out: page → ≤12 href slots → explode → skip empties → absolutize (link_scraper.py:66-152)",
+    doc="P3+G2+X6 link fan-out: page → ≤12 href slots → explode → skip empties → absolutize (link_scraper.py:66-152); JVM-regex fast path (slot semantics identical to the xpath variant below)",
 )
 def p3_link_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages(spark, sf_dir)
+    links = explode_links_fast(pages, "xml", keep=("page_id",))
+    return links.select(
+        "page_id", F.col("slot").cast("long").alias("slot"), normalize_url(F.col("href")).alias("url")
+    )
+
+
+@register(
+    "p3_link_fanout_xpath",
+    oracle="""
+    SELECT c.c_custkey AS page_id, s.i AS slot,
+           'https://www.petfinder.com/pet/' || (c.c_custkey * 12 + s.i) || '/details/' AS url
+    FROM customer c, generate_series(1, 12) s(i)
+    WHERE (c.c_custkey + s.i) % 3 <> 0
+    """,
+    doc="P3 xpath-semantics variant: same contract as p3_link_fanout through a real "
+    "per-row XPath DOM walk (/page/a/@href) — kept registered so the xpath slot "
+    "behavior (link_scraper.py:100-113) stays value-checked; the regex fast path "
+    "is the hot-path default",
+)
+def p3_link_fanout_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _pages(spark, sf_dir)
     links = explode_links(pages, "xml", "/page/a/@href", keep=("page_id",))
     return links.select(
@@ -134,7 +156,7 @@ def ingest_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pages = _pages(spark, sf_dir)
-    links = explode_links(pages, "xml", "/page/a/@href", keep=("page_id",))
+    links = explode_links_fast(pages, "xml", keep=("page_id",))
     links = links.select(
         "page_id",
         normalize_url(F.col("href")).alias("url"),

@@ -446,13 +446,34 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decode_features",
-    oracle=None,  # mapInPandas UDF plumbing — rows-only check by design
+    # The fake decode's dims derive from octet_length, so DuckDB can verify
+    # them exactly; the 16-bin histogram itself is an ArrayType the driver's
+    # canonicalizer can't sort, so the registered projection reduces it to
+    # hist_sum (== payload bytes — proves the histogram covered every byte).
+    # Exact per-bin values are asserted in tests/test_multimodal.py.
+    oracle="""
+    SELECT doc_id,
+           (64 + octet_length(encode(text)) % 577)::INT AS width,
+           (64 + octet_length(encode(text)) % 433)::INT AS height,
+           (1 + octet_length(encode(text)) % 30)::INT AS n_frames,
+           octet_length(encode(text))::BIGINT AS hist_sum
+    FROM documents
+    """,
     doc="Arrow-batched mapInPandas decode/feature-extract over binary payloads (deterministic fake decode; see operators/multimodal.py)",
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, "doc_id", "text")
-    return decode_features(payloads, "doc_id", "payload")
+    feats = decode_features(payloads, "doc_id", "payload")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        F.aggregate(
+            "byte_histogram", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("hist_sum"),
+    )
 
 
 _IVF_COS = (

@@ -24,7 +24,9 @@ from petfinder_database_distributor_spark.functions.scalars import (
     extract_name_from_about,
     parse_boolean,
 )
-from petfinder_database_distributor_spark.operators.extraction import xpath_columns
+from petfinder_database_distributor_spark.operators.extraction import (
+    regex_field_columns,
+)
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
 from petfinder_database_distributor_spark.sources.export import (
@@ -49,7 +51,9 @@ from petfinder_database_distributor_spark.util import ensure_parallelism
     FROM part
     """,
     doc="S1+P1+X1/X3 acquisition pipeline: url list → pandas-UDF fetch (fixture) → "
-    "xpath projection → clean stack (pet_scraper.py:60-93, :97-161, :241-249)",
+    "field projection (JVM-regex fast path; xpath semantics stay value-checked in "
+    "p1_xpath_project/p3_link_fanout_xpath) → clean stack "
+    "(pet_scraper.py:60-93, :97-161, :241-249)",
 )
 def s1_fetch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = ensure_parallelism(load_table(spark, sf_dir, "part"))
@@ -64,14 +68,10 @@ def s1_fetch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = urls.withColumn("html", fetch_documents(F.col("url"))).filter(
         F.col("html").isNotNull()  # T7: failed fetches drop out here
     )
-    projected = xpath_columns(
+    projected = regex_field_columns(
         pages,
         "html",
-        {
-            "raw_name": "/page/pet/name/text()",
-            "age": "/page/pet/age/text()",
-            "gender": "/page/pet/gender/text()",
-        },
+        {"raw_name": "name", "age": "age", "gender": "gender"},
         keep=("pet_key",),
     )
     return projected.select(
@@ -178,7 +178,9 @@ def s8_json_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g1_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.functions.scalars import normalize_url
-    from petfinder_database_distributor_spark.operators.extraction import explode_links
+    from petfinder_database_distributor_spark.operators.extraction import (
+        explode_links_fast,
+    )
     from petfinder_database_distributor_spark.sources.pages_datasource import (
         register_pet_pages,
     )
@@ -190,7 +192,7 @@ def g1_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_partitions", 8)
         .load()
     )
-    links = explode_links(pages, "html", "/page/a/@href", keep=("page", "pet_type"))
+    links = explode_links_fast(pages, "html", keep=("page", "pet_type"))
     return links.select(
         "page",
         "pet_type",
