@@ -28,6 +28,7 @@ from petfinder_database_distributor_spark.operators.similarity import (
     cosine,
     as_double,
     lsh_topk,
+    srp_plane_matrix,
 )
 from petfinder_database_distributor_spark.operators.text import (
     bag_of_words_fingerprint,
@@ -324,8 +325,74 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=2)
 
 
+_COS_SQL = (
+    "list_inner_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_inner_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_inner_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+# The banded-SRP planes are driver-side Python constants (splitmix64 —
+# see operators/similarity.py::srp_plane_matrix), inlined as literals into
+# the oracle so both engines use the exact same integer coefficients.
+_SRP_PLANES_VALUES = ",\n      ".join(
+    f"({i}, {row}::DOUBLE[])" for i, row in enumerate(srp_plane_matrix(64, 64))
+)
+
+
 @register(
     "dedup_embedding_cosine",
+    # The oracle mirrors the banded-SRP blocking (as the simhash/minhash
+    # oracles mirror theirs): integer plane coefficients × round(1000*x)
+    # quantized vectors (exact — sums < 2^53, so double accumulation can't
+    # flip a sign) → 8 bands × 8 sign bits → candidate on any band match →
+    # exact cosine verify on the original vectors.
+    oracle=f"""
+    WITH planes AS (
+      SELECT * FROM (VALUES
+      {_SRP_PLANES_VALUES}) pl(i, p)
+    ),
+    qvecs AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> round(1000 * x)) AS qe
+      FROM embeddings
+    ),
+    banded AS (
+      SELECT q.vec_id, pl.i // 8 AS band,
+             sum(CASE WHEN list_inner_product(q.qe, pl.p) >= 0
+                      THEN (1::BIGINT << (pl.i % 8)) ELSE 0 END)::BIGINT AS key
+      FROM qvecs q, planes pl GROUP BY q.vec_id, pl.i // 8
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+                                  AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             {_COS_SQL.format(a="ea.embedding", b="eb.embedding")} AS cos
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cos_r FROM pairs WHERE cos >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs via banded SRP-LSH (8 bands x 8 bits, "
+    "exact cosine verify) — candidates flow through a band+key equi-join, never "
+    "an all-pairs product; see operators/similarity.py::embedding_neardup_pairs",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, bands=8, band_bits=8, dim=64
+    )
+
+
+@register(
+    "dedup_embedding_cosine_exact",
     oracle="""
     WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -337,10 +404,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
     """,
-    doc="Embedding-cosine near-dup pairs (exact baseline on a subset; LSH path = ann_lsh_topk)",
+    doc="Exact all-pairs cosine baseline, EXPLICITLY SIZE-GUARDED (refuses "
+    "above 100k vectors): the ground-truth recall reference for the banded-"
+    "LSH path, not a scale path — dedup_embedding_cosine is",
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    n = emb.count()  # size guard: all-pairs is O(n^2) — baseline only
+    if n > 100_000:
+        raise ValueError(
+            f"dedup_embedding_cosine_exact is an all-pairs baseline; {n} vectors "
+            "exceed the 100k guard — use dedup_embedding_cosine (banded SRP-LSH)"
+        )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

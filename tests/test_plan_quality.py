@@ -47,7 +47,13 @@ def test_bruteforce_ann_broadcasts_queries(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_pairs"]
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash_pairs",
+        "dedup_embedding_cosine",
+    ],
 )
 def test_dedup_family_never_all_pairs(spark, name):
     p = plan_of(spark, name)
