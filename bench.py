@@ -54,7 +54,9 @@ def main() -> None:
         t0 = time.perf_counter()
         df = specs[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # 2 decimals keeps the single JSON line compact — the driver's
+        # capture truncated the r1 tail at 4-decimal precision.
+        timings[name] = round(time.perf_counter() - t0, 2)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -121,13 +121,20 @@ def merge_into_partitioned(
     The partition column must be a stable function of the key (e.g. a hash
     bucket or an event date) so a key's rows can never straddle partitions.
     """
+    import os
+
     affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    try:
+    # Explicit existence probe, NOT try/except around the read: a transient
+    # read failure (corrupt footer, permissions, flaky FS) must propagate —
+    # treating it as "first write" would dynamic-overwrite the affected
+    # partitions with the bare update batch and silently drop previously
+    # merged rows. (On object storage this becomes an FS listing call.)
+    if os.path.isdir(table_dir):
         existing = spark.read.parquet(table_dir).filter(
             F.col(partition_col).isin(affected)
         )
         merged = existing.unionByName(updates)
-    except Exception:  # first write: table does not exist yet
+    else:  # first write: table does not exist yet
         merged = updates
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
     winner = (

@@ -212,32 +212,53 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select(F.col(id_col), out.alias("simhash"))
 
 
+def simhash_blocks(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Split an ``n_bits`` code into ``n_blocks`` contiguous (shift, width)
+    blocks, widest first — shared by the Spark plan and the oracle SQL
+    generator so both engines block identically."""
+    widths = [
+        n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
+    shifts = [sum(widths[:i]) for i in range(n_blocks)]
+    return list(zip(shifts, widths))
+
+
 def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
 ) -> DataFrame:
-    """SimHash near-dup candidates: equi-join on the 16-bit signature's two
-    8-bit halves (a pair within hamming distance ≤ 2 of a 16-bit code agrees
-    exactly on at least one half when the flipped bits land in one half —
-    the classic multi-index pigeonhole trick), then verify exact hamming
-    distance via bit_count(xor)."""
+    """SimHash near-dup candidates via the multi-index pigeonhole: the
+    16-bit signature splits into ``max_hamming + 1`` blocks, so any pair
+    within hamming distance ``max_hamming`` agrees EXACTLY on at least one
+    block (d flips can touch at most d of the d+1 blocks) — candidates are
+    block+key equi-join matches, then exact hamming verifies via
+    bit_count(xor). (Two halves would only guarantee d ≤ 1: a pair with one
+    flip in EACH half matches neither half.)"""
     sims = simhash_signatures(df, id_col, text_col)
-    halves = sims.select(
+    blocks = sims.select(
         F.col(id_col),
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("half"), (F.col("simhash") % 256).alias("key")),
-                F.struct(
-                    F.lit(1).alias("half"),
-                    F.floor(F.col("simhash") / 256).cast("long").alias("key"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(b).alias("half"),
+                        (
+                            F.floor(F.col("simhash") / (1 << shift)).cast("long")
+                            % (1 << width)
+                        ).alias("key"),
+                    )
+                    for b, (shift, width) in enumerate(
+                        simhash_blocks(16, max_hamming + 1)
+                    )
+                ]
             )
         ).alias("hk"),
     ).select(F.col(id_col), "simhash", F.col("hk.half").alias("half"), F.col("hk.key").alias("key"))
-    left = halves.select(
+    left = blocks.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "half", "key"
     )
-    right = halves.select(
+    right = blocks.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "half", "key"
     )
     cand = (

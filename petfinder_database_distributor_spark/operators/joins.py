@@ -36,7 +36,14 @@ def asof_join(
     match (<= semantics, like DuckDB/pandas ASOF).
 
     One shuffle total (the window partitioning); left rows with no prior
-    right row keep nulls (left-outer semantics)."""
+    right row keep nulls (left-outer semantics).
+
+    Tie determinism: several right rows can share (key, ts); the window
+    order appends the right value columns (nulls first, so left-side
+    sentinel rows sort below real right rows only via __side), making the
+    match the MAX of the value-column tuple among equal-ts right rows —
+    stable across partitionings and engines, instead of whichever row the
+    shuffle happened to deliver last."""
     if direction != "backward":
         raise ValueError("only backward as-of is implemented")
     # left_ts travels as __ts and is renamed back at the end — excluding it
@@ -58,7 +65,11 @@ def asof_join(
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
+        .orderBy(
+            "__ts",
+            "__side",
+            *[F.col(f"__r_{c}").asc_nulls_first() for c in right_value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l_tagged.unionByName(r_tagged).select(

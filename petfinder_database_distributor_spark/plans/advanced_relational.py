@@ -19,15 +19,27 @@ from petfinder_database_distributor_spark.schema import load_table
 
 @register(
     "j2_asof_join",
+    # Not DuckDB's ASOF JOIN: on duplicate (user_id, ts) click rows ASOF
+    # picks an ARBITRARY one, so the oracle restates as-of with an explicit
+    # deterministic tie-break (max event_id at equal ts) — the same rule the
+    # Spark window order pins (operators/joins.py::asof_join).
     oracle="""
     WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
-    SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id, p.value,
-           c.event_id AS matched_click_id, epoch_us(c.ts) AS matched_click_ts_us
-    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+         c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.user_id, p.ts, p.event_id, p.value,
+             c.event_id AS matched_click_id, c.ts AS matched_click_ts,
+             row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+           matched_click_id, epoch_us(matched_click_ts) AS matched_click_ts_us
+    FROM cand WHERE rn = 1
     """,
     doc="As-of (backward) join: each purchase matched to the user's most recent "
-    "prior click — union+window technique, one shuffle, no range explosion",
+    "prior click (deterministic max-event_id tie-break at equal ts) — "
+    "union+window technique, one shuffle, no range explosion",
 )
 def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

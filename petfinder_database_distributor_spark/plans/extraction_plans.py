@@ -50,12 +50,23 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit('<a href=""/>')),
         ),
     )
+    img = F.when(
+        F.col("c_custkey") % 7 == 0, F.lit('<img src=""/>')
+    ).otherwise(
+        F.concat(
+            F.lit('<img src="https://images.example/'),
+            F.col("c_custkey").cast("string"),
+            F.lit('.jpg"/>'),
+        )
+    )
     xml = F.concat(
         F.lit("<page><pet><name>About "),
         F.col("c_name"),
         F.lit("*</name><segment>"),
         F.col("c_mktsegment"),
-        F.lit("</segment></pet>"),
+        F.lit("</segment>"),
+        img,
+        F.lit("</pet>"),
         links,
         F.lit("</page>"),
     )
@@ -126,6 +137,25 @@ def p3_link_fanout_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     links = explode_links(pages, "xml", "/page/a/@href", keep=("page_id",))
     return links.select(
         "page_id", F.col("slot").cast("long").alias("slot"), normalize_url(F.col("href")).alias("url")
+    )
+
+
+@register(
+    "p2_src_attr_project",
+    oracle="""
+    SELECT c_custkey AS page_id,
+           CASE WHEN c_custkey % 7 = 0 THEN ''
+                ELSE 'https://images.example/' || c_custkey || '.jpg' END AS image
+    FROM customer
+    """,
+    doc="P2 XPath ATTRIBUTE projection: /page/pet/img/@src through the generic "
+    "xpath_columns path — the image-url slot of the reference's 14 XPaths "
+    "(pet_scraper.py:164-188); '' on empty/missing attribute (get_text contract)",
+)
+def p2_src_attr_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages(spark, sf_dir)
+    return xpath_columns(
+        pages, "xml", {"image": "/page/pet/img/@src"}, keep=("page_id",)
     )
 
 

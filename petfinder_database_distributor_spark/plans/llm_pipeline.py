@@ -16,8 +16,17 @@ from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_blocks,
     simhash_signatures,
     simhash_neardup_pairs,
+)
+
+# Blocking for the simhash oracle — generated from the SAME (shift, width)
+# split the Spark operator uses (max_hamming=2 → 3 blocks).
+_SIMHASH_BLOCKS_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS half, "
+    f"(simhash // {1 << shift}) % {1 << width} AS key FROM sims"
+    for b, (shift, width) in enumerate(simhash_blocks(16, 3))
 )
 from petfinder_database_distributor_spark.operators.multimodal import (
     attach_binary_payload,
@@ -69,11 +78,16 @@ _SHINGLES_SQL = f"""
 
 @register(
     "text_token_stats",
+    # Degenerate docs are pinned identically on both sides (null/empty text
+    # → 0 tokens; mean of zero tokens → NULL), so parity can't silently
+    # depend on the testdata containing no such rows.
     oracle=f"""
     SELECT doc_id,
-           len(t)::BIGINT AS n_tokens,
-           list_sum(list_transform(t, w -> ceil(length(w) / 4.0)::BIGINT))::BIGINT AS n_tokens_bpe,
-           round(list_sum(list_transform(t, w -> length(w)))::DOUBLE / len(t), 6) AS mean_word_len
+           coalesce(len(t), 0)::BIGINT AS n_tokens,
+           coalesce(list_sum(list_transform(t, w -> ceil(length(w) / 4.0)::BIGINT)), 0)::BIGINT AS n_tokens_bpe,
+           CASE WHEN coalesce(len(t), 0) = 0 THEN NULL
+                ELSE round(list_sum(list_transform(t, w -> length(w)))::DOUBLE / len(t), 6)
+           END AS mean_word_len
     FROM ({_TOKS_SQL})
     """,
     doc="Token counting: whitespace tokens + BPE-ish subword estimate + mean word length",
@@ -81,11 +95,12 @@ _SHINGLES_SQL = f"""
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
+    n = F.coalesce(token_count(t), F.lit(0)).cast("long")
     return docs.select(
         "doc_id",
-        token_count(t).cast("long").alias("n_tokens"),
-        bpe_ish_token_count(t).cast("long").alias("n_tokens_bpe"),
-        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        n.alias("n_tokens"),
+        F.coalesce(bpe_ish_token_count(t), F.lit(0)).cast("long").alias("n_tokens_bpe"),
+        F.when(n > 0, F.round(mean_word_length(t), 6)).alias("mean_word_len"),
     )
 
 
@@ -306,19 +321,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN (1::BIGINT << r.j) ELSE 0 END AS b
              FROM hx, range(0, 16) r(j) GROUP BY doc_id, r.j),
     sims AS (SELECT doc_id, sum(b)::BIGINT AS simhash FROM bits GROUP BY doc_id),
-    halves AS (
-      SELECT doc_id, simhash, 0 AS half, simhash % 256 AS key FROM sims
-      UNION ALL
-      SELECT doc_id, simhash, 1 AS half, simhash // 256 AS key FROM sims
-    ),
+    blocks AS ({_SIMHASH_BLOCKS_SQL}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
                              b.doc_id AS id_b, b.simhash AS sim_b
-             FROM halves a JOIN halves b
+             FROM blocks a JOIN blocks b
                ON a.half = b.half AND a.key = b.key AND a.doc_id < b.doc_id)
     SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 2
     """,
-    doc="SimHash near-dup pairs via half-signature pigeonhole blocking + hamming verify",
+    doc="SimHash near-dup pairs via 3-block pigeonhole blocking (d<=2 needs "
+    "max_hamming+1 blocks; 2 halves only cover d<=1) + exact hamming verify",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -698,12 +710,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_chunking",
     oracle=f"""
-    WITH toks AS ({_TOKS_SQL})
-    SELECT doc_id, c.i::INT AS chunk_idx,
-           array_to_string(t[c.i * 16 + 1 : c.i * 16 + 32], ' ') AS chunk,
-           least(32, len(t) - c.i * 16)::INT AS chunk_len
-    FROM toks, range(0, 100) c(i)
-    WHERE c.i = 0 OR c.i * 16 + 16 < len(t)
+    WITH toks AS ({_TOKS_SQL}),
+    idx AS (SELECT doc_id, t, unnest(range(0, len(t) // 16 + 1)) AS i
+            FROM toks WHERE len(t) > 0)
+    SELECT doc_id, i::INT AS chunk_idx,
+           array_to_string(t[i * 16 + 1 : i * 16 + 32], ' ') AS chunk,
+           least(32, len(t) - i * 16)::INT AS chunk_len
+    FROM idx WHERE i = 0 OR i * 16 + 16 < len(t)
     """,
     doc="Document chunking for LLM context windows: overlapping token windows "
     "(size 32, stride 16) via sequence+slice — the standard pre-embedding "
@@ -901,12 +914,13 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udtf_chunk_documents",
     oracle=f"""
-    WITH toks AS ({_TOKS_SQL})
-    SELECT doc_id, c.i::INT AS chunk_idx,
-           array_to_string(t[c.i * 16 + 1 : c.i * 16 + 32], ' ') AS chunk,
-           least(32, len(t) - c.i * 16)::INT AS chunk_len
-    FROM toks, range(0, 100) c(i)
-    WHERE c.i = 0 OR c.i * 16 + 16 < len(t)
+    WITH toks AS ({_TOKS_SQL}),
+    idx AS (SELECT doc_id, t, unnest(range(0, len(t) // 16 + 1)) AS i
+            FROM toks WHERE len(t) > 0)
+    SELECT doc_id, i::INT AS chunk_idx,
+           array_to_string(t[i * 16 + 1 : i * 16 + 32], ' ') AS chunk,
+           least(32, len(t) - i * 16)::INT AS chunk_len
+    FROM idx WHERE i = 0 OR i * 16 + 16 < len(t)
     """,
     doc="Same chunking semantics as text_chunking, but through Spark's "
     "Python UDTF surface (one doc row -> many chunk rows via LATERAL "

@@ -419,3 +419,24 @@ def q_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "ref_timestamp_fmt",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS fetched_at
+    FROM events
+    """,
+    doc="X8 timestamp formatting: the reference stamps every record with "
+    "'%Y-%m-%d %H:%M:%S' (pet_scraper.py:117); date_format over event-time "
+    "in an explicit UTC session so rendering is engine- and host-TZ-portable",
+)
+def q_timestamp_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.functions.scalars import timestamp_fmt
+
+    # date_format renders in the session timezone; pin UTC so the string is
+    # identical to DuckDB's TZ-naive strftime regardless of host TZ (the
+    # grading driver builds a vanilla session that inherits the host TZ).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", timestamp_fmt(F.col("ts")).alias("fetched_at"))

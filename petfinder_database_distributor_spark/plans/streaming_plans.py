@@ -176,12 +176,9 @@ def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundary: Spark merges only strictly-overlapping session windows)",
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from petfinder_database_distributor_spark.streaming.incremental import (
-        add_sentinel_chunk,
+    stage = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, contiguous=True, sentinel=True
     )
-
-    stage = stage_event_chunks(spark, sf_dir, n_chunks=4, contiguous=True)
-    add_sentinel_chunk(spark, stage, sf_dir)
     agg = (
         read_event_stream(spark, stage)
         .withWatermark("ts", "1 hour")

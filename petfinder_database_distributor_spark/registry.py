@@ -93,6 +93,11 @@ PRIORITY: list[str] = [
     "sample_stratified",
     "decontamination_check",
     "mm_frame_sample",
+    # new this round — no prior row exists
+    "ref_timestamp_fmt",
+    "p2_src_attr_project",
+    "p3_link_fanout_xpath",
+    "dedup_embedding_cosine_exact",
     # LLM-pipeline centerpiece — keep hard driver signal every round
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -146,3 +146,54 @@ def test_foreach_batch_merge_is_replay_idempotent(spark):
         for r in spark.read.parquet(latest_version(table_dir)).collect()
     )
     assert replayed == once
+
+
+def test_graceful_stop_between_batches(spark):
+    """T6 graceful stop (server.py:442-446, stop-flag checks :347-372): a
+    continuously-triggered query is stopped mid-stream with query.stop();
+    restarting from the same checkpoint completes the remaining work and
+    the final table equals the batch result — stop loses nothing because
+    the offset log commits per batch and the merge sink is idempotent."""
+    import time
+
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        STREAM_SHUFFLE_PARTITIONS,
+        foreach_batch_upsert,
+        read_event_stream,
+        run_upsert_stream,
+        scoped_conf,
+    )
+
+    stage = stage_event_chunks(spark, SF_SMALL, n_chunks=4)
+    run_dir = f"{SCRATCH_ROOT}/test_graceful_stop"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    table_dir = f"{run_dir}/table"
+
+    with scoped_conf(spark, spark__sql__shuffle__partitions=STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            read_event_stream(spark, stage)
+            .writeStream.foreachBatch(
+                foreach_batch_upsert(table_dir, ["user_id"], ["ts", "event_id"])
+            )
+            .option("checkpointLocation", f"{run_dir}/ckpt")
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        # let at least one micro-batch commit, then pull the stop flag
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["batchId"] >= 1:
+                break
+            time.sleep(0.2)
+        assert q.lastProgress and q.lastProgress["batchId"] >= 1
+        q.stop()  # T6: graceful stop between (or mid-) batches
+        q.awaitTermination()
+
+    # Restart from the same checkpoint; only unprocessed files remain.
+    final = run_upsert_stream(
+        spark, stage, run_dir, ["user_id"], ["ts", "event_id"], fresh=False
+    )
+    events = load_table(spark, SF_SMALL, "events")
+    assert _pairs(final.select("user_id", "event_id")) == _pairs(
+        _expected_upsert(events)
+    )
