@@ -325,7 +325,11 @@ def ivf_topk(
     )
     for _ in range(iters):
         assigned = _assign(qcorpus, centroids, cid)
-        centroids = _update(assigned, scale)
+        # Materialize each round's centroids (n_clusters rows) and cut the
+        # lineage: without this the FINAL plan embeds every Lloyd round as a
+        # nested subtree, re-scanning the corpus once per round and paying
+        # Catalyst analysis on an exponentially nested tree.
+        centroids = _update(assigned, scale).localCheckpoint(eager=True)
     ivf = _assign(qcorpus, centroids, cid)  # the inverted file
 
     qq = queries.select(F.col(qid), quantize(F.col(qvec), scale).alias("qe"))

@@ -485,6 +485,7 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "what the hot path would use when they can",
 )
 def transitions_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -492,19 +493,32 @@ def transitions_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def transition_counts(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        prev = pdf["event_type"].shift()
-        mask = prev.notna()
-        out = (
-            pd.DataFrame(
-                {"from_type": prev[mask], "to_type": pdf["event_type"][mask]}
+        # numpy kernel: the per-group body runs once per user, so a pandas
+        # sort_values + groupby here costs ~3.5 ms/group (~5 s at 1.5 k
+        # groups); lexsort + factorize + bincount is ~10× cheaper.
+        order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
+        et = pdf["event_type"].to_numpy()[order]
+        if len(et) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": np.empty(0, dtype="int64"),
+                    "from_type": np.empty(0, dtype=object),
+                    "to_type": np.empty(0, dtype=object),
+                    "n": np.empty(0, dtype="int64"),
+                }
             )
-            .groupby(["from_type", "to_type"], as_index=False)
-            .size()
-            .rename(columns={"size": "n"})
+        codes, uniques = pd.factorize(et)
+        k = len(uniques)
+        counts = np.bincount(codes[:-1] * k + codes[1:], minlength=k * k)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(nz), pdf["user_id"].iloc[0], dtype="int64"),
+                "from_type": np.asarray(uniques)[nz // k],
+                "to_type": np.asarray(uniques)[nz % k],
+                "n": counts[nz].astype("int64"),
+            }
         )
-        out.insert(0, "user_id", pdf["user_id"].iloc[0])
-        return out
 
     return ev.groupBy("user_id").applyInPandas(
         transition_counts, "user_id long, from_type string, to_type string, n long"
