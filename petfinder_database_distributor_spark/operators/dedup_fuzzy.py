@@ -289,37 +289,52 @@ def connected_components(
     each round is one shuffle join + min-agg, persisted so lineage stays
     flat. At petabyte scale swap the loop body for the alternating
     small-star/large-star contraction (same fixpoint, O(log n) rounds)."""
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        scoped_conf,
+    )
+
+    spark = pairs.sparkSession
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    ).persist()
+    )
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("component", F.col("id"))
-        .persist()
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id2"))
-            .agg(F.min("component").alias("nbr"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.id == F.col("id2"), "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
-                ).alias("component"),
+    # The per-round joins/aggs run over the (small) label table many times;
+    # a scan-sized shuffle partitioning pays per-partition task overhead
+    # each round — 8 partitions is plenty for the candidate-pair scale.
+    # localCheckpoint (not persist) per round: persist caches EXECUTION but
+    # Catalyst still re-analyzes the whole nested lineage every round —
+    # checkpointing truncates the logical plan so round N's analysis cost
+    # doesn't grow with N. Edges checkpoint once up front for the same
+    # reason (every round re-references them).
+    with scoped_conf(spark, spark__sql__shuffle__partitions=8):
+        edges = edges.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
+        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy(F.col("dst").alias("id2"))
+                .agg(F.min("component").alias("nbr"))
             )
-            .persist()
-        )
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+            new_labels = (
+                labels.join(nbr_min, labels.id == F.col("id2"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
     edges.unpersist()
     return labels

@@ -217,9 +217,13 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair and the batch self-join oracle is exact",
 )
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2 files per trigger: inner-join rows emit on match (state eviction is
+    # the only watermark effect), so batch granularity can't change the
+    # result — and each micro-batch pays a full state-store cycle across
+    # every shuffle partition, the dominant cost of this bounded run.
     stage = stage_event_chunks(spark, sf_dir, n_chunks=4, contiguous=True)
     clicks = (
-        read_event_stream(spark, stage)
+        read_event_stream(spark, stage, max_files=2)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -229,7 +233,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("c_ts", "1 hour")
     )
     purchases = (
-        read_event_stream(spark, stage)
+        read_event_stream(spark, stage, max_files=2)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
