@@ -167,6 +167,9 @@ def srp_band_keys_udf(bands: int = 8, band_bits: int = 8, dim: int = 64):
         planes = _np.array(plane_rows, dtype=_np.int64)
         weights = (1 << _np.arange(band_bits)).astype(_np.int64)
         for s in batches:
+            if s.empty:  # empty partitions are normal at cluster layouts
+                yield s
+                continue
             arr = _np.stack(s.to_numpy())  # (n, dim) float64
             # round-half-away-from-zero == Spark F.round / DuckDB round()
             q = (_np.sign(arr) * _np.floor(_np.abs(arr) * 1000 + 0.5)).astype(

@@ -1091,3 +1091,88 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("component")).alias("cluster_size"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    exploded AS (SELECT doc_id, u.term FROM toks, unnest(t) u(term)),
+    stats AS (
+      SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM exploded GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term, tf::BIGINT AS tf, df::BIGINT AS df,
+           round(tf * (n_docs + 1) / (df + 1), 6) AS tfidf
+    FROM stats, n
+    ORDER BY tfidf DESC, term LIMIT 50
+    """,
+    doc="Corpus-level TF-IDF top terms: one explode + one two-metric agg + a "
+    "broadcast single-row doc count; rational idf (tf*(N+1)/(df+1) — no ln, "
+    "so scores are bit-identical across engines); top-50 compiles to "
+    "TakeOrderedAndProject, never a full sort",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    exploded = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    stats = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1), 6).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy(F.col("tfidf").desc(), "term")
+        .limit(50)
+    )
+
+
+@register(
+    "dedup_apply_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_SQL}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(v, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+    ),
+    drops AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r))
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.v = d.doc_id)
+    """,
+    doc="The dedup step APPLIED: MinHash-LSH pairs → connected components → "
+    "drop every non-canonical cluster member with one left_anti join — the "
+    "surviving training corpus. Composition of dedup_minhash_lsh + "
+    "dedup_cluster_components + F4's anti-join shape; the drop set is tiny "
+    "relative to the corpus, so the anti-join broadcasts",
+)
+def dedup_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
+    comp = connected_components(pairs)
+    drops = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(F.broadcast(drops), on="doc_id", how="left_anti").select(
+        "doc_id", "lang", "source"
+    )

@@ -89,3 +89,14 @@ def test_bucketed_join_has_no_exchange(spark):
 def test_q4_exists_decorrelates_to_semi_join(spark):
     p = plan_of(spark, "q4_sql_exists")
     assert "LeftSemi" in p, "correlated EXISTS must decorrelate to a semi join"
+
+
+def test_tfidf_topk_uses_bounded_sort(spark):
+    p = plan_of(spark, "tfidf_top_terms")
+    assert "TakeOrderedAndProject" in p, "top-50 must not full-sort the term table"
+
+
+def test_dedup_apply_broadcasts_drop_set(spark):
+    p = plan_of(spark, "dedup_apply_corpus")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p, "tiny drop set must broadcast"
