@@ -67,51 +67,52 @@ def brute_force_topk(
     )
 
 
-def srp_bucket(vec: Column, n_bits: int = 8, dim: int = 64, offset: int = 0) -> Column:
-    """Signed-random-projection bucket id: n_bits sign bits of dot products
-    against deterministic formula hyperplanes
-    plane[i][j] = ((i*73856093 + j*19349663) mod 2001 - 1000) / 1000.
-    ``offset`` shifts the plane index range to [offset, offset+n_bits) so
-    independent bands draw disjoint hyperplanes without packing one wide
-    signature (packing 64 bits would hit the BIGINT sign bit)."""
-    def plane(i: int) -> Column:
-        # Plane coefficients are pure formula — evaluate them driver-side
-        # into an array LITERAL (Python ints avoid the int32 overflow a
-        # column-side i*73856093 would hit past i≈25, and Catalyst never
-        # has to re-derive the array per row).
-        return F.lit(
-            [((i * 73856093 + j * 19349663) % 2001 - 1000) / 1000.0 for j in range(dim)]
-        )
-
-    out = F.lit(0).cast("long")
-    for i in range(n_bits):
-        out = out + F.when(
-            dot(vec, plane(offset + i)) >= 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return out
-
-
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_bits: int = 8,
+    bands: int = 16,
+    band_bits: int = 6,
     dim: int = 64,
     qid: str = "query_id",
     cid: str = "vec_id",
     qvec: str = "qvec",
     cvec: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k restricted to the query's SRP bucket — candidates per query
-    drop from |corpus| to |corpus|/2^n_bits; the join is an equi-join on the
-    bucket id (shuffle keyed and bounded), which is what survives at 100 TB."""
-    cq = queries.withColumn("bucket", srp_bucket(as_double(F.col(qvec)), n_bits, dim))
-    cc = corpus.withColumn("bucket", srp_bucket(as_double(F.col(cvec)), n_bits, dim))
-    joined = cq.join(cc, on="bucket").filter(F.col(qid) != F.col(cid))
-    scored = joined.select(
-        F.col(qid),
-        F.col(cid),
-        cosine(as_double(F.col(qvec)), as_double(F.col(cvec))).alias("cos"),
+    """Banded SRP-LSH ANN top-k: a corpus vector is a candidate when ANY of
+    its ``bands`` band keys (disjoint ``band_bits``-bit sign slices of the
+    splitmix64 hyperplane family — see :func:`srp_band_keys_udf`) matches
+    the query's; candidates are scored exactly and ranked top-k.
+
+    The single-bucket variant this replaces had ~10% recall@5: one 8-bit
+    key catches a cos≈0.5 neighbor with (1-θ/π)^8 ≈ 4%, while 16 bands ×
+    6 bits gives 1-(1-p^6)^16 ≈ 77% (≈95% at cos 0.7) — measured recall is
+    pinned in tests/test_ann_recall.py. Candidate volume per query is
+    bounded by bands·|corpus|/2^band_bits; every join is a (band, key) or
+    id equi-join, never a cartesian — the shape that survives at 100 TB."""
+    keys = srp_band_keys_udf(bands, band_bits, dim)
+    qb = queries.select(
+        F.col(qid), F.posexplode(keys(as_double(F.col(qvec)))).alias("band", "key")
+    )
+    cb = corpus.select(
+        F.col(cid), F.posexplode(keys(as_double(F.col(cvec)))).alias("band", "key")
+    )
+    cand = (
+        qb.join(cb, on=["band", "key"])
+        .filter(F.col(qid) != F.col(cid))
+        .select(qid, cid)
+        .distinct()
+    )
+    qv = queries.select(F.col(qid), F.col(qvec))
+    cv = corpus.select(F.col(cid), F.col(cvec))
+    scored = (
+        cand.join(F.broadcast(qv), qid)  # bounded query set — broadcast
+        .join(cv, cid)
+        .select(
+            F.col(qid),
+            F.col(cid),
+            cosine(as_double(F.col(qvec)), as_double(F.col(cvec))).alias("cos"),
+        )
     )
     w = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(cid))
     return (
@@ -137,12 +138,12 @@ def _splitmix64(x: int) -> int:
 def srp_plane_matrix(n_planes: int, dim: int) -> list[list[int]]:
     """Integer hyperplane coefficients in [-1000, 1000] from splitmix64.
 
-    The linear-congruential formula srp_bucket uses
+    The linear-congruential formula the round-1 srp_bucket used
     ((i*A + j*B) % 2001 - 1000) produces CORRELATED planes — adjacent rows
     are shifts of one arithmetic progression, which collapsed 256-value
     band keys to ~26-76 distinct values on real data (23% of all pairs
-    became candidates). Avalanche-hashed coefficients restore ~uniform
-    bucket occupancy."""
+    became candidates, and single-bucket ANN recall@5 was 10%).
+    Avalanche-hashed coefficients restore ~uniform bucket occupancy."""
     return [
         [int(_splitmix64(i * dim + j) % 2001) - 1000 for j in range(dim)]
         for i in range(n_planes)

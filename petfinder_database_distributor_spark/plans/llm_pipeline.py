@@ -349,6 +349,11 @@ _COS_SQL = (
 _SRP_PLANES_VALUES = ",\n      ".join(
     f"({i}, {row}::DOUBLE[])" for i, row in enumerate(srp_plane_matrix(64, 64))
 )
+# 96 planes (16 bands × 6 bits) for the ANN top-k query — same splitmix64
+# family, longer prefix.
+_SRP_PLANES96_VALUES = ",\n      ".join(
+    f"({i}, {row}::DOUBLE[])" for i, row in enumerate(srp_plane_matrix(96, 64))
+)
 
 
 @register(
@@ -473,25 +478,38 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
+    # Mirrors lsh_topk's banded construction: 96 splitmix64 integer planes
+    # (literal VALUES, identical in both engines) × quantized vectors →
+    # 16 bands × 6 sign bits; candidate on any band match; exact cosine
+    # rank. Recall@5 vs brute force is pinned in tests/test_ann_recall.py.
     oracle=f"""
     WITH planes AS (
-      SELECT i, list_transform(range(0, 64),
-                               j -> ((i * 73856093 + j * 19349663) % 2001 - 1000) / 1000.0) AS p
-      FROM range(0, 8) r(i)
+      SELECT * FROM (VALUES
+      {_SRP_PLANES96_VALUES}) pl(i, p)
     ),
-    buckets AS (
-      SELECT e.vec_id, e.embedding,
-             sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.p) >= 0
-                      THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT AS bucket
-      FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding
+    qvecs AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> round(1000 * x)) AS qe
+      FROM embeddings
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM buckets WHERE vec_id < 8),
+    banded AS (
+      SELECT q.vec_id, pl.i // 6 AS band,
+             sum(CASE WHEN list_inner_product(q.qe, pl.p) >= 0
+                      THEN (1::BIGINT << (pl.i % 6)) ELSE 0 END)::BIGINT AS key
+      FROM qvecs q, planes pl GROUP BY q.vec_id, pl.i // 6
+    ),
+    qb AS (SELECT vec_id AS query_id, band, key FROM banded WHERE vec_id < 8),
+    cand AS (
+      SELECT DISTINCT qb.query_id, c.vec_id
+      FROM qb JOIN banded c ON qb.band = c.band AND qb.key = c.key
+                            AND qb.query_id <> c.vec_id
+    ),
     scored AS (
-      SELECT q.query_id, c.vec_id,
-             list_inner_product(q.qvec::DOUBLE[], c.embedding::DOUBLE[])
-               / (sqrt(list_inner_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
-                  * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
-      FROM q JOIN buckets c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+      SELECT cand.query_id, cand.vec_id,
+             {_COS_SQL.format(a="eq.embedding", b="ec.embedding")} AS cos
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = cand.query_id
+      JOIN embeddings ec ON ec.vec_id = cand.vec_id
     )
     SELECT query_id, vec_id, rank, round(cos, 6) AS cos_r
     FROM (SELECT query_id, vec_id, cos,
@@ -499,14 +517,16 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored)
     WHERE rank <= 5
     """,
-    doc="SRP-LSH ANN top-5: deterministic hyperplane buckets bound candidates per query — the scale path",
+    doc="Banded SRP-LSH ANN top-5 (16 bands x 6 sign bits, any-band candidate, "
+    "exact cosine rank): bounded candidates per query via (band, key) "
+    "equi-joins only — the scale path; measured recall pinned in tests",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return lsh_topk(queries, emb, k=5, n_bits=8, dim=64)
+    return lsh_topk(queries, emb, k=5, bands=16, band_bits=6, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -1158,8 +1178,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The dedup step APPLIED: MinHash-LSH pairs → connected components → "
     "drop every non-canonical cluster member with one left_anti join — the "
     "surviving training corpus. Composition of dedup_minhash_lsh + "
-    "dedup_cluster_components + F4's anti-join shape; the drop set is tiny "
-    "relative to the corpus, so the anti-join broadcasts",
+    "dedup_cluster_components + F4's anti-join shape. No broadcast hint: "
+    "web-corpus near-dup fractions run 30-50%, so the drop set scales WITH "
+    "the corpus — the anti-join must be a shuffle join at 100 TB (AQE "
+    "converts it to broadcast when the drop set turns out small)",
 )
 def dedup_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
@@ -1173,6 +1195,6 @@ def dedup_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
-    return docs.join(F.broadcast(drops), on="doc_id", how="left_anti").select(
+    return docs.join(drops, on="doc_id", how="left_anti").select(
         "doc_id", "lang", "source"
     )

@@ -96,7 +96,9 @@ def test_tfidf_topk_uses_bounded_sort(spark):
     assert "TakeOrderedAndProject" in p, "top-50 must not full-sort the term table"
 
 
-def test_dedup_apply_broadcasts_drop_set(spark):
+def test_dedup_apply_anti_join(spark):
+    # No broadcast assertion on purpose: the drop set scales WITH the corpus
+    # (30-50% near-dup fractions are normal), so the unhinted shuffle
+    # anti-join is the 100 TB shape; AQE may still broadcast small cases.
     p = plan_of(spark, "dedup_apply_corpus")
     assert "LeftAnti" in p
-    assert "BroadcastHashJoin" in p, "tiny drop set must broadcast"
