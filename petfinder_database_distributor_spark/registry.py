@@ -96,7 +96,7 @@ PRIORITY: list[str] = [
     # new this round — no prior row exists
     "ref_timestamp_fmt",
     "p2_src_attr_project",
-    "p3_link_fanout_xpath",
+    "dedup_apply_corpus",
     "dedup_embedding_cosine_exact",
     # LLM-pipeline centerpiece — keep hard driver signal every round
     "dedup_exact",
