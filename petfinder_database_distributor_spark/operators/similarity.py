@@ -248,6 +248,30 @@ def embedding_neardup_pairs(
     )
 
 
+def similarity_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    max_exact_pairs: int = 10_000_000,
+    queries_count: int | None = None,
+    corpus_count: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Cost-based chooser (SURVEY §7.2's optional LSH-vs-broadcast rule):
+    score exactly via the broadcast brute-force path while
+    |queries|·|corpus| stays under ``max_exact_pairs`` (exact beats
+    approximate whenever you can afford the scan — no index build, full
+    recall), switch to banded SRP-LSH above it. Pass ``queries_count`` /
+    ``corpus_count`` when known (e.g. from table stats) to skip the
+    counting jobs — mirroring how Catalyst's own join strategy consults
+    statistics rather than scanning."""
+    nq = queries_count if queries_count is not None else queries.count()
+    nc = corpus_count if corpus_count is not None else corpus.count()
+    if nq * nc <= max_exact_pairs:
+        return brute_force_topk(queries, corpus, k=k, **kwargs)
+    return lsh_topk(queries, corpus, k=k, **kwargs)
+
+
 def quantize(vec: Column, scale: int = 1000) -> Column:
     """Integer-quantize an embedding (round(x*scale)). Quantization makes
     every centroid update EXACT: integer sums are order-independent, so

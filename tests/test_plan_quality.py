@@ -102,3 +102,34 @@ def test_dedup_apply_anti_join(spark):
     # anti-join is the 100 TB shape; AQE may still broadcast small cases.
     p = plan_of(spark, "dedup_apply_corpus")
     assert "LeftAnti" in p
+
+
+def test_similarity_chooser_switches_strategy(spark):
+    """SURVEY §7.2's optional cost rule: exact broadcast scoring under the
+    pair budget, banded LSH above it — verified by plan shape."""
+    from petfinder_database_distributor_spark.operators.similarity import (
+        similarity_topk,
+    )
+    from petfinder_database_distributor_spark.schema import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    exact = plan(similarity_topk(q, emb, k=5, queries_count=8, corpus_count=500))
+    assert "BroadcastNestedLoopJoin" in exact, "under budget -> exact broadcast scan"
+    approx = plan(
+        similarity_topk(
+            q, emb, k=5, queries_count=8, corpus_count=500, max_exact_pairs=100
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in approx, "over budget -> LSH path"
+    assert "ArrowEvalPython" in approx, "LSH path computes band keys via the Arrow UDF"
