@@ -43,8 +43,19 @@ def main() -> None:
     specs = load_all()
     spark = get_spark(app_name="pdd_spark_bench")
 
-    # Warm the JVM/codegen once with a trivial job so q1 doesn't pay startup.
+    # Warm the JVM/codegen once with a trivial job so q1 doesn't pay startup,
+    # and spawn the Python UDF workers (~4s, once per session) so the first
+    # pandas-UDF query measures its work, not worker startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: `from __future__ import annotations` stringifies them
+    # and pandas_udf's signature inference rejects unresolvable strings
+    def _identity(s):
+        return s
+
+    _warm = pandas_udf(_identity, "long")
+    spark.range(32).select(_warm("id")).collect()
 
     names = [n for n in HEADLINE if n in specs] + [
         n for n in sorted(specs) if n not in HEADLINE

@@ -132,8 +132,10 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the final (max-count) emission per user equals the batch aggregate",
 )
 def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2 files per trigger: state still spans micro-batches (the semantics
+    # under test) at half the per-batch Python state-store round-trips.
     stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
-    counters = stateful_user_counters(read_event_stream(spark, stage))
+    counters = stateful_user_counters(read_event_stream(spark, stage, max_files=2))
     emitted = _run_to_memory(counters, "update")
     # Running totals are monotone in n_events; keep each user's final emission.
     from pyspark.sql.window import Window
