@@ -1,0 +1,102 @@
+"""Scaling probe: replicate the sf0.1 tables 8x (key-offset copies, written
+to scratch parquet) and measure wall time of representative operators at 1x
+vs 8x on the same local[32] session. Linear (or better) growth with the
+fixed per-query floor amortizing away is the local evidence that the plan
+shapes scale; results are recorded in PLANS.md.
+
+Only probe inputs are synthesized (never query fixtures for the driver
+contract — registered queries always read the driver's own testdata).
+
+Usage: python tools/scaling_probe.py [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from petfinder_database_distributor_spark.registry import load_all  # noqa: E402
+from petfinder_database_distributor_spark.schema import load_table  # noqa: E402
+from petfinder_database_distributor_spark.session import get_spark  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "sessionize_events",
+    "window_range_frame",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_exact",
+    "text_bigram_tf",
+]
+# (table, key columns to offset per copy)
+OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": [],
+    "region": [],
+}
+
+
+def build_scaled(spark, factor: int, out_dir: str) -> None:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for table, keys in OFFSETS.items():
+        src = f"{BASE_SF}/{table}.parquet"
+        if not os.path.exists(src):
+            continue
+        df = load_table(spark, BASE_SF, table)
+        if not keys:  # tiny dims stay as-is
+            df.write.parquet(f"{out_dir}/{table}.parquet")
+            continue
+        offs = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        copies = df.select(
+            "*", F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("__i")
+        )
+        for k in keys:
+            copies = copies.withColumn(k, F.col(k) + F.col("__i") * offs[k])
+        copies.drop("__i").write.parquet(f"{out_dir}/{table}.parquet")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark(app_name="scaling_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = f"{REPO_ROOT}/.stream_scratch/scale_probe_x{factor}"
+    print(f"building {factor}x inputs under {out_dir} ...", flush=True)
+    build_scaled(spark, factor, out_dir)
+
+    qs = load_all()
+    spark.range(1000).selectExpr("sum(id)").collect()
+    print(f"{'query':28s} {'1x':>7s} {'%dx' % factor:>7s} {'growth':>7s}")
+    for name in PROBE_QUERIES:
+        times = []
+        for sf_dir in (BASE_SF, out_dir):
+            best = float("inf")
+            for _ in range(2):  # warm best-of-2: measure work, not codegen
+                t0 = time.time()
+                df = qs[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            times.append(best)
+        print(
+            f"{name:28s} {times[0]:6.2f}s {times[1]:6.2f}s {times[1]/times[0]:6.1f}x",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
