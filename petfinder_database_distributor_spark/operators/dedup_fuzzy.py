@@ -63,6 +63,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs by word-n-gram Jaccard via an inverted-index
     self-join: explode shingles into postings, equi-join postings on the
@@ -72,13 +73,26 @@ def ngram_jaccard_pairs(
     Exact for any threshold > 0 — a qualifying pair shares >= 1 shingle, so
     the postings join loses nothing — yet never materializes all-pairs:
     shuffle volume is Σ df(s)² over distinct shingles (the inverted-index
-    bound), and the shingle arrays themselves are dropped before the join
-    (only (id, size) ride along). At 100 TB, pair with a stopword-shingle
-    df-cap or switch to minhash_lsh_pairs when hot shingles appear."""
+    bound). That bound is QUADRATIC in duplication: the 8x-replica scaling
+    probe measured 19x wall growth uncapped. ``df_cap`` drops postings of
+    shingles appearing in more than ``df_cap`` docs BEFORE the join
+    (one extra count-aggregate pass), restoring near-linear scaling.
+    Capping is conservative: hot shared shingles no longer count toward
+    |A∩B|, so reported Jaccard only UNDERestimates — no false positives,
+    bounded recall loss on pairs whose overlap is mostly stopword-shingles
+    (the pairs MinHash-LSH is the better tool for anyway)."""
     sh = with_shingles(df, id_col, text_col, n)
     inv = sh.select(
         F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
     )
+    if df_cap is not None:
+        keep = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+            .select("shingle")
+        )
+        inv = inv.join(keep, on="shingle")
     a = inv.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
     b = inv.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shingle")
     inter = (

@@ -259,6 +259,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+@register(
+    "dedup_ngram_jaccard_capped",
+    # The oracle mirrors the cap: shingles with df > 64 are dropped from
+    # postings AND from intersection counts; sizes stay full, so Jaccard
+    # underestimates conservatively (no false positives).
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    inv AS (SELECT doc_id, len(s) AS sz, u.x AS shingle FROM sh, unnest(sh.s) u(x)),
+    keep AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 64),
+    capped AS (SELECT i.* FROM inv i JOIN keep k ON i.shingle = k.shingle),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           inter::DOUBLE / (sz_a + sz_b - inter) AS jaccard
+    FROM inter WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.5
+    """,
+    doc="The df-capped inverted-index Jaccard (df_cap=64): the Σdf² postings "
+    "bound is quadratic in duplication (8x replicas → 19x wall uncapped), so "
+    "the scale posture drops hot-shingle postings before the join — "
+    "conservative (Jaccard only underestimates), near-linear scaling",
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, df_cap=64)
+
+
 _MINHASH_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     hx AS (SELECT doc_id, ({_MD5INT.format(x="u.x")}) % 2147483647 AS h
