@@ -69,6 +69,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_dir=f"{SCRATCH_ROOT}/run_upsert_{sf_dir.strip('/').replace('/', '_')}",
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
+        max_files=2,  # 2 chunks per batch: same merge semantics, half the snapshot commits
     )
     return final.select(
         "user_id",
@@ -93,7 +94,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_windowed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
-    agg = windowed_event_counts(read_event_stream(spark, stage))
+    agg = windowed_event_counts(read_event_stream(spark, stage, max_files=2))
     return _run_to_memory(agg, "complete")
 
 
@@ -107,9 +108,12 @@ def stream_windowed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming dropDuplicates state emits each exactly once (append mode)",
 )
 def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2 files per trigger: the duplicate_overlap copies land in ADJACENT
+    # chunks, so pairs still straddle micro-batches and the cross-batch
+    # dedup state is exercised at half the state-store cycles.
     stage = stage_event_chunks(spark, sf_dir, n_chunks=4, duplicate_overlap=True)
     deduped = (
-        read_event_stream(spark, stage)
+        read_event_stream(spark, stage, max_files=2)
         .dropDuplicates(["event_id"])
         .select(
             "event_id", "user_id", "event_type", "value",
@@ -181,8 +185,10 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = stage_event_chunks(
         spark, sf_dir, n_chunks=4, contiguous=True, sentinel=True
     )
+    # 2 files per trigger: the sentinel file is mtime-last, so it still
+    # arrives in its own final batch and flushes every session.
     agg = (
-        read_event_stream(spark, stage)
+        read_event_stream(spark, stage, max_files=2)
         .withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(

@@ -232,17 +232,20 @@ def run_upsert_stream(
     key_cols: list[str],
     order_cols: list[str],
     fresh: bool = True,
+    max_files: int = 1,
 ) -> DataFrame:
     """Run the staged chunks through the foreachBatch upsert to completion
     (availableNow) and return the final table snapshot. ``fresh=False``
     reuses the existing checkpoint + state — the T2 resume path: only files
-    not yet recorded in the offset log are processed."""
+    not yet recorded in the offset log are processed. ``max_files`` is the
+    per-trigger pacing knob (T5) — each batch commits one full snapshot, so
+    fewer, larger batches trade commit granularity for throughput."""
     if fresh:
         _fresh_dir(run_dir)
     table_dir = f"{run_dir}/table"
     with scoped_conf(spark, spark__sql__shuffle__partitions=STREAM_SHUFFLE_PARTITIONS):
         query = (
-            read_event_stream(spark, stage_dir)
+            read_event_stream(spark, stage_dir, max_files=max_files)
             .writeStream.foreachBatch(foreach_batch_upsert(table_dir, key_cols, order_cols))
             .option("checkpointLocation", f"{run_dir}/ckpt")
             .trigger(availableNow=True)
