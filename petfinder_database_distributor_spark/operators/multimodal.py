@@ -115,6 +115,63 @@ def decode_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("sampled_histogram", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def resize_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target: int = 32,
+    stride: int = 4,
+) -> DataFrame:
+    """Image-resize plumbing over opaque payloads: the DETERMINISTIC FAKE
+    "resample" keeps every ``stride``-th byte (the strided-subsample shape a
+    real nearest-neighbor resize has) and re-derives dimensions clamped to
+    ``target`` — swap the kernel for PIL ``Image.resize`` in production; the
+    Arrow-batched mapInPandas plan is identical. Output dims and sample
+    count are pure functions of payload length, so the registered query is
+    fully oracle-checkable; the resampled histogram (the "pixel data") is
+    value-pinned in tests/test_multimodal.py."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            lengths = _np.array([len(p) for p in payloads], dtype=_np.int64)
+            hists = []
+            for p in payloads:
+                arr = _np.frombuffer(p, dtype=_np.uint8)[::stride] >> 4
+                hists.append(_np.bincount(arr, minlength=16).tolist())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "out_width": _np.minimum(64 + lengths % 577, target).astype(
+                        "int32"
+                    ),
+                    "out_height": _np.minimum(64 + lengths % 433, target).astype(
+                        "int32"
+                    ),
+                    "n_sampled": (-(-lengths // stride)).astype("int32"),
+                    "sampled_histogram": hists,
+                }
+            )
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        resize, RESIZE_SCHEMA
+    )
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -758,6 +758,42 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_resize",
+    # out dims / sample count are pure functions of octet_length -> full
+    # oracle; the resampled histogram itself is pinned in
+    # tests/test_multimodal.py (ArrayType doesn't survive the driver canon).
+    oracle="""
+    SELECT doc_id,
+           least(64 + octet_length(encode(text)) % 577, 32)::INT AS out_width,
+           least(64 + octet_length(encode(text)) % 433, 32)::INT AS out_height,
+           ((octet_length(encode(text)) + 3) // 4)::INT AS n_sampled,
+           ((octet_length(encode(text)) + 3) // 4)::BIGINT AS sampled_sum
+    FROM documents
+    """,
+    doc="Multimodal resize plumbing: strided byte resample (deterministic fake "
+    "for PIL resize) via Arrow-batched mapInPandas; dims clamp to the 32px "
+    "target, histogram re-derived over sampled bytes (operators/multimodal.py)",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.multimodal import (
+        resize_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs, "doc_id", "text")
+    out = resize_payloads(payloads, "doc_id", "payload", target=32, stride=4)
+    return out.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        "n_sampled",
+        F.aggregate(
+            "sampled_histogram", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sampled_sum"),
+    )
+
+
+@register(
     "text_chunking",
     oracle=f"""
     WITH toks AS ({_TOKS_SQL}),

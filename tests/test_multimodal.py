@@ -55,3 +55,28 @@ def test_hist_sum_equals_payload_bytes(spark):
     )
     joined = feats.join(payloads.select("doc_id", "n_bytes"), "doc_id")
     assert all(r["hist_sum"] == r["n_bytes"] for r in joined.collect())
+
+
+def test_resize_sampled_histogram_values(spark):
+    import numpy as np
+
+    from petfinder_database_distributor_spark.operators.multimodal import (
+        resize_payloads,
+    )
+
+    texts = ["abcdefghij" * 5, "x", "mixed 123 !?\n\ttext"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    payloads = attach_binary_payload(df, "doc_id", "text")
+    got = {
+        r["doc_id"]: r
+        for r in resize_payloads(payloads, "doc_id", "payload", stride=4).collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        arr = np.frombuffer(raw, dtype=np.uint8)[::4] >> 4
+        row = got[i]
+        assert row["sampled_histogram"] == np.bincount(arr, minlength=16).tolist()
+        assert row["n_sampled"] == -(-len(raw) // 4)
+        assert row["out_width"] == min(64 + len(raw) % 577, 32)
