@@ -20,14 +20,6 @@ from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
     simhash_signatures,
     simhash_neardup_pairs,
 )
-
-# Blocking for the simhash oracle — generated from the SAME (shift, width)
-# split the Spark operator uses (max_hamming=2 → 3 blocks).
-_SIMHASH_BLOCKS_SQL = "\n      UNION ALL ".join(
-    f"SELECT doc_id, simhash, {b} AS half, "
-    f"(simhash // {1 << shift}) % {1 << width} AS key FROM sims"
-    for b, (shift, width) in enumerate(simhash_blocks(16, 3))
-)
 from petfinder_database_distributor_spark.operators.multimodal import (
     attach_binary_payload,
     decode_features,
@@ -64,6 +56,14 @@ _TOKS_SQL = """
 """
 
 _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# Blocking for the simhash oracle — generated from the SAME (shift, width)
+# split the Spark operator uses (max_hamming=2 → 3 blocks).
+_SIMHASH_BLOCKS_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS half, "
+    f"(simhash // {1 << shift}) % {1 << width} AS key FROM sims"
+    for b, (shift, width) in enumerate(simhash_blocks(16, 3))
+)
 
 _SHINGLES_SQL = f"""
   SELECT doc_id,

@@ -5,7 +5,7 @@ tie-dependent picks / order-dependent float accumulation — the class of
 latent parity flake the round-1 asof_join had. Streaming queries are
 excluded (they scope their own confs; covered by tests/test_streaming.py).
 
-Round-2 result: all 82 non-streaming queries OK at sf0.01 (32 vs 7
+Round-2 result: all 84 non-streaming queries OK at sf0.01 (32 vs 7
 shuffle partitions).
 
 Usage: python tools/determinism_audit.py
