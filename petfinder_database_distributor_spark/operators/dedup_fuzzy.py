@@ -16,8 +16,13 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from petfinder_database_distributor_spark.operators.text import (
     MERSENNE_P,
@@ -108,26 +113,61 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(hx: Column, k: int = 32) -> Column:
-    """k-wide MinHash signature over an array of PRE-HASHED shingle values
-    (portable hash family, see module docstring). Taking hashes rather than
-    shingles keeps the md5 work out of the k-way permutation loop.
+def minhash_band_hashes_udf(k: int = 32, bands: int = 16):
+    """Pandas UDF: shingle array → array of ``bands`` band-bucket hashes.
 
-    The k permutations are unrolled in Python (not a ``transform`` over
-    ``sequence(0,k)``) so the ``hx`` attribute appears k times in the
-    expression tree: CollapseProject inlines a producer referenced once
-    regardless of cost, which would silently re-evaluate the md5 hashing
-    projection k times per row; with k references it stays materialized.
+    Per Arrow batch: md5 every shingle (hashlib — bit-identical to the
+    engines' md5), take the first 15 hex chars as a 60-bit int mod the
+    Mersenne prime, run all k permutations as ONE integer matmul-style
+    broadcastized min ((2i+1)·h + (17i+3) mod P; products < 2^37, exact in
+    int64 and in DuckDB's arithmetic), then md5 the comma-joined decimal
+    signature slice per band — byte-identical to the previous
+    ``md5(concat_ws(',', …))`` expression, so the DuckDB oracle is
+    untouched.
 
-    NB: the per-i lambda must be built by a closure factory with a SINGLE
-    parameter — ``lambda x, i=i: ...`` would be treated by ``F.transform``
-    as its binary (element, index) lambda form, silently replacing i with
-    the array index."""
+    This replaces a k=32-unrolled ``array_min(transform(...))`` expression
+    tree that cost ~3.3s of Catalyst analysis + ~4s of Janino codegen PER
+    QUERY before a single row moved (three registered queries embed it),
+    with interpreted HOF execution on top. Same deliberate-UDF rationale as
+    srp_band_keys_udf: Arrow-batched C/hashlib beats uncompilable
+    expression forests, and the exact-integer construction keeps oracle
+    parity bit-for-bit."""
+    r = k // bands
+    mersenne_p = MERSENNE_P  # closure-local so the UDF pickles by value
 
-    def perm(i: int):
-        return lambda x: ((2 * i + 1) * x + (17 * i + 3)) % MERSENNE_P
+    def band_hashes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib as _hashlib
 
-    return F.array(*[F.array_min(F.transform(hx, perm(i))) for i in range(k)])
+        import numpy as _np
+
+        coeff_a = (2 * _np.arange(k, dtype=_np.int64) + 1)[:, None]
+        coeff_b = (17 * _np.arange(k, dtype=_np.int64) + 3)[:, None]
+        for s in batches:
+            if s.empty:
+                yield s
+                continue
+            out = []
+            for shingles_list in s:
+                h = _np.array(
+                    [
+                        int(_hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16)
+                        % mersenne_p
+                        for x in shingles_list
+                    ],
+                    dtype=_np.int64,
+                )
+                sig = ((coeff_a * h[None, :] + coeff_b) % mersenne_p).min(axis=1)
+                out.append(
+                    [
+                        _hashlib.md5(
+                            ",".join(str(v) for v in sig[j * r : (j + 1) * r]).encode()
+                        ).hexdigest()
+                        for j in range(bands)
+                    ]
+                )
+            yield pd.Series(out)
+
+    return F.pandas_udf(band_hashes, T.ArrayType(T.StringType()))
 
 
 def minhash_lsh_pairs(
@@ -146,32 +186,13 @@ def minhash_lsh_pairs(
     the shingle arrays, which are re-joined by id only for the bounded
     candidate set — at 100 TB this is the only scalable shape for
     unknown-similarity dedup (no all-pairs stage exists anywhere)."""
-    r = k // bands
     sh = with_shingles(df, id_col, text_col, n)
-    # Hash each shingle exactly once; the k permutations then run over the
-    # hashed attribute (see minhash_signature docstring).
-    hashed = sh.select(
+    buckets = sh.select(
         F.col(id_col),
-        F.transform(F.col("sh"), lambda s: md5int(s) % MERSENNE_P).alias("hx"),
-    )
-    sig = hashed.select(F.col(id_col), minhash_signature(F.col("hx"), k).alias("sig"))
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda j: F.struct(
-            j.alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("sig"), j * r + 1, r), lambda v: v.cast("string")
-                    ),
-                )
-            ).alias("bh"),
+        F.posexplode(minhash_band_hashes_udf(k, bands)(F.col("sh"))).alias(
+            "band", "bh"
         ),
     )
-    buckets = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
