@@ -1264,3 +1264,46 @@ def dedup_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drops, on="doc_id", how="left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "embedding_dim_stats",
+    # Decimal-exact moments: sums of x and x^2 run in DECIMAL so
+    # accumulation order can't move a bit; the float division/sqrt at the
+    # end is a deterministic IEEE op on identical inputs in both engines.
+    oracle="""
+    WITH dims AS (
+      SELECT u.i - 1 AS dim, (e.embedding[u.i])::DECIMAL(20,8) AS v
+      FROM embeddings e, range(1, 65) u(i)
+    )
+    SELECT dim::INT AS dim,
+           round(CAST(CAST(sum(v) AS DECIMAL(38,8)) AS DOUBLE) / count(*), 6) AS mean,
+           round(sqrt(greatest(
+             CAST(CAST(sum(v * v) AS DECIMAL(38,12)) AS DOUBLE) / count(*)
+             - pow(CAST(CAST(sum(v) AS DECIMAL(38,8)) AS DOUBLE) / count(*), 2), 0)), 6) AS std
+    FROM dims GROUP BY dim
+    """,
+    doc="Per-dimension embedding health stats (mean/std — the collapsed- or "
+    "dead-dimension check an embedding pipeline runs before indexing): "
+    "posexplode to (dim, value), one two-metric aggregate keyed by the 64 "
+    "dims; decimal-exact sums so moments hash-match across engines",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<decimal(20,8)>")).alias(
+            "dim", "v"
+        )
+    )
+    n = F.count(F.lit(1))
+    sum_v = F.sum("v").cast("decimal(38,8)").cast("double")
+    sum_v2 = F.sum(F.col("v") * F.col("v")).cast("decimal(38,12)").cast("double")
+    mean = sum_v / n
+    return dims.groupBy("dim").agg(
+        F.round(mean, 6).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest(sum_v2 / n - F.pow(mean, F.lit(2)), F.lit(0.0))), 6
+        ).alias("std"),
+    ).select(F.col("dim").cast("int").alias("dim"), "mean", "std")
