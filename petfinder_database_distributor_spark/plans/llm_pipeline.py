@@ -1307,3 +1307,39 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.greatest(sum_v2 / n - F.pow(mean, F.lit(2)), F.lit(0.0))), 6
         ).alias("std"),
     ).select(F.col("dim").cast("int").alias("dim"), "mean", "std")
+
+
+@register(
+    "dedup_levenshtein",
+    # The oracle mirrors the deletion-neighborhood blocking: every name
+    # emits itself + each single-deletion variant; d<=1 pairs always share
+    # a variant (SymSpell's guarantee), then exact levenshtein verifies.
+    oracle="""
+    WITH inv AS (
+      SELECT p_partkey AS id, p_name AS name, u.v AS variant
+      FROM part, unnest(list_distinct(
+        [p_name] || [substr(p_name, 1, i - 1) || substr(p_name, i + 1, 1000000)
+                     for i in range(1, length(p_name) + 1)])) u(v)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, a.name AS na, b.id AS id_b, b.name AS nb
+      FROM inv a JOIN inv b ON a.variant = b.variant AND a.id < b.id
+    )
+    SELECT levenshtein(na, nb)::INT AS distance, count(*) AS n_pairs
+    FROM cand WHERE levenshtein(na, nb) <= 1
+    GROUP BY 1
+    """,
+    doc="Edit-distance near-dup detection (SURVEY M6's levenshtein promise): "
+    "SymSpell-style deletion-neighborhood blocking — FULL recall at d<=1 "
+    "via a variant equi-join, never all-pairs and no lossy first-char "
+    "blocking; Spark's threshold levenshtein early-exits the verify; "
+    "aggregated (distance, n_pairs) because catalog names are "
+    "duplicate-heavy (3.1M raw pairs at sf0.1)",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        levenshtein_neardup_counts,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return levenshtein_neardup_counts(part, "p_partkey", "p_name")

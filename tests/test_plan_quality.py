@@ -53,6 +53,7 @@ def test_bruteforce_ann_broadcasts_queries(spark):
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs",
         "dedup_embedding_cosine",
+        "dedup_levenshtein",
     ],
 )
 def test_dedup_family_never_all_pairs(spark, name):
