@@ -69,6 +69,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     df_cap: int | None = None,
+    max_join_rows: int | None = 100_000_000,
 ) -> DataFrame:
     """EXACT near-dup pairs by word-n-gram Jaccard via an inverted-index
     self-join: explode shingles into postings, equi-join postings on the
@@ -85,11 +86,37 @@ def ngram_jaccard_pairs(
     Capping is conservative: hot shared shingles no longer count toward
     |A∩B|, so reported Jaccard only UNDERestimates — no false positives,
     bounded recall loss on pairs whose overlap is mostly stopword-shingles
-    (the pairs MinHash-LSH is the better tool for anyway)."""
+    (the pairs MinHash-LSH is the better tool for anyway).
+
+    The UNCAPPED form is size-guarded (same posture as the all-pairs
+    guard in dedup_embedding_cosine_exact): one cheap df-count aggregate
+    estimates Σ df(s)² before the join and raises above
+    ``max_join_rows`` instead of launching a shuffle that is quadratic in
+    duplication — the error says to pass ``df_cap``. Pass
+    ``max_join_rows=None`` to run unguarded (ground-truth/debug use)."""
     sh = with_shingles(df, id_col, text_col, n)
     inv = sh.select(
         F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
     )
+    if df_cap is None and max_join_rows is not None:
+        # Join-size estimate, exact by construction: the postings self-join
+        # on `shingle` produces exactly Σ df(s)² rows. One count-aggregate
+        # job over (shingle) — linear scan, map-side partials — versus a
+        # join whose output this bounds; at 100 TB this is the difference
+        # between refusing in seconds and a multi-hour runaway shuffle.
+        est = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("sq"))
+            .collect()[0][0]
+        )
+        if est is not None and est > max_join_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs: estimated postings join size {est:,} rows"
+                f" exceeds max_join_rows={max_join_rows:,} (Σdf² is quadratic in"
+                " duplication). Pass df_cap (e.g. df_cap=64) for the capped"
+                " near-linear variant, or raise/disable max_join_rows."
+            )
     if df_cap is not None:
         keep = (
             inv.groupBy("shingle")
@@ -366,17 +393,21 @@ def connected_components(
                 .localCheckpoint(eager=True)
             )
             new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-            labels.unpersist()
+            # No explicit unpersist: localCheckpoint blocks are not tracked
+            # by the DataFrame cache manager (an unpersist() here would be a
+            # no-op). Dropping the Python reference releases the JVM-side
+            # plan, and the ContextCleaner reclaims the superseded round's
+            # checkpoint blocks on GC — retention is bounded by one round's
+            # label table (id, component — scalars), not session lifetime.
             labels = new_labels
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
-    edges.unpersist()
     return labels
 
 
 def levenshtein_neardup_counts(
-    df: DataFrame, id_col: str, name_col: str
+    df: DataFrame, id_col: str, name_col: str, max_len: int = 256
 ) -> DataFrame:
     """Edit-distance near-dup pairs (d <= 1) via SymSpell-style deletion-
     neighborhood blocking, aggregated to (distance, n_pairs).
@@ -390,9 +421,26 @@ def levenshtein_neardup_counts(
     silently misses pairs editing position 0. Spark's three-argument
     ``levenshtein(l, r, threshold)`` early-exits the verify.
 
+    LENGTH GUARD: each string emits len+1 variant postings, each ~len
+    chars, so postings volume grows as Σ len² — pointed at an
+    ``about_me``/document-class text column this silently becomes a
+    byte-quadratic shuffle. The operator probes ``max(length)`` first
+    (one cheap agg) and raises when it exceeds ``max_len``: SymSpell is a
+    short-string (name/key/title) algorithm — route long text to
+    MinHash-LSH / n-gram Jaccard instead. ``max_len=None`` disables.
+
     Output is aggregated because realistic catalogs are duplicate-heavy
     (the sf0.1 part names yield 3.1M d<=1 pairs) — the pair list itself
     is an intermediate, not a result a user would collect."""
+    if max_len is not None:
+        longest = df.agg(F.max(F.length(F.col(name_col)))).collect()[0][0]
+        if longest is not None and longest > max_len:
+            raise ValueError(
+                f"levenshtein_neardup_counts: max length of '{name_col}' is"
+                f" {longest} > max_len={max_len}; deletion-variant postings"
+                " scale with Σ len² — use MinHash-LSH or n-gram Jaccard for"
+                " long text, or raise max_len explicitly."
+            )
     variants = F.array_distinct(
         F.concat(
             F.array(F.col(name_col)),

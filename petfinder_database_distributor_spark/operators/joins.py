@@ -38,38 +38,39 @@ def asof_join(
     One shuffle total (the window partitioning); left rows with no prior
     right row keep nulls (left-outer semantics).
 
-    Tie determinism: several right rows can share (key, ts); the window
-    order appends the right value columns (nulls first, so left-side
-    sentinel rows sort below real right rows only via __side), making the
-    match the MAX of the value-column tuple among equal-ts right rows —
-    stable across partitionings and engines, instead of whichever row the
-    shuffle happened to deliver last."""
+    Tie determinism AND single-row matches: several right rows can share
+    (key, ts), so the window order appends the right-value STRUCT (nulls
+    first), making the match the lexicographic MAX of the value tuple among
+    equal-ts right rows — stable across partitionings and engines. The
+    value columns travel as ONE struct and ``last(ignorenulls)`` is taken
+    of that struct, so every ``matched_*`` column comes from the same right
+    row (per-column ``last`` would back-fill a column that is NULL in the
+    winning row from an earlier row, silently mixing two rows)."""
     if direction != "backward":
         raise ValueError("only backward as-of is implemented")
     # left_ts travels as __ts and is renamed back at the end — excluding it
     # here keeps the output free of duplicate columns.
+    from pyspark.sql import types as T
+
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    rv_type = T.StructType([right.schema[c] for c in right_value_cols])
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_value_cols]).alias("__rv"),
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(
-            "__ts",
-            "__side",
-            *[F.col(f"__r_{c}").asc_nulls_first() for c in right_value_cols],
-        )
+        .orderBy("__ts", "__side", F.col("__rv").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l_tagged.unionByName(r_tagged).select(
@@ -77,14 +78,16 @@ def asof_join(
         "__ts",
         "__side",
         *lcols,
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"matched_{c}")
-            for c in right_value_cols
-        ],
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv_m"),
     )
     return (
         matched.filter(F.col("__side") == 1)
-        .drop("__side")
+        .select(
+            *keys,
+            "__ts",
+            *lcols,
+            *[F.col(f"__rv_m.{c}").alias(f"matched_{c}") for c in right_value_cols],
+        )
         .withColumnRenamed("__ts", left_ts)
     )
 

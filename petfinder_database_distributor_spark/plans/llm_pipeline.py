@@ -379,10 +379,10 @@ _COS_SQL = (
 _SRP_PLANES_VALUES = ",\n      ".join(
     f"({i}, {row}::DOUBLE[])" for i, row in enumerate(srp_plane_matrix(64, 64))
 )
-# 96 planes (16 bands × 6 bits) for the ANN top-k query — same splitmix64
+# 128 planes (16 bands × 8 bits) for the ANN top-k query — same splitmix64
 # family, longer prefix.
-_SRP_PLANES96_VALUES = ",\n      ".join(
-    f"({i}, {row}::DOUBLE[])" for i, row in enumerate(srp_plane_matrix(96, 64))
+_SRP_PLANES128_VALUES = ",\n      ".join(
+    f"({i}, {row}::DOUBLE[])" for i, row in enumerate(srp_plane_matrix(128, 64))
 )
 
 
@@ -508,14 +508,16 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    # Mirrors lsh_topk's banded construction: 96 splitmix64 integer planes
-    # (literal VALUES, identical in both engines) × quantized vectors →
-    # 16 bands × 6 sign bits; candidate on any band match; exact cosine
-    # rank. Recall@5 vs brute force is pinned in tests/test_ann_recall.py.
+    # Mirrors lsh_topk's banded multi-probe construction: 128 splitmix64
+    # integer planes (literal VALUES, identical in both engines) ×
+    # quantized vectors → 16 bands × 8 sign bits; the query side probes the
+    # exact key plus every 1-bit flip (xor) per band; candidate on any
+    # probed-band match; exact cosine rank. Recall@5 vs brute force is
+    # pinned in tests/test_ann_recall.py.
     oracle=f"""
     WITH planes AS (
       SELECT * FROM (VALUES
-      {_SRP_PLANES96_VALUES}) pl(i, p)
+      {_SRP_PLANES128_VALUES}) pl(i, p)
     ),
     qvecs AS (
       SELECT vec_id,
@@ -523,12 +525,15 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     banded AS (
-      SELECT q.vec_id, pl.i // 6 AS band,
+      SELECT q.vec_id, pl.i // 8 AS band,
              sum(CASE WHEN list_inner_product(q.qe, pl.p) >= 0
-                      THEN (1::BIGINT << (pl.i % 6)) ELSE 0 END)::BIGINT AS key
-      FROM qvecs q, planes pl GROUP BY q.vec_id, pl.i // 6
+                      THEN (1::BIGINT << (pl.i % 8)) ELSE 0 END)::BIGINT AS key
+      FROM qvecs q, planes pl GROUP BY q.vec_id, pl.i // 8
     ),
-    qb AS (SELECT vec_id AS query_id, band, key FROM banded WHERE vec_id < 8),
+    qb AS (SELECT b.vec_id AS query_id, b.band,
+                  CASE WHEN r.j = 0 THEN b.key
+                       ELSE xor(b.key, 1::BIGINT << (r.j - 1)) END AS key
+           FROM banded b, range(0, 9) r(j) WHERE b.vec_id < 8),
     cand AS (
       SELECT DISTINCT qb.query_id, c.vec_id
       FROM qb JOIN banded c ON qb.band = c.band AND qb.key = c.key
@@ -547,16 +552,17 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored)
     WHERE rank <= 5
     """,
-    doc="Banded SRP-LSH ANN top-5 (16 bands x 6 sign bits, any-band candidate, "
-    "exact cosine rank): bounded candidates per query via (band, key) "
-    "equi-joins only — the scale path; measured recall pinned in tests",
+    doc="Banded multi-probe SRP-LSH ANN top-5 (16 bands x 8 sign bits, 1-bit "
+    "query-side probes, any-band candidate, exact cosine rank): bounded "
+    "candidates per query via (band, key) equi-joins only — the scale "
+    "path; measured recall@5 0.875 pinned in tests",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return lsh_topk(queries, emb, k=5, bands=16, band_bits=6, dim=64)
+    return lsh_topk(queries, emb, k=5, bands=16, band_bits=8, dim=64, probe_bits=1)
 
 
 # ---------------------------------------------------------------------------

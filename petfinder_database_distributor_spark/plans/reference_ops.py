@@ -433,10 +433,15 @@ def q_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_timestamp_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.functions.scalars import timestamp_fmt
+    from petfinder_database_distributor_spark.streaming.incremental import scoped_conf
 
     # date_format renders in the session timezone; pin UTC so the string is
     # identical to DuckDB's TZ-naive strftime regardless of host TZ (the
     # grading driver builds a vanilla session that inherits the host TZ).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select("event_id", timestamp_fmt(F.col("ts")).alias("fetched_at"))
+    # SCOPED, not a permanent session mutation: the timezone is captured
+    # into the plan at analysis (DataFrame construction happens inside the
+    # scope), so later queries on the shared session see their original TZ
+    # and session state stays order-independent.
+    with scoped_conf(spark, spark__sql__session__timeZone="UTC"):
+        ev = load_table(spark, sf_dir, "events")
+        return ev.select("event_id", timestamp_fmt(F.col("ts")).alias("fetched_at"))

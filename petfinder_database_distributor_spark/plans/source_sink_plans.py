@@ -186,10 +186,14 @@ def g1_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_pet_pages(spark)
+    # 2 partitions at this 50-page bench scale: each Python-source partition
+    # pays a Python-worker spin-up, which dominates a 1,200-row generator.
+    # At real scale n_partitions rises with n_pages (the reader splits page
+    # ranges evenly) — the source itself enumerates nothing on the driver.
     pages = (
         spark.read.format("pet_pages")
         .option("n_pages", 50)
-        .option("n_partitions", 8)
+        .option("n_partitions", 2)
         .load()
     )
     links = explode_links_fast(pages, "html", keep=("page", "pet_type"))

@@ -51,19 +51,22 @@ def fixture_fetch(url: str) -> str:
 
 def http_fetch(url: str, server: str, key: str, timeout: int = 60,
                wait_timeout: int | None = None, additional_wait: int | None = None) -> str:
-    """Real fetcher shape (S1; S2 when the wait knobs are set): GET through
-    a scraping server with auth key. Import-gated — ``requests`` may be
-    absent in this container."""
-    import requests  # noqa: PLC0415
+    """Real fetcher shape (S1, pet_scraper.py:60-93; S2 when the wait knobs
+    are set, link_scraper.py:28-63): GET through a scraping server with an
+    auth key; non-2xx raises (urllib's HTTPError — the raise_for_status
+    analog), which the fetch UDF isolates to a null row (T7). Stdlib
+    ``urllib`` rather than ``requests`` so the seam runs — and is tested —
+    in minimal containers."""
+    from urllib.parse import urlencode  # noqa: PLC0415
+    from urllib.request import urlopen  # noqa: PLC0415
 
-    params = {"url": url, "key": key}
+    params: dict[str, str | int] = {"url": url, "key": key}
     endpoint = "/scrape"
     if wait_timeout is not None:
         endpoint = "/scrape-js"
         params.update({"wait_timeout": wait_timeout, "additional_wait": additional_wait or 0})
-    resp = requests.get(f"{server}{endpoint}", params=params, timeout=timeout)
-    resp.raise_for_status()
-    return resp.text
+    with urlopen(f"{server}{endpoint}?{urlencode(params)}", timeout=timeout) as resp:
+        return resp.read().decode("utf-8")
 
 
 def make_fetch_udf(

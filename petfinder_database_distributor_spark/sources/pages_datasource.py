@@ -40,6 +40,13 @@ def make_pet_pages_datasource():
             ]
 
         def read(self, part):
+            # Yield ONE arrow RecordBatch per partition instead of per-row
+            # tuples: the Python worker then ships a single Arrow buffer to
+            # the JVM rather than pickling each row — the supported
+            # fast path for Python Data Sources.
+            import pyarrow as pa
+
+            pages, types, urls, htmls = [], [], [], []
             for page in range(part.start, part.end):
                 for ti, pet_type in enumerate(("dog", "cat")):
                     url = (
@@ -56,7 +63,19 @@ def make_pet_pages_datasource():
                             slots.append(f'<a href="/pet/{key}/details/"/>')
                         else:
                             slots.append('<a href=""/>')
-                    yield (page, pet_type, url, f"<page>{''.join(slots)}</page>")
+                    pages.append(page)
+                    types.append(pet_type)
+                    urls.append(url)
+                    htmls.append(f"<page>{''.join(slots)}</page>")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(pages, pa.int32()),
+                    pa.array(types, pa.string()),
+                    pa.array(urls, pa.string()),
+                    pa.array(htmls, pa.string()),
+                ],
+                names=["page", "pet_type", "url", "html"],
+            )
 
     class PetPagesDataSource(DataSource):
         @classmethod
@@ -72,5 +91,16 @@ def make_pet_pages_datasource():
     return PetPagesDataSource
 
 
+# Registration is idempotent per SparkSession but costs a py4j round-trip
+# plus cloudpickle of the factory every call — memoize on the application
+# id so repeated query invocations (bench loops, the driver's repeated
+# collects) pay it once.
+_REGISTERED: set[str] = set()
+
+
 def register_pet_pages(spark) -> None:
+    app_id = spark.sparkContext.applicationId
+    if app_id in _REGISTERED:
+        return
     spark.dataSource.register(make_pet_pages_datasource())
+    _REGISTERED.add(app_id)

@@ -4,9 +4,10 @@ deterministic (splitmix64 planes, quantized integer dots, first-n-ids
 k-means init), so these are exact pins, not flaky statistical bounds.
 
 The two paths trade differently and both numbers are asserted:
-- ann_lsh_topk (banded SRP): cheap, recall bounded by band collision
-  probability — ~0.5 on this data where true top-5 cosines are modest
-  (the round-1 single-bucket variant measured 0.10).
+- ann_lsh_topk (banded multi-probe SRP, 16 bands × 8 bits + 1-bit
+  probes): 0.875 on this data where true top-5 cosines are a hard
+  ~0.30-0.39 (round-1 single-bucket measured 0.10; round-2 no-probe
+  banding 0.475).
 - ann_ivf_topk (k-means inverted file, nprobe=4): the quality path —
   ~0.9+ here.
 """
@@ -35,7 +36,7 @@ def ground_truth(spark):
 
 @pytest.mark.parametrize(
     "name,min_recall",
-    [("ann_lsh_topk", 0.40), ("ann_ivf_topk", 0.85)],
+    [("ann_lsh_topk", 0.85), ("ann_ivf_topk", 0.85)],
 )
 def test_ann_recall_at_5(spark, ground_truth, name, min_recall):
     approx = _topk_sets(spark, name)

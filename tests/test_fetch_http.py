@@ -2,7 +2,9 @@
 pet_scraper.py:60-93 / link_scraper.py:28-63): exercised against a local
 stub scraping server — proves the injectable-fetcher seam carries the real
 fetcher through the same pandas-UDF plan with no plan change, including T7
-error isolation (HTTP 500 → null row, never a task failure)."""
+error isolation (HTTP 500 → null row, never a task failure). Pure stdlib
+(http.server + urllib in the fetcher) so it runs in every container —
+round 2's version was gated on ``requests`` and silently skipped here."""
 
 from __future__ import annotations
 
@@ -15,15 +17,6 @@ from urllib.parse import parse_qs, urlparse
 import pytest
 
 from pyspark.sql import functions as F
-
-try:
-    import requests  # noqa: F401
-
-    HAVE_REQUESTS = True
-except ImportError:
-    HAVE_REQUESTS = False
-
-pytestmark = pytest.mark.skipif(not HAVE_REQUESTS, reason="requests not installed")
 
 
 class _StubScrapeHandler(BaseHTTPRequestHandler):
