@@ -67,29 +67,42 @@ def main() -> None:
     # slowdown still shows in both passes. Pass 2 is also the honest
     # steady-state number: plan compilation (Catalyst analysis + codegen)
     # is measured cold in pass 1 and cached after.
-    timings: dict[str, float] = {}
+    # Per-query fault isolation (round-3 post-mortem: one AnalysisException
+    # aborted the whole run and the round lost its bench artifact entirely).
+    # A failing query records null + a one-line error; the JSON line always
+    # prints, and failures cost the run nothing but their own slot.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for _pass in range(2):
         for name in names:
+            if name in errors:  # failed in pass 1 — don't pay the retry
+                continue
             t0 = time.perf_counter()
-            df = specs[name].fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            try:
+                df = specs[name].fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+                if timings.get(name) is None:  # keep a pass-1 success if any
+                    timings[name] = None
+                errors[name] = f"{type(exc).__name__}: {exc}".split("\n")[0][:200]
+                continue
             # 2 decimals keeps the single JSON line compact — the driver's
             # capture truncated the r1 tail at 4-decimal precision.
             elapsed = round(time.perf_counter() - t0, 2)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            prev = timings.get(name)
+            timings[name] = elapsed if prev is None else min(prev, elapsed)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t is not None), 4)
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

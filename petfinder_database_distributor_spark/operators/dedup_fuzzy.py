@@ -27,7 +27,6 @@ from pyspark.sql import types as T
 from petfinder_database_distributor_spark.operators.text import (
     MERSENNE_P,
     bag_of_words_fingerprint,
-    md5int,
     shingles,
     tokens,
 )
@@ -237,41 +236,75 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash per row: bit j is set iff the sum of (±1 per distinct
-    token, + when token-hash bit j is 1) is positive.
+# SimHash signature width. 60 = the full width of the portable md5int
+# primitive (first 15 hex chars of md5 → 60-bit int), so every signature bit
+# is oracle-checkable in DuckDB with the same `('0x'||substr(md5(x),1,15))`
+# construction. Round-3 verdict: the old 16-bit width blocked into ~5-bit
+# pigeonhole keys, making ~37% of ALL pairs candidates at 500 docs —
+# near-quadratic at 100 TB. 60 bits → 3 blocks of 20-bit keys (d<=2):
+# 2^20 key space per block, so block collisions at corpus scale are real
+# near-dups plus a vanishing random-collision tail, not a density artifact.
+SIMHASH_BITS = 60
 
-    Single-pass shape: one projection hashes each distinct token once; one
-    ``aggregate`` folds the token hashes into a 16-wide ±1 sum vector via
-    ``zip_with``; a final projection assembles the signature from the sum
-    vector (an attribute there, so its 16 references are free). The old
-    16-aggregate unrolling re-hashed every token 16× because higher-order
-    functions are interpreted (no codegen CSE across them)."""
-    hx = F.transform(F.array_distinct(tokens(F.col(text_col))), md5int)
 
-    def step(acc: Column, x: Column) -> Column:
-        bit_vec = F.array(
-            *[
-                F.when(x.bitwiseAND(F.lit(1 << j).cast("long")) != 0, F.lit(1))
-                .otherwise(F.lit(-1))
-                .cast("long")
-                for j in range(16)
-            ]
-        )
-        return F.zip_with(acc, bit_vec, lambda a, b: a + b)
+def simhash_text_udf(n_bits: int = SIMHASH_BITS):
+    """Pandas UDF: text → ``n_bits``-wide SimHash over distinct whitespace
+    tokens. Bit j is set iff the sum of (±1 per distinct token, + when token-
+    hash bit j is 1) is positive.
 
-    zero16 = F.array_repeat(F.lit(0).cast("long"), 16)
-    sums = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), hx.alias("hx"))
-        .select(F.col(id_col), F.aggregate("hx", zero16, step).alias("sums"))
+    Arrow-batched numpy kernel (same deliberate-UDF rationale as
+    minhash_band_hashes_udf): md5 each distinct token once in C (hashlib),
+    bit-unpack the 60-bit hashes into a (tokens × n_bits) ±1 matrix, one
+    ``sum(axis=0)`` per doc. The previous expression form folded a 16-wide
+    ±1 vector per token through interpreted higher-order functions — at 60
+    bits that forest costs more than the Arrow round-trip, and it cannot
+    vectorize. Tokenization mirrors operators/text.py::tokens (lower, trim,
+    split on whitespace runs) so the DuckDB oracle is restating the same
+    algorithm."""
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+
+    def sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        j = _np.arange(n_bits, dtype=_np.int64)
+        for s in batches:
+            out = []
+            for text in s:
+                toks = (
+                    [t for t in ws.split(text.strip().lower()) if t]
+                    if isinstance(text, str)
+                    else []
+                )
+                if not toks:
+                    out.append(0)
+                    continue
+                h = _np.array(
+                    [
+                        int(_hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        for t in dict.fromkeys(toks)
+                    ],
+                    dtype=_np.int64,
+                )
+                pm = _np.where((h[:, None] >> j[None, :]) & 1 == 1, 1, -1)
+                bits = pm.sum(axis=0) > 0
+                out.append(int((bits.astype(_np.int64) << j).sum()))
+            yield pd.Series(out, dtype="int64")
+
+    return F.pandas_udf(sig, T.LongType())
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash per row — narrow map-side projection, no shuffle; empty/null
+    text pins to signature 0 on both engines."""
+    return ensure_parallelism(df).select(
+        F.col(id_col), simhash_text_udf(n_bits)(F.col(text_col)).alias("simhash")
     )
-    out = F.lit(0).cast("long")
-    for j in range(16):
-        out = out + F.when(
-            F.element_at("sums", j + 1) > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return sums.select(F.col(id_col), out.alias("simhash"))
 
 
 def simhash_blocks(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
@@ -290,12 +323,15 @@ def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
 ) -> DataFrame:
     """SimHash near-dup candidates via the multi-index pigeonhole: the
-    16-bit signature splits into ``max_hamming + 1`` blocks, so any pair
+    60-bit signature splits into ``max_hamming + 1`` blocks, so any pair
     within hamming distance ``max_hamming`` agrees EXACTLY on at least one
     block (d flips can touch at most d of the d+1 blocks) — candidates are
     block+key equi-join matches, then exact hamming verifies via
     bit_count(xor). (Two halves would only guarantee d ≤ 1: a pair with one
-    flip in EACH half matches neither half.)"""
+    flip in EACH half matches neither half.) With d=2 the block keys are 20
+    bits wide — collisions are genuine near-dups plus a ~n²/2²⁰ random
+    tail, not the ~37%-of-all-pairs density the old 16-bit/5-bit-key split
+    produced (tests/test_plan_quality.py pins the candidate ratio)."""
     sims = simhash_signatures(df, id_col, text_col)
     blocks = sims.select(
         F.col(id_col),
@@ -305,13 +341,15 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("half"),
-                        (
-                            F.floor(F.col("simhash") / (1 << shift)).cast("long")
-                            % (1 << width)
-                        ).alias("key"),
+                        # shiftright+mask, NOT floor(x / 2^s): the signature
+                        # is 60-bit, past double's 2^53 exact-integer range,
+                        # so float division would mis-key high blocks.
+                        F.shiftright(F.col("simhash"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .alias("key"),
                     )
                     for b, (shift, width) in enumerate(
-                        simhash_blocks(16, max_hamming + 1)
+                        simhash_blocks(SIMHASH_BITS, max_hamming + 1)
                     )
                 ]
             )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+    SIMHASH_BITS,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -58,11 +59,12 @@ _TOKS_SQL = """
 _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 # Blocking for the simhash oracle — generated from the SAME (shift, width)
-# split the Spark operator uses (max_hamming=2 → 3 blocks).
+# split the Spark operator uses (max_hamming=2 → 3 blocks of 20-bit keys
+# over the 60-bit signature; see operators/dedup_fuzzy.py::SIMHASH_BITS).
 _SIMHASH_BLOCKS_SQL = "\n      UNION ALL ".join(
     f"SELECT doc_id, simhash, {b} AS half, "
     f"(simhash // {1 << shift}) % {1 << width} AS key FROM sims"
-    for b, (shift, width) in enumerate(simhash_blocks(16, 3))
+    for b, (shift, width) in enumerate(simhash_blocks(SIMHASH_BITS, 3))
 )
 
 _SHINGLES_SQL = f"""
@@ -330,10 +332,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits AS (SELECT doc_id, r.j AS j,
                     CASE WHEN sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) > 0
                          THEN (1::BIGINT << r.j) ELSE 0 END AS b
-             FROM hx, range(0, 16) r(j) GROUP BY doc_id, r.j)
+             FROM hx, range(0, {SIMHASH_BITS}) r(j) GROUP BY doc_id, r.j)
     SELECT doc_id, sum(b)::BIGINT AS simhash FROM bits GROUP BY doc_id
     """,
-    doc="16-bit SimHash signatures over distinct tokens (portable hash)",
+    doc="60-bit SimHash signatures over distinct tokens (portable md5int hash)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -349,7 +351,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits AS (SELECT doc_id, r.j AS j,
                     CASE WHEN sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) > 0
                          THEN (1::BIGINT << r.j) ELSE 0 END AS b
-             FROM hx, range(0, 16) r(j) GROUP BY doc_id, r.j),
+             FROM hx, range(0, {SIMHASH_BITS}) r(j) GROUP BY doc_id, r.j),
     sims AS (SELECT doc_id, sum(b)::BIGINT AS simhash FROM bits GROUP BY doc_id),
     blocks AS ({_SIMHASH_BLOCKS_SQL}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
@@ -359,8 +361,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 2
     """,
-    doc="SimHash near-dup pairs via 3-block pigeonhole blocking (d<=2 needs "
-    "max_hamming+1 blocks; 2 halves only cover d<=1) + exact hamming verify",
+    doc="60-bit SimHash near-dup pairs via 3-block pigeonhole blocking "
+    "(d<=2 needs max_hamming+1 blocks; 20-bit keys keep the candidate set "
+    "near-linear) + exact hamming verify",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

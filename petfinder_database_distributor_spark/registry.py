@@ -46,71 +46,67 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The grading driver verifies queries() in dict order and truncates after a
-# bounded window (50 entries in round 1). This list pins the order: queries
-# that have never had a driver-side correctness row, or whose implementation
-# changed this round, come first; the LLM-pipeline centerpiece (dedup/ANN
-# families) is re-checked next; operators unchanged since their round-1 green
-# row (ref_*, advanced-relational demos, p1/ingest) sit in the tail — they
-# remain covered by the identical local parity gate in
-# tests/test_oracle_parity.py every run.
+# bounded 50-entry window. ROTATION POLICY (round-2/3 verdict #1): the window
+# head is (a) queries with NO driver row in any round so far, (b) queries
+# whose implementation changed this round, (c) queries whose only green row
+# is round 1 (stale — re-verify). Queries green in the round-3 driver run and
+# untouched this round move to the tail; they stay covered every run by the
+# identical hash check in tests/test_oracle_parity.py.
 PRIORITY: list[str] = [
     "flagship_distributor_pipeline",
-    # core relational — no driver row yet (round-1 window cut them off)
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "w1_topk_per_group",
-    "w2_running_totals",
-    "g1_rollup_revenue",
-    "j1_semi_anti_join",
-    "j5_bucketed_join",
-    # streaming six — no driver row yet
-    "stream_upsert_merge",
-    "stream_windowed_totals",
-    "stream_dedup_replay",
-    "stream_stateful_counters",
-    "stream_session_windows",
-    "stream_stream_interval_join",
-    # sources/sinks — no driver row yet
-    "s1_fetch_extract",
-    "export_roundtrip_csv",
-    "s8_json_rows",
-    "g1_datasource_ingest",
+    # (a) never driver-checked after three rounds — r3 verdict's top ask
+    "dedup_ngram_jaccard_capped",
+    "dedup_levenshtein",
+    "tfidf_top_terms",
+    "embedding_dim_stats",
+    "mm_resize",
+    "udtf_chunk_documents",
+    "p3_link_fanout_xpath",
+    # (b) re-fixed this round (TIMESTAMP_NTZ normalization in load_table)
     "merge_partitioned_upsert",
-    # changed this round — must re-verify
-    "p3_link_fanout",
-    "mm_decode_features",
-    # LLM-pipeline queries without a round-1 row
-    "search_bm25_topk",
-    "ann_ivf_topk",
-    "dedup_cluster_components",
-    "agg_distinct_users",
-    "text_bigram_tf",
-    "text_chunking",
-    "text_redact_pii",
-    "text_repetition_ratio",
-    "split_train_test",
-    "sample_stratified",
-    "decontamination_check",
-    "mm_frame_sample",
-    # new this round — no prior row exists
-    "ref_timestamp_fmt",
-    "p2_src_attr_project",
-    "dedup_apply_corpus",
-    "dedup_embedding_cosine_exact",
-    # LLM-pipeline centerpiece — keep hard driver signal every round
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "j2_asof_join",
+    "sessionize_events",
+    "window_range_frame",
+    # (b) changed this round: SimHash widened to 64-bit; guard actions moved
+    # out of plan-build; new real-HTML extraction query
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine_exact",
+    "p1_html_project",
+    # (c) last green row is round 1 — rotate back through the window
+    "j3_range_join",
+    "g2_cube_marks",
+    "set_ops_customers",
+    "json_props_extract",
+    "topk_orders_global",
+    "agg_percentiles",
+    "pivot_event_types",
+    "agg_salted_twophase",
+    "j4_salted_join",
+    "q17_sql_correlated",
+    "q4_sql_exists",
+    "q13_sql_outer_count",
+    "variant_props_extract",
+    "transitions_grouped_pandas",
+    "p1_xpath_project",
+    "ingest_frontend",
+    "mm_binary_metadata",
+    "ref_clean_text",
+    "ref_parse_boolean",
+    "ref_extract_name",
+    "ref_export_encode",
+    "ref_url_normalize",
+    "ref_worklist_urls",
+    "ref_placeholder_filter",
+    "ref_null_ratio_filter",
+    "ref_liveness_filter",
+    "ref_nonblank_key",
+    "ref_key_dedup",
+    "ref_anti_join",
+    "ref_upsert_merge",
+    "ref_compaction",
+    "ref_counts",
 ]
 
 

@@ -87,22 +87,43 @@ TESTDATA_TABLES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark (with
-# spark.sql.legacy.parquet.nanosAsLong) reads them as epoch-nanos LongType;
-# we convert to TimestampType via integer division (lossless here — the
-# generator emits microsecond-granularity values).
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Tables whose parquet files carry naive (no-timezone) timestamp columns.
+# Depending on the parquet physical type and the Spark version, such a column
+# can surface three ways; load_table normalizes all of them to a plain
+# TimestampType so downstream expressions (``unix_micros``, range frames,
+# stream watermarks) behave identically across environments:
+#   * ``timestamp``      — already the target type; no-op.
+#   * ``timestamp_ntz``  — pyspark >= 4 reads parquet ``timestamp[us]``
+#     (isAdjustedToUTC=false) as TIMESTAMP_NTZ; cast to ``timestamp``.
+#   * ``bigint``         — parquet TIMESTAMP(NANOS) under
+#     ``spark.sql.legacy.parquet.nanosAsLong`` (historical encoding).
+_TS_TABLES: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Vectorized parquet scan of one driver table; Catalyst prunes columns
     and pushes filters into this scan automatically."""
-    if name in _NANOS_TS_COLS:
-        # Runtime-settable SQL conf; required even when the caller (e.g. the
+    if name in _TS_TABLES:
+        # Runtime-settable SQL confs; required even when the caller (e.g. the
         # grading driver) built the SparkSession without our session factory.
+        # UTC pin first: the ntz->timestamp cast below interprets the naive
+        # value in the session timezone at *execution* time, and only under
+        # UTC does the resulting instant agree with DuckDB's epoch_us over the
+        # same naive values (ADVICE r3: a tz-dependent cast would silently
+        # shift epochs instead of erroring).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+    dtypes = dict(df.dtypes)
+    for c in _TS_TABLES.get(name, ()):
+        if c not in dtypes:
+            continue
+        if dtypes[c] == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif dtypes[c] == "bigint":  # epoch-nanos; generator emits µs values
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df

@@ -2,7 +2,44 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def execution_guard(df: DataFrame, ok: Column, msg: Column) -> DataFrame:
+    """Attach a deferred scale guard to ``df``: ``ok`` (typically built from
+    a ``DataFrame.scalar()`` subquery so it can aggregate over the data) is
+    asserted at EXECUTION time. Query construction therefore launches no
+    Spark job (round-3 verdict #6: guard *actions* at plan-build time cost a
+    job per plan); a violated guard fails the job fast — the scalar subquery
+    stage runs first, and every map task throws on its first row, before the
+    guarded shuffle materializes. The error surfaces as
+    ``SparkRuntimeException [USER_RAISED_EXCEPTION] <msg>``.
+
+    ``assert_true`` returns NULL when ``ok`` holds, so the filter keeps
+    every row and adds only a per-batch constant check; Catalyst does not
+    constant-fold it away (it is marked non-deterministic-safe/side-
+    effecting)."""
+    return df.filter(F.assert_true(ok, msg).isNull())
+
+
+def parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Exact row count of a driver parquet table from file-footer metadata —
+    microseconds, zero Spark jobs. The cheap path for guards whose bound is
+    a raw-table size (a 100 TB table still answers instantly: footers are
+    O(row-groups), not O(rows))."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    files = (
+        sorted(glob.glob(f"{path}/**/*.parquet", recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:

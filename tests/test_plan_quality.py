@@ -62,6 +62,78 @@ def test_dedup_family_never_all_pairs(spark, name):
     assert "BroadcastNestedLoopJoin" not in p, f"{name} must join on bucket keys only"
 
 
+def test_simhash_candidate_ratio_bounded(spark):
+    """Round-3 verdict #5: the old 16-bit signature blocked into ~5-bit keys
+    and made ~37% of ALL pairs candidates at sf0.01 — near-quadratic at
+    100 TB. With 60-bit signatures / 20-bit block keys we pin two bounds:
+
+    * overall candidate ratio < 10% (was 37%): at sf0.01 the documents
+      corpus is duplication-dense by construction, so most surviving
+      candidates are genuinely >92%-bit-similar docs — candidate volume
+      tracks true near-dup density, which is what LSH is supposed to do;
+    * dissimilar-collision tail < 0.5%: candidates at hamming > 10 collided
+      on a block WITHOUT being similar. This is the quantity that goes
+      quadratic at scale (it's ~3n²/2²⁰ random collisions for 20-bit keys,
+      but was ~n²/32 for the old 5-bit keys) — measured 0.28% here."""
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        SIMHASH_BITS,
+        simhash_blocks,
+        simhash_signatures,
+    )
+    from petfinder_database_distributor_spark.schema import load_table
+
+    docs = load_table(spark, f"{SF_SMALL}/../sf0.01", "documents")
+    n = docs.count()
+    sims = simhash_signatures(docs, "doc_id", "text")
+    blocks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("half"),
+                        F.shiftright(F.col("simhash"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .alias("key"),
+                    )
+                    for b, (shift, width) in enumerate(
+                        simhash_blocks(SIMHASH_BITS, 3)
+                    )
+                ]
+            )
+        ).alias("hk"),
+    ).select("doc_id", "simhash", "hk.half", "hk.key")
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"), "half", "key"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"), "half", "key"
+    )
+    cand = (
+        a.join(b, on=["half", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("h", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+    )
+    row = cand.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("h") > 10, 1).otherwise(0)).alias("dissimilar"),
+    ).collect()[0]
+    all_pairs = n * (n - 1) / 2
+    assert row["total"] / all_pairs < 0.10, (
+        f"simhash blocking produced {row['total']}/{all_pairs:.0f} candidate"
+        " pairs — blocking keys are too narrow to prune at scale"
+    )
+    assert row["dissimilar"] / all_pairs < 0.005, (
+        f"{row['dissimilar']} dissimilar pairs (hamming>10) collided on a"
+        " block — the random-collision tail would go quadratic at scale"
+    )
+
+
 def test_ingest_frontend_anti_join_before_fetch(spark):
     # O1 plan shape: the key-dedup/anti-join runs on cheap columns; no
     # Python UDF (fetch) appears upstream of the anti join in this plan.
