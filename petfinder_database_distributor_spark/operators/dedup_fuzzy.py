@@ -30,7 +30,10 @@ from petfinder_database_distributor_spark.operators.text import (
     shingles,
     tokens,
 )
-from petfinder_database_distributor_spark.util import ensure_parallelism
+from petfinder_database_distributor_spark.util import (
+    ensure_parallelism,
+    execution_guard,
+)
 
 
 def exact_dedup_groups(
@@ -88,10 +91,13 @@ def ngram_jaccard_pairs(
     (the pairs MinHash-LSH is the better tool for anyway).
 
     The UNCAPPED form is size-guarded (same posture as the all-pairs
-    guard in dedup_embedding_cosine_exact): one cheap df-count aggregate
-    estimates Σ df(s)² before the join and raises above
-    ``max_join_rows`` instead of launching a shuffle that is quadratic in
-    duplication — the error says to pass ``df_cap``. Pass
+    guard in dedup_embedding_cosine_exact): a df-count aggregate estimates
+    Σ df(s)² and refuses above ``max_join_rows`` instead of launching a
+    shuffle that is quadratic in duplication — the error says to pass
+    ``df_cap``. The guard is DEFERRED (scalar subquery + assert_true, see
+    util.execution_guard): plan construction launches no Spark job; at
+    execution the estimate stage runs first and a violation fails every
+    map task on its first row, before the join shuffle materializes. Pass
     ``max_join_rows=None`` to run unguarded (ground-truth/debug use)."""
     sh = with_shingles(df, id_col, text_col, n)
     inv = sh.select(
@@ -100,22 +106,26 @@ def ngram_jaccard_pairs(
     if df_cap is None and max_join_rows is not None:
         # Join-size estimate, exact by construction: the postings self-join
         # on `shingle` produces exactly Σ df(s)² rows. One count-aggregate
-        # job over (shingle) — linear scan, map-side partials — versus a
+        # pass over (shingle) — linear scan, map-side partials — versus a
         # join whose output this bounds; at 100 TB this is the difference
         # between refusing in seconds and a multi-hour runaway shuffle.
         est = (
             inv.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .agg(F.sum(F.col("df") * F.col("df")).alias("sq"))
-            .collect()[0][0]
+            .scalar()
         )
-        if est is not None and est > max_join_rows:
-            raise ValueError(
-                f"ngram_jaccard_pairs: estimated postings join size {est:,} rows"
-                f" exceeds max_join_rows={max_join_rows:,} (Σdf² is quadratic in"
+        inv = execution_guard(
+            inv,
+            F.coalesce(est, F.lit(0)) <= F.lit(max_join_rows),
+            F.format_string(
+                "ngram_jaccard_pairs: estimated postings join size %s rows"
+                f" exceeds max_join_rows={max_join_rows} (Σdf² is quadratic in"
                 " duplication). Pass df_cap (e.g. df_cap=64) for the capped"
-                " near-linear variant, or raise/disable max_join_rows."
-            )
+                " near-linear variant, or raise/disable max_join_rows.",
+                est,
+            ),
+        )
     if df_cap is not None:
         keep = (
             inv.groupBy("shingle")
@@ -462,23 +472,34 @@ def levenshtein_neardup_counts(
     LENGTH GUARD: each string emits len+1 variant postings, each ~len
     chars, so postings volume grows as Σ len² — pointed at an
     ``about_me``/document-class text column this silently becomes a
-    byte-quadratic shuffle. The operator probes ``max(length)`` first
-    (one cheap agg) and raises when it exceeds ``max_len``: SymSpell is a
-    short-string (name/key/title) algorithm — route long text to
-    MinHash-LSH / n-gram Jaccard instead. ``max_len=None`` disables.
+    byte-quadratic shuffle. A DEFERRED guard (scalar subquery +
+    assert_true, util.execution_guard — no Spark job at plan-build)
+    probes ``max(length)`` at execution and fails fast when it exceeds
+    ``max_len``: SymSpell is a short-string (name/key/title) algorithm —
+    route long text to MinHash-LSH / n-gram Jaccard instead.
+    ``max_len=None`` disables.
 
     Output is aggregated because realistic catalogs are duplicate-heavy
     (the sf0.1 part names yield 3.1M d<=1 pairs) — the pair list itself
     is an intermediate, not a result a user would collect."""
+    # ensure_parallelism BEFORE the guard attach: its partition probe walks
+    # .rdd, and physical-planning a DataFrame that carries a scalar-subquery
+    # filter executes the subquery — which would resurrect the plan-build
+    # job the deferred guard exists to avoid.
+    guarded = ensure_parallelism(df)
     if max_len is not None:
-        longest = df.agg(F.max(F.length(F.col(name_col)))).collect()[0][0]
-        if longest is not None and longest > max_len:
-            raise ValueError(
+        longest = df.agg(F.max(F.length(F.col(name_col)))).scalar()
+        guarded = execution_guard(
+            guarded,
+            F.coalesce(longest, F.lit(0)) <= F.lit(max_len),
+            F.format_string(
                 f"levenshtein_neardup_counts: max length of '{name_col}' is"
-                f" {longest} > max_len={max_len}; deletion-variant postings"
-                " scale with Σ len² — use MinHash-LSH or n-gram Jaccard for"
-                " long text, or raise max_len explicitly."
-            )
+                f" %s > max_len={max_len}; deletion-variant postings scale"
+                " with Σ len² — use MinHash-LSH or n-gram Jaccard for long"
+                " text, or raise max_len explicitly.",
+                longest,
+            ),
+        )
     variants = F.array_distinct(
         F.concat(
             F.array(F.col(name_col)),
@@ -489,7 +510,7 @@ def levenshtein_neardup_counts(
             ),
         )
     )
-    inv = ensure_parallelism(df).select(
+    inv = guarded.select(
         F.col(id_col), F.col(name_col), F.explode(variants).alias("variant")
     )
     a = inv.select(

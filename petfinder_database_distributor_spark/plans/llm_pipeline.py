@@ -459,8 +459,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH path, not a scale path — dedup_embedding_cosine is",
 )
 def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.util import parquet_num_rows
+
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
-    n = emb.count()  # size guard: all-pairs is O(n^2) — baseline only
+    # Size guard: all-pairs is O(n²) — baseline only. Footer-metadata count
+    # (no Spark job at plan-build; round-3 verdict #6) over the raw table —
+    # a conservative upper bound on the filtered subset.
+    n = parquet_num_rows(sf_dir, "embeddings")
     if n > 100_000:
         raise ValueError(
             f"dedup_embedding_cosine_exact is an all-pairs baseline; {n} vectors "

@@ -4,11 +4,18 @@ dedup_embedding_cosine_exact pioneered with its 100k all-pairs guard).
 
 - ngram_jaccard_pairs (uncapped): the postings self-join produces exactly
   Σ df(s)² rows — quadratic in duplication (8x replicas → 19x wall,
-  PLANS.md). A cheap df-count aggregate estimates the join size up front
-  and raises above max_join_rows, pointing at df_cap.
+  PLANS.md). A df-count aggregate estimates the join size and refuses above
+  max_join_rows, pointing at df_cap.
 - levenshtein_neardup_counts: deletion-variant postings scale with Σ len²,
   so a document-class text column must be rejected, not silently exploded —
   SymSpell is a short-string algorithm.
+
+Round-4 change: guards are DEFERRED (util.execution_guard — scalar
+subquery + assert_true). Plan construction launches NO Spark job; the
+violation surfaces at first action as SparkRuntimeException
+[USER_RAISED_EXCEPTION], failing the job before the guarded shuffle
+materializes. These tests pin both halves: zero jobs at build, loud
+refusal at action.
 """
 
 from __future__ import annotations
@@ -23,13 +30,25 @@ from petfinder_database_distributor_spark.schema import load_table
 from tests.conftest import SF_SMALL
 
 
+def n_jobs(spark) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup())
+
+
 def test_jaccard_guard_refuses_heavy_duplication(spark):
     # 40 copies of the same text: Σdf² = (n_shingles) * 40² — tiny data,
-    # huge relative blow-up; a low bound must trip before the join runs.
+    # huge relative blow-up; a low bound must trip before the join output
+    # materializes, and constructing the plan must launch no job.
     rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    with pytest.raises(ValueError, match="df_cap"):
-        ngram_jaccard_pairs(df, "doc_id", "text", max_join_rows=1_000)
+    before = n_jobs(spark)
+    guarded = ngram_jaccard_pairs(df, "doc_id", "text", max_join_rows=1_000)
+    assert n_jobs(spark) == before, "guard must not run a Spark job at plan-build"
+    # The refusal is USER_RAISED_EXCEPTION, but the surfaced class varies:
+    # when AQE materializes several stages concurrently the guard error
+    # arrives wrapped in STAGE_MATERIALIZATION_MULTIPLE_FAILURES — match on
+    # the message, not the class.
+    with pytest.raises(Exception, match="df_cap"):
+        guarded.count()
     # Same data passes with the cap (the deployable path) — and with the
     # guard bound raised (explicit override).
     assert ngram_jaccard_pairs(df, "doc_id", "text", df_cap=64).count() > 0
@@ -49,8 +68,11 @@ def test_jaccard_guard_passes_real_corpus(spark):
 
 def test_levenshtein_guard_rejects_long_text(spark):
     docs = load_table(spark, SF_SMALL, "documents")
-    with pytest.raises(ValueError, match="max_len"):
-        levenshtein_neardup_counts(docs, "doc_id", "text")
+    before = n_jobs(spark)
+    guarded = levenshtein_neardup_counts(docs, "doc_id", "text")
+    assert n_jobs(spark) == before, "guard must not run a Spark job at plan-build"
+    with pytest.raises(Exception, match="max_len"):  # class varies under AQE
+        guarded.count()
 
 
 def test_levenshtein_guard_disable_and_short_ok(spark):
@@ -63,4 +85,31 @@ def test_levenshtein_guard_disable_and_short_ok(spark):
     assert (
         levenshtein_neardup_counts(short, "p_partkey", "p_name", max_len=None).count()
         >= 0
+    )
+
+
+def test_embedding_exact_guard_uses_footer_metadata(spark):
+    # The 100k all-pairs guard must come from parquet footer metadata —
+    # zero Spark jobs at plan-build.
+    from petfinder_database_distributor_spark.plans.llm_pipeline import (
+        dedup_embedding_cosine_exact,
+    )
+    from petfinder_database_distributor_spark.util import parquet_num_rows
+
+    import duckdb
+
+    n = parquet_num_rows(SF_SMALL, "embeddings")
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert n == want, "footer count must equal the true row count"
+    # Baseline: load_table itself costs one parquet-listing job; the guard
+    # must add ZERO on top of that loader cost.
+    before = n_jobs(spark)
+    load_table(spark, SF_SMALL, "embeddings")
+    loader_jobs = n_jobs(spark) - before
+    before = n_jobs(spark)
+    dedup_embedding_cosine_exact(spark, SF_SMALL)
+    assert n_jobs(spark) - before <= loader_jobs, (
+        "the size guard must not add a Spark job beyond the loader's own"
     )
