@@ -454,6 +454,116 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 30
+) -> DataFrame:
+    """Connected components by ALTERNATING SMALL-STAR / LARGE-STAR edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC 2014): the O(log n)-round path that
+    :func:`connected_components`'s docstring promises for petabyte scale.
+    Same output contract: (id, component = smallest member id) for every
+    node appearing in a pair.
+
+    Per round (all bulk DataFrame ops — two agg+join passes on the edge
+    list, never a collect of neighbors):
+    - large-star: every node u links each strictly-larger neighbor to
+      m(u) = min(N(u) ∪ {u}) — long chains fold toward small ids from
+      every direction at once;
+    - small-star: with edges oriented large→small, every node links its
+      smaller neighbors (and itself) to its minimum neighbor.
+    Both steps preserve connectivity; the fixpoint is a star per component
+    centered on the component minimum (the canonical representative).
+    Convergence is witnessed by an (edge-count, Σu, Σv) scalar triple —
+    one driver-side row per round, monotone under contraction — and a
+    non-converged ``max_iter`` exit raises loudly rather than returning a
+    partial clustering.
+
+    Versus the label-propagation loop: rounds drop from O(component
+    diameter) to O(log n) — a 10M-node chain needs ~24 star rounds, not
+    10M — at the cost of ~2× the shuffles per round. Crossover favors this
+    form whenever clusters can be deep (transitive near-dup chains at
+    corpus scale). Parity vs the fixpoint implementation is pinned in
+    tests/test_components_star.py (sf0.01 MinHash pairs + adversarial
+    long-chain/binary-tree fixtures)."""
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        scoped_conf,
+    )
+
+    spark = pairs.sparkSession
+    u, v = F.col("u"), F.col("v")
+    # Canonical large→small orientation; self-loops dropped.
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest(F.col("x"), F.col("y")).alias("u"),
+            F.least(F.col("x"), F.col("y")).alias("v"),
+        )
+        .distinct()
+    )
+    with scoped_conf(spark, spark__sql__shuffle__partitions=8):
+        edges = edges.localCheckpoint(eager=True)
+        prev_witness = None
+        for _ in range(max_iter):
+            # --- large-star: over BOTH orientations, m = min(N(u) ∪ {u});
+            # emit (larger-neighbor → m).
+            both = edges.union(edges.select(v.alias("u"), u.alias("v")))
+            mins = (
+                both.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m"))
+            )
+            large = (
+                both.join(mins, "u")
+                .filter(v > u)  # strictly-larger neighbors only
+                .select(v.alias("u"), F.col("m").alias("v"))  # m <= u < neighbor
+                .filter(u != v)
+                .distinct()
+            )
+            # --- small-star: edges already oriented large→small; every
+            # node links its smaller neighbors AND itself to min(N(u)).
+            mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(mins2, "u")
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(u.alias("su"), F.col("m").alias("sv")),
+                            F.struct(v.alias("su"), F.col("m").alias("sv")),
+                        )
+                    ).alias("e")
+                )
+                .select(F.col("e.su").alias("u"), F.col("e.sv").alias("v"))
+                .filter(u != v)
+                .distinct()
+                .localCheckpoint(eager=True)  # truncate lineage per round
+            )
+            # Exact-integer witness: count + both id sums + an order-free
+            # per-edge mixing term ((u*31+v) mod p — bigint-safe for 59-bit
+            # ids, unlike u*v), so two different edge sets colliding in
+            # consecutive rounds would need four simultaneous coincidences.
+            witness = small.agg(
+                F.count(F.lit(1)),
+                F.sum("u"),
+                F.sum("v"),
+                F.sum((u * 31 + v) % F.lit(2147483647)),
+            ).collect()[0]
+            edges = small
+            if tuple(witness) == prev_witness:
+                break
+            prev_witness = tuple(witness)
+        else:
+            raise RuntimeError(
+                f"connected_components_star: no fixpoint after {max_iter}"
+                " star rounds — raise max_iter (components converge in"
+                " O(log n) rounds; 30 covers ~10^9-node diameters)"
+            )
+    roots = edges.select(v.alias("id")).distinct()
+    return edges.select(u.alias("id"), v.alias("component")).unionByName(
+        roots.select("id", F.col("id").alias("component"))
+    )
+
+
 def levenshtein_neardup_counts(
     df: DataFrame, id_col: str, name_col: str, max_len: int = 256
 ) -> DataFrame:

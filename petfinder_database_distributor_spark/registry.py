@@ -74,6 +74,7 @@ PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine_exact",
     "p1_html_project",
+    "dedup_cluster_components_star",
     # (c) last green row is round 1 — rotate back through the window
     "j3_range_join",
     "g2_cube_marks",
