@@ -1299,20 +1299,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The dedup step APPLIED: MinHash-LSH pairs → connected components → "
     "drop every non-canonical cluster member with one left_anti join — the "
     "surviving training corpus. Composition of dedup_minhash_lsh + "
-    "dedup_cluster_components + F4's anti-join shape. No broadcast hint: "
-    "web-corpus near-dup fractions run 30-50%, so the drop set scales WITH "
-    "the corpus — the anti-join must be a shuffle join at 100 TB (AQE "
-    "converts it to broadcast when the drop set turns out small)",
+    "dedup_cluster_components + F4's anti-join shape; uses the star-"
+    "contraction components (O(log n) rounds — measured ~2x the propagation "
+    "form even at sf0.1, parity-pinned in test_components_star.py). No "
+    "broadcast hint: web-corpus near-dup fractions run 30-50%, so the drop "
+    "set scales WITH the corpus — the anti-join must be a shuffle join at "
+    "100 TB (AQE converts it to broadcast when the drop set turns out "
+    "small)",
 )
 def dedup_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
-        connected_components,
+        connected_components_star,
         minhash_lsh_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
-    comp = connected_components(pairs)
+    comp = connected_components_star(pairs)
     drops = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
