@@ -16,7 +16,8 @@ SF = '/root/testdata/sf0.1'
 # skip quadratic / recursive / all-pairs oracles and the staged-stream queries
 SKIP = {
     'dedup_ngram_jaccard', 'dedup_ngram_jaccard_capped', 'dedup_minhash_lsh',
-    'dedup_simhash_pairs', 'dedup_cluster_components', 'dedup_apply_corpus',
+    'dedup_simhash_pairs', 'dedup_cluster_components',
+    'dedup_cluster_components_star', 'dedup_apply_corpus',
     'dedup_embedding_cosine', 'dedup_embedding_cosine_exact',
     'ann_bruteforce_topk', 'ann_lsh_topk', 'ann_ivf_topk',
 } | {n for n in qs if n.startswith('stream_')}

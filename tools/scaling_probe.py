@@ -7,7 +7,11 @@ shapes scale; results are recorded in PLANS.md.
 Only probe inputs are synthesized (never query fixtures for the driver
 contract — registered queries always read the driver's own testdata).
 
-Usage: python tools/scaling_probe.py [factor]
+Usage: python tools/scaling_probe.py [factor] [query1,query2,...]
+(default query set below; heavy-duplication note: key-offset copies make
+every replica an exact near-dup, so dedup-family outputs legitimately grow
+quadratically in the factor — the probe measures whether the PLAN absorbs
+that, not whether the output stays flat.)
 """
 
 from __future__ import annotations
@@ -73,6 +77,7 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    queries = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_QUERIES
     spark = get_spark(app_name="scaling_probe")
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = f"{REPO_ROOT}/.stream_scratch/scale_probe_x{factor}"
@@ -82,7 +87,7 @@ def main() -> None:
     qs = load_all()
     spark.range(1000).selectExpr("sum(id)").collect()
     print(f"{'query':28s} {'1x':>7s} {'%dx' % factor:>7s} {'growth':>7s}")
-    for name in PROBE_QUERIES:
+    for name in queries:
         times = []
         for sf_dir in (BASE_SF, out_dir):
             best = float("inf")
