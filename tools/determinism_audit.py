@@ -6,7 +6,8 @@ latent parity flake the round-1 asof_join had. Streaming queries are
 excluded (they scope their own confs; covered by tests/test_streaming.py).
 
 Round-2 result: all 84 non-streaming queries OK at sf0.01 (32 vs 7
-shuffle partitions).
+shuffle partitions). Round-4 re-run: all 88 OK (incl. the 60-bit simhash
+family, star-contraction components, and the malformed-HTML extractor).
 
 Usage: python tools/determinism_audit.py
 """
