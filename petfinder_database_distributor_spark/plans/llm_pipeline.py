@@ -1324,6 +1324,93 @@ def dedup_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HLL parameters: p=9 -> m=512 registers; hash = portable 60-bit md5int,
+# bucket = low 9 bits, rho = leading-zero rank of the remaining 51 bits
+# (computed as 52 - bit_length, via base-2 string length — no float log2,
+# whose libm rounding could diverge between engines near powers of two).
+# EVERYTHING stays exact-integer until one final IEEE division: the
+# harmonic sum Σ 2^-M_j is scaled by 2^52 so every term (2^(52-M_j)) is an
+# integer — order-independent, bit-identical across engines and partition
+# counts — and empty registers contribute (m - occupied)·2^52 without a
+# 512-row join. alpha and 2^70 (= m²·2^52) are written as the SAME literal
+# expression on both sides so the doubles agree bit-for-bit.
+_HLL_M = 512
+_HLL_ALPHA_SQL = "0.7213 / (1 + 1.079 / 512)"
+
+
+@register(
+    "sketch_hll_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    br AS (
+      SELECT hv % {_HLL_M} AS bucket,
+             52 - length(bin(hv // {_HLL_M})) AS rho
+      FROM h
+    ),
+    regs AS (SELECT bucket, max(rho) AS m_j FROM br GROUP BY bucket),
+    s AS (
+      SELECT count(*) AS occupied,
+             sum((1::BIGINT << (52 - m_j)))::BIGINT AS s_occ
+      FROM regs
+    )
+    SELECT {_HLL_M}::BIGINT AS m,
+           ({_HLL_M} - occupied)::BIGINT AS zero_regs,
+           (s_occ + ({_HLL_M} - occupied) * (1::BIGINT << 52))::BIGINT AS s_scaled,
+           round(({_HLL_ALPHA_SQL}) * 1180591620717411303424.0
+                 / (s_occ + ({_HLL_M} - occupied) * (1::BIGINT << 52)), 4)
+             AS hll_raw_estimate
+    FROM s
+    """,
+    doc="Portable HyperLogLog distinct-count sketch (p=9, m=512) over "
+    "events.user_id — THE 100 TB shape for distinct counting: a narrow "
+    "map-side projection then ONE 512-key partial-max shuffle (contrast "
+    "agg_distinct_users' exact count-distinct, which shuffles every "
+    "distinct key). The novel part is bit-exact cross-engine checkability "
+    "of an approximate sketch: integer-only register math (rho via base-2 "
+    "string length, harmonic sum pre-scaled by 2^52 so each term is an "
+    "integer) defers ALL floating point to one deterministic IEEE divide. "
+    "Output is the full sketch state (zero_regs + scaled harmonic sum + "
+    "raw estimate): the standard low-range linear-counting correction "
+    "needs ln(), the one libm op with NO cross-engine rounding guarantee, "
+    "so the engine emits the exact-portable state and the consumer applies "
+    "the correction — accuracy (<5% after correction, <14% raw at high "
+    "range) is bound-tested vs exact counts in tests/test_sketches.py",
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hv = md5int(F.col("user_id").cast("string"))
+    br = ev.select(
+        (hv % _HLL_M).alias("bucket"),
+        (
+            F.lit(52)
+            - F.length(F.conv(F.shiftright(hv, 9).cast("string"), 10, 2))
+        ).alias("rho"),
+    )
+    regs = br.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    s = regs.agg(
+        F.count(F.lit(1)).alias("occupied"),
+        # column-valued shift amount needs the SQL form (python F.shiftleft
+        # only takes an int literal)
+        F.sum(F.expr("shiftleft(1L, 52 - m_j)")).cast("long").alias("s_occ"),
+    )
+    s_scaled = (
+        F.col("s_occ")
+        + (F.lit(_HLL_M) - F.col("occupied")) * F.lit(1 << 52).cast("long")
+    ).cast("long")
+    alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(512))
+    return s.select(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        (F.lit(_HLL_M) - F.col("occupied")).cast("long").alias("zero_regs"),
+        s_scaled.alias("s_scaled"),
+        F.round(
+            alpha * F.lit(1180591620717411303424.0) / s_scaled.cast("double"), 4
+        ).alias("hll_raw_estimate"),
+    )
+
+
 @register(
     "embedding_dim_stats",
     # Decimal-exact moments: sums of x and x^2 run in DECIMAL so

@@ -75,6 +75,7 @@ PRIORITY: list[str] = [
     "dedup_embedding_cosine_exact",
     "p1_html_project",
     "dedup_cluster_components_star",
+    "sketch_hll_distinct_users",
     # (c) last green row is round 1 — rotate back through the window
     "j3_range_join",
     "g2_cube_marks",
@@ -107,7 +108,9 @@ PRIORITY: list[str] = [
     "ref_anti_join",
     "ref_upsert_merge",
     "ref_compaction",
-    "ref_counts",
+    # ref_counts (round-1-green, trivial count) rotates past the 50-window
+    # this round to make room for the new sketch query; it stays covered by
+    # the local parity gate.
 ]
 
 

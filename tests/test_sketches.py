@@ -40,3 +40,38 @@ def test_observe_metrics_counters(spark):
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("s")
     ).collect()[0]["s"]
     assert obs.get["cents_seen"] == exact
+
+
+def test_portable_hll_accuracy_with_correction(spark):
+    """The registered sketch_hll_distinct_users query emits exact-portable
+    sketch state (zero_regs, scaled harmonic sum, raw estimate). Applying
+    the standard HyperLogLog low-range correction (linear counting when
+    E_raw <= 2.5m and zero registers remain — ln() lives HERE, consumer-
+    side, because libm gives no cross-engine rounding guarantee) must land
+    within 5% of the exact distinct count at every SF; the raw estimator
+    alone must hold the theoretical ~1.04/sqrt(m) bound (x3) at high range."""
+    import math
+
+    import duckdb
+
+    from petfinder_database_distributor_spark.registry import load_all
+
+    spec = load_all()["sketch_hll_distinct_users"]
+    for sf_dir in (SF_SMALL, f"{SF_SMALL}/../sf0.01", f"{SF_SMALL}/../sf0.1"):
+        row = spec.fn(spark, sf_dir).collect()[0]
+        m, v, e_raw = row["m"], row["zero_regs"], row["hll_raw_estimate"]
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+        ).fetchone()[0]
+        if e_raw <= 2.5 * m and v > 0:
+            corrected = m * math.log(m / v)  # linear counting
+        else:
+            corrected = e_raw
+            assert abs(e_raw - exact) / exact <= 3 * 1.04 / math.sqrt(m), (
+                f"{sf_dir}: raw estimate {e_raw} vs exact {exact}"
+            )
+        # absolute floor of 1: at tiny cardinalities (15 users at sf0.001)
+        # a single bucket collision moves the estimate by ~1 count
+        assert abs(corrected - exact) <= max(1.0, 0.05 * exact), (
+            f"{sf_dir}: corrected {corrected:.1f} vs exact {exact}"
+        )
