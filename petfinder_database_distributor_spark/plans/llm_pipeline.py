@@ -1411,6 +1411,80 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-Min sketch parameters + fixed probe keys. d=4 hash rows x w=1024
+# buckets: the sketch state is 4096 integer counters REGARDLESS of corpus
+# size, and building it is one map-side-combinable groupBy on (row, bucket)
+# — contrast exact term frequencies, which shuffle every distinct token.
+# All integer arithmetic end-to-end -> hash-exact across engines. Probe set
+# is a fixed literal list (frequent corpus terms + one absent sentinel that
+# exercises the collision-noise floor).
+_CMS_D, _CMS_W = 4, 1024
+_CMS_PROBES = ("join", "hash", "row", "batch", "scan", "filter", "zzz_absent")
+
+
+@register(
+    "sketch_cms_term_counts",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tok AS (SELECT u.x AS tok FROM toks, unnest(t) u(x)),
+    hashed AS (
+      SELECT r.j,
+             ({_MD5INT.format(x="r.j::VARCHAR || ':' || tok")}) % {_CMS_W} AS bucket
+      FROM tok, range(0, {_CMS_D}) r(j)
+    ),
+    cms AS (SELECT j, bucket, count(*) AS c FROM hashed GROUP BY j, bucket),
+    probes(word) AS (VALUES {", ".join(f"('{p}')" for p in _CMS_PROBES)}),
+    pb AS (
+      SELECT word, r.j,
+             ({_MD5INT.format(x="r.j::VARCHAR || ':' || word")}) % {_CMS_W} AS bucket
+      FROM probes, range(0, {_CMS_D}) r(j)
+    )
+    SELECT word, min(coalesce(c, 0))::BIGINT AS cms_count
+    FROM pb LEFT JOIN cms USING (j, bucket)
+    GROUP BY word
+    """,
+    doc="Count-Min frequency sketch (d=4, w=1024) over document tokens with "
+    "point estimates for a fixed probe vocabulary — the frequency twin of "
+    "the HLL distinct sketch: bounded 4096-counter state, map-side partial "
+    "counting, never a full distinct-token shuffle. Pure integer math "
+    "(portable md5int row-salted hashes, min over 4 counters) makes the "
+    "approximate estimates bit-exact cross-engine; the CMS guarantee "
+    "(estimate >= true, <= true + collision noise) is tested vs exact "
+    "counts in tests/test_sketches.py",
+)
+def sketch_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+
+    def buckets_of(col: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (md5int(F.concat(F.lit(f"{j}:"), col)) % _CMS_W).alias("bucket"),
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+
+    hashed = toks.select(F.explode(buckets_of(F.col("tok"))).alias("h")).select(
+        "h.j", "h.bucket"
+    )
+    cms = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "word string")
+    pb = probes.select(
+        "word", F.explode(buckets_of(F.col("word"))).alias("h")
+    ).select("word", "h.j", "h.bucket")
+    return (
+        pb.join(cms, on=["j", "bucket"], how="left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_count"))
+    )
+
+
 @register(
     "embedding_dim_stats",
     # Decimal-exact moments: sums of x and x^2 run in DECIMAL so

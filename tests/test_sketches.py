@@ -75,3 +75,33 @@ def test_portable_hll_accuracy_with_correction(spark):
         assert abs(corrected - exact) <= max(1.0, 0.05 * exact), (
             f"{sf_dir}: corrected {corrected:.1f} vs exact {exact}"
         )
+
+
+def test_cms_guarantee_vs_exact(spark):
+    """Count-Min guarantee: estimate NEVER undercounts, and overcounts by
+    at most the collision noise (~d-independent; bound by 2N/w with large
+    margin here). Checked against exact token counts at sf0.01."""
+    import duckdb
+
+    from petfinder_database_distributor_spark.registry import load_all
+
+    sf_dir = f"{SF_SMALL}/../sf0.01"
+    est = {
+        r["word"]: r["cms_count"]
+        for r in load_all()["sketch_cms_term_counts"].fn(spark, sf_dir).collect()
+    }
+    exact_rows = duckdb.sql(
+        f"""
+        WITH toks AS (SELECT list_filter(string_split_regex(lower(trim(text)),
+                      '\\s+'), x -> x <> '') AS t
+                      FROM read_parquet('{sf_dir}/documents.parquet')),
+        tok AS (SELECT u.x AS tok, count(*) AS c FROM toks, unnest(t) u(x) GROUP BY u.x)
+        SELECT tok, c FROM tok
+        """
+    ).fetchall()
+    exact = dict(exact_rows)
+    n_total = sum(exact.values())
+    for word, e in est.items():
+        true = exact.get(word, 0)
+        assert e >= true, f"CMS undercounted {word}: {e} < {true}"
+        assert e <= true + 2 * n_total / 1024, f"CMS noise blown on {word}"
