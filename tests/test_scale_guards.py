@@ -31,7 +31,11 @@ from tests.conftest import SF_SMALL
 
 
 def n_jobs(spark) -> int:
-    return len(spark.sparkContext.statusTracker().getJobIdsForGroup())
+    # Max job id, NOT len(): the status tracker evicts jobs past
+    # spark.ui.retainedJobs, so a length can shrink mid-suite and make
+    # delta assertions flaky; job ids are monotone.
+    ids = spark.sparkContext.statusTracker().getJobIdsForGroup()
+    return max(ids) if ids else -1
 
 
 def test_jaccard_guard_refuses_heavy_duplication(spark):
