@@ -33,6 +33,37 @@ HEADLINE = [
 ]
 
 
+def run_queries(
+    spark, specs, names: list[str], sf_dir: str, passes: int = 2
+) -> tuple[dict[str, float | None], dict[str, str]]:
+    """Best-of-N timing loop with per-query fault isolation (round-3
+    post-mortem: one AnalysisException aborted the whole run and the round
+    lost its bench artifact entirely). A failing query records null + a
+    one-line error; the loop always completes, and failures cost the run
+    nothing but their own slot. Unit-tested in tests/test_bench_harness.py."""
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
+    for _pass in range(passes):
+        for name in names:
+            if name in errors:  # failed in an earlier pass — skip the retry
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = specs[name].fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+                if timings.get(name) is None:  # keep an earlier success if any
+                    timings[name] = None
+                errors[name] = f"{type(exc).__name__}: {exc}".split("\n")[0][:200]
+                continue
+            # 2 decimals keeps the single JSON line compact — the driver's
+            # capture truncated the r1 tail at 4-decimal precision.
+            elapsed = round(time.perf_counter() - t0, 2)
+            prev = timings.get(name)
+            timings[name] = elapsed if prev is None else min(prev, elapsed)
+    return timings, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -67,31 +98,7 @@ def main() -> None:
     # slowdown still shows in both passes. Pass 2 is also the honest
     # steady-state number: plan compilation (Catalyst analysis + codegen)
     # is measured cold in pass 1 and cached after.
-    # Per-query fault isolation (round-3 post-mortem: one AnalysisException
-    # aborted the whole run and the round lost its bench artifact entirely).
-    # A failing query records null + a one-line error; the JSON line always
-    # prints, and failures cost the run nothing but their own slot.
-    timings: dict[str, float | None] = {}
-    errors: dict[str, str] = {}
-    for _pass in range(2):
-        for name in names:
-            if name in errors:  # failed in pass 1 — don't pay the retry
-                continue
-            t0 = time.perf_counter()
-            try:
-                df = specs[name].fn(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
-            except Exception as exc:  # noqa: BLE001 — isolate, record, continue
-                if timings.get(name) is None:  # keep a pass-1 success if any
-                    timings[name] = None
-                errors[name] = f"{type(exc).__name__}: {exc}".split("\n")[0][:200]
-                continue
-            # 2 decimals keeps the single JSON line compact — the driver's
-            # capture truncated the r1 tail at 4-decimal precision.
-            elapsed = round(time.perf_counter() - t0, 2)
-            prev = timings.get(name)
-            timings[name] = elapsed if prev is None else min(prev, elapsed)
-
+    timings, errors = run_queries(spark, specs, names, sf_dir)
     total = round(sum(t for t in timings.values() if t is not None), 4)
     out = {
         "metric": "headline_queries_wall",

@@ -1,0 +1,71 @@
+"""bench.py fault isolation (round-3 post-mortem: an exception in one query
+aborted the entire bench and the round lost its artifact). The timing loop
+must survive failing queries — at plan time AND at action time — record
+null + a one-line error for them, and still produce timings for everything
+else. The driver's per-round BENCH_r{N}.json depends on this behavior."""
+
+from __future__ import annotations
+
+import json
+
+from bench import run_queries
+from tests.conftest import SF_SMALL
+
+
+class FakeSpec:
+    def __init__(self, fn):
+        self.fn = fn
+
+
+def ok_query(spark, sf_dir):
+    return spark.range(10)
+
+
+def plan_time_boom(spark, sf_dir):
+    raise ValueError("broken at plan construction")
+
+
+def action_time_boom(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    # Analyzes fine; every task throws at execution (the round-3 failure
+    # mode was this class: valid-looking plan, dead at the action).
+    return spark.range(10).select(
+        F.assert_true(F.col("id") < 0, F.lit("dead at action")).alias("x")
+    )
+
+
+def test_bench_isolates_failures_and_times_the_rest(spark):
+    specs = {
+        "good_one": FakeSpec(ok_query),
+        "bad_plan": FakeSpec(plan_time_boom),
+        "bad_action": FakeSpec(action_time_boom),
+        "good_two": FakeSpec(ok_query),
+    }
+    names = list(specs)
+    timings, errors = run_queries(spark, specs, names, SF_SMALL, passes=2)
+
+    assert timings["good_one"] is not None and timings["good_two"] is not None
+    assert timings["bad_plan"] is None and timings["bad_action"] is None
+    assert "ValueError" in errors["bad_plan"]
+    assert "bad_action" in errors  # surfaced, class varies by Spark wrapping
+    assert "\n" not in errors["bad_plan"] and len(errors["bad_plan"]) <= 200
+
+    # The output contract downstream of the loop: total over non-null only,
+    # JSON-serializable with nulls in place.
+    total = round(sum(t for t in timings.values() if t is not None), 4)
+    line = json.dumps({"value": total, "queries": timings, "errors": errors})
+    parsed = json.loads(line)
+    assert parsed["queries"]["bad_plan"] is None
+
+
+def test_bench_failed_query_not_retried_in_pass_two(spark):
+    calls = {"n": 0}
+
+    def counting_boom(spark_, sf_dir):
+        calls["n"] += 1
+        raise RuntimeError("always fails")
+
+    specs = {"boom": FakeSpec(counting_boom)}
+    run_queries(spark, specs, ["boom"], SF_SMALL, passes=2)
+    assert calls["n"] == 1, "a failed query must not pay the second pass"
