@@ -1485,6 +1485,77 @@ def sketch_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Histogram-quantile sketch: 256 fixed-width bins ([0, 512) in steps of 2,
+# out-of-range clamps to the edge bins). Like the HLL/CMS construction the
+# state is integer counts over a BOUNDED key set — a map-side-combinable
+# 256-key aggregate replaces exact percentile's full sort — and the only
+# floating point is the final interpolation, identical IEEE ops on exact
+# integers + the same q literals in both engines.
+_HQ_BINS, _HQ_W = 256, 2
+_HQ_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(greatest(floor(value / {_HQ_W}), 0), {_HQ_BINS - 1})::BIGINT AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+    cum AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,
+                   sum(c) OVER () AS n
+            FROM counts),
+    qs(q) AS (VALUES {", ".join(f"({q})" for q in _HQ_QS)}),
+    sel AS (SELECT q, min(bin) AS bin FROM qs, cum
+            WHERE cum >= q * n GROUP BY q)
+    SELECT s.q,
+           round(s.bin * {_HQ_W} + {_HQ_W}.0 * (s.q * c2.n - (c2.cum - c2.c)) / c2.c, 6)
+             AS quantile_est
+    FROM sel s JOIN cum c2 ON c2.bin = s.bin
+    """,
+    doc="Fixed-bin histogram quantile sketch over events.value (q25/50/90/99): "
+    "the third portable sketch — bounded 256-key integer-count state with "
+    "map-side partials instead of exact percentile's full sort; linear "
+    "interpolation inside the hit bin is the only float math (identical "
+    "IEEE ops both engines -> hash-exact). Deterministic error bound: "
+    "estimate within one bin width (2.0) of the exact quantile, tested in "
+    "tests/test_sketches.py. Contrast agg_percentiles (exact, sort-based)",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / _HQ_W), F.lit(0)),
+            F.lit(_HQ_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    counts = b.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    # <=256 rows: the unpartitioned windows are a deliberate single-task
+    # pass over the tiny register table, not a data-scale sort.
+    cum = counts.select(
+        "bin",
+        "c",
+        F.sum("c").over(Window.orderBy("bin")).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q double")
+    sel = (
+        qs.crossJoin(cum)
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.col("bin") * _HQ_W + F.lit(float(_HQ_W)) * (
+        F.col("q") * F.col("n") - (F.col("cum") - F.col("c"))
+    ) / F.col("c")
+    return sel.join(cum, on="bin").select("q", F.round(est, 6).alias("quantile_est"))
+
+
 @register(
     "embedding_dim_stats",
     # Decimal-exact moments: sums of x and x^2 run in DECIMAL so

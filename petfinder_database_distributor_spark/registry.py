@@ -77,6 +77,7 @@ PRIORITY: list[str] = [
     "dedup_cluster_components_star",
     "sketch_hll_distinct_users",
     "sketch_cms_term_counts",
+    "sketch_histogram_quantiles",
     # (c) last green row is round 1 — rotate back through the window
     "j3_range_join",
     "g2_cube_marks",
@@ -107,10 +108,10 @@ PRIORITY: list[str] = [
     "ref_nonblank_key",
     "ref_key_dedup",
     "ref_anti_join",
-    "ref_upsert_merge",
-    # ref_compaction and ref_counts (round-1-green, trivial) rotate past
-    # the 50-window this round to make room for the two new sketch
-    # queries; they stay covered by the local parity gate every run.
+    # ref_upsert_merge / ref_compaction / ref_counts (round-1-green,
+    # trivial) rotate past the 50-window this round to make room for the
+    # three new sketch queries; they stay covered by the local parity gate
+    # every run.
 ]
 
 

@@ -105,3 +105,22 @@ def test_cms_guarantee_vs_exact(spark):
         true = exact.get(word, 0)
         assert e >= true, f"CMS undercounted {word}: {e} < {true}"
         assert e <= true + 2 * n_total / 1024, f"CMS noise blown on {word}"
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    """Deterministic error bound of the histogram sketch: every estimate
+    within one bin width (2.0) of the exact continuous quantile."""
+    import duckdb
+
+    from petfinder_database_distributor_spark.registry import load_all
+
+    spec = load_all()["sketch_histogram_quantiles"]
+    for sf_dir in (SF_SMALL, f"{SF_SMALL}/../sf0.01"):
+        rows = {r["q"]: r["quantile_est"] for r in spec.fn(spark, sf_dir).collect()}
+        assert set(rows) == {0.25, 0.5, 0.9, 0.99}
+        for q, est in rows.items():
+            exact = duckdb.sql(
+                f"SELECT quantile_cont(value, {q}) "
+                f"FROM '{sf_dir}/events.parquet'"
+            ).fetchone()[0]
+            assert abs(est - exact) <= 2.0, f"q={q}: est {est} vs exact {exact}"
