@@ -177,6 +177,22 @@ def test_dedup_apply_anti_join(spark):
     assert "LeftAnti" in p
 
 
+def test_sketch_plans_partial_aggregate_no_expand(spark):
+    """The sketches' scale claim in plan form: register construction is a
+    partial-then-final hash aggregate over the BOUNDED key space (map-side
+    combine before any exchange), and the HLL plan contains no Expand node
+    (the count-distinct rewrite whose shuffle carries every distinct key —
+    exactly what the sketch exists to avoid)."""
+    p_hll = plan_of(spark, "sketch_hll_distinct_users")
+    assert "partial_max" in p_hll, "register max must partial-aggregate map-side"
+    assert "Expand" not in p_hll, "HLL must not fall back to a distinct rewrite"
+    p_cms = plan_of(spark, "sketch_cms_term_counts")
+    assert "partial_count" in p_cms, "counter build must partial-aggregate map-side"
+    assert "CartesianProduct" not in p_cms
+    p_hq = plan_of(spark, "sketch_histogram_quantiles")
+    assert "partial_count" in p_hq, "bin counts must partial-aggregate map-side"
+
+
 def test_similarity_chooser_switches_strategy(spark):
     """SURVEY §7.2's optional cost rule: exact broadcast scoring under the
     pair budget, banded LSH above it — verified by plan shape."""
