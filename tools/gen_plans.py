@@ -9,6 +9,11 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+MARKER = (
+    "<!-- MEASUREMENTS — hand-maintained; gen_plans.py preserves"
+    " everything below -->"
+)
+
 SHOW = {
     "q1_pricing_summary": "filter pushdown + column pruning + map-side partial agg",
     "q5_region_nation_revenue": "broadcast hash joins for the dim chain",
@@ -20,6 +25,13 @@ SHOW = {
     "top-k is TakeOrderedAndProject, no global sort",
     "text_lang_id": "narrow single-pass projection — no shuffle, no UDF; "
     "argmax is one array_max, not a 2^k-duplicating when-chain",
+    "sketch_hll_distinct_users": "bounded 512-register partial_max aggregate "
+    "— no Expand/distinct rewrite, the shuffle carries 512 keys not every "
+    "distinct value",
+    "sketch_cms_term_counts": "4096-counter partial_count build + broadcast "
+    "probe join — never a full distinct-token shuffle",
+    "p1_html_project": "malformed-HTML extraction is one ArrowEvalPython "
+    "projection pipelined in the scan stage — narrow, no shuffle",
 }
 
 
@@ -75,8 +87,18 @@ def main() -> None:
         "",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+    path = os.path.join(repo, "PLANS.md")
+    # Preserve the hand-maintained measurement sections: everything from
+    # MARKER on survives regeneration verbatim.
+    preserved = ""
+    if os.path.exists(path):
+        existing = open(path).read()
+        if MARKER in existing:
+            preserved = existing[existing.index(MARKER):]
+    with open(path, "w") as f:
         f.write("\n".join(out))
+        if preserved:
+            f.write("\n" + preserved)
     print("PLANS.md written")
 
 
