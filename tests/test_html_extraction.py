@@ -100,3 +100,31 @@ def test_all_selectors_one_pass_nested_captures():
     html = '<div class="o">out <span class="i">in</span> side</div>'
     # Outer and inner captures are simultaneously active; both complete.
     assert extract(html, "div.o", "span.i") == ["out in side", "in"]
+
+
+# ---- property: the extractor NEVER crashes and always honors the contract
+# (list of plain strings, '' on miss) no matter how broken the input is.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tagish = st.sampled_from(
+    ["<div>", "</div>", "<p class=x>", "<li", ">", "</", "<![CDATA[", "<!--",
+     "-->", "<a href='", "<<<", "&amp;", "&#x41;", "&bogus;", "<img src=x>",
+     '<div class="x y">', "</span>", "\x00", "🐈", "text ", "<DIV>", "<?php "]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_tagish, max_size=30).map("".join))
+def test_extractor_total_on_malformed_soup(soup):
+    out = extract(soup, "div.x p", "#loc", "li")
+    assert len(out) == 3
+    assert all(isinstance(v, str) for v in out)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_extractor_total_on_arbitrary_text(text):
+    out = extract(text, "p.msg")
+    assert len(out) == 1 and isinstance(out[0], str)
