@@ -177,6 +177,58 @@ def test_dedup_apply_anti_join(spark):
     assert "LeftAnti" in p
 
 
+def test_runtime_bloom_filter_join(spark):
+    """AQE runtime filters — the 100 TB shuffle-join lever this suite can
+    demonstrate but a registered query can't carry (injection happens at
+    optimization/action time, so it would need PERMANENT session confs —
+    autoBroadcastJoinThreshold=-1 among them — that would pessimize every
+    later query in the driver's shared session). Scoped here: with a
+    selective filter on the orders side, Spark builds a bloom_filter_agg
+    over the join keys and pushes a might_contain predicate into the
+    lineitem scan side, pruning shuffle input before the sort-merge join.
+    Shape AND results verified inside the scope."""
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.schema import load_table
+    from petfinder_database_distributor_spark.streaming.incremental import scoped_conf
+
+    with scoped_conf(
+        spark,
+        spark__sql__optimizer__runtime__bloomFilter__enabled="true",
+        spark__sql__optimizer__runtime__bloomFilter__applicationSideScanSizeThreshold="0",
+        spark__sql__autoBroadcastJoinThreshold="-1",  # force SMJ: filter matters
+    ):
+        orders = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_SMALL, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "bloom_filter_agg" in p, "runtime bloom filter must be created"
+        assert "might_contain" in p, "…and pushed into the probe side scan"
+        got = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+    plain = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .join(
+            load_table(spark, SF_SMALL, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["o_orderpriority"]: r["n"] for r in plain.collect()}
+    assert got == want, "bloom-filtered join must not change results"
+
+
 def test_sketch_plans_partial_aggregate_no_expand(spark):
     """The sketches' scale claim in plan form: register construction is a
     partial-then-final hash aggregate over the BOUNDED key space (map-side
