@@ -64,6 +64,49 @@ def run_queries(
     return timings, errors
 
 
+def compact_summary(
+    timings: dict[str, float | None],
+    errors: dict[str, str],
+    total: float,
+    sf,
+    max_bytes: int = 1800,
+) -> str:
+    """One compact JSON line (< ``max_bytes``) printed AFTER the full record:
+    total + the headline set + the top-15 slowest queries + error count.
+
+    Why: the driver archives only the final 2000 characters of stdout, and
+    the full per-query dict is ~3 KB — four rounds of BENCH_r0N.json carry
+    ``parsed: null`` with the front of the record truncated away (round-4
+    verdict #1). The trailing compact line always fits the tail capture
+    whole, so the archived artifact parses and keeps the numbers that
+    matter. Guaranteed under budget: if the line would exceed ``max_bytes``
+    the top-15 block is shed first, then the headline block (never reached
+    in practice — both blocks together are ~1 KB)."""
+    top15 = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t is not None),
+            key=lambda kv: -kv[1],
+        )[:15]
+    )
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "headline": {n: timings.get(n) for n in HEADLINE if n in timings},
+        "top15": top15,
+    }
+    line = json.dumps(out)
+    for shed in ("top15", "headline"):
+        if len(line) <= max_bytes:
+            break
+        out.pop(shed)
+        line = json.dumps(out)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -110,6 +153,9 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Trailing compact record — the driver's 2000-char tail capture always
+    # contains this line whole (the full line above is ~3 KB and truncates).
+    print(compact_summary(timings, errors, total, out["sf"]))
 
 
 if __name__ == "__main__":

@@ -273,7 +273,14 @@ def simhash_text_udf(n_bits: int = SIMHASH_BITS):
     algorithm."""
     import re as _re
 
-    ws = _re.compile(r"\s+")
+    # re.ASCII is load-bearing: Python's default \s also splits on Unicode
+    # whitespace (U+00A0, U+2028, ...) but both the expression-side tokens()
+    # (Java regex \s = ASCII) and the DuckDB oracle (RE2 \s) split on ASCII
+    # whitespace only — and NBSP is reachable via the HTML extractor
+    # (&nbsp; → U+00A0). Empties are dropped below, so no strip() is needed
+    # (str.strip() would re-introduce Unicode-whitespace semantics at the
+    # string edges).
+    ws = _re.compile(r"\s+", _re.ASCII)
 
     def sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import hashlib as _hashlib
@@ -285,7 +292,7 @@ def simhash_text_udf(n_bits: int = SIMHASH_BITS):
             out = []
             for text in s:
                 toks = (
-                    [t for t in ws.split(text.strip().lower()) if t]
+                    [t for t in ws.split(text.lower()) if t]
                     if isinstance(text, str)
                     else []
                 )
@@ -386,7 +393,11 @@ def simhash_neardup_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: connected components by
     iterative min-label propagation. Returns (id, component) where
@@ -399,6 +410,8 @@ def connected_components(
     each round is one shuffle join + min-agg, persisted so lineage stays
     flat. At petabyte scale swap the loop body for the alternating
     small-star/large-star contraction (same fixpoint, O(log n) rounds)."""
+    import contextlib
+
     from petfinder_database_distributor_spark.streaming.incremental import (
         scoped_conf,
     )
@@ -412,15 +425,21 @@ def connected_components(
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("component", F.col("id"))
     )
-    # The per-round joins/aggs run over the (small) label table many times;
-    # a scan-sized shuffle partitioning pays per-partition task overhead
-    # each round — 8 partitions is plenty for the candidate-pair scale.
+    # ``shuffle_partitions``: the per-round joins shuffle the edge list, so
+    # the right count scales with the input — None leaves the session conf
+    # in charge; small candidate-pair callers pass a small count so each
+    # round doesn't pay scan-scale per-task overhead.
     # localCheckpoint (not persist) per round: persist caches EXECUTION but
     # Catalyst still re-analyzes the whole nested lineage every round —
     # checkpointing truncates the logical plan so round N's analysis cost
     # doesn't grow with N. Edges checkpoint once up front for the same
     # reason (every round re-references them).
-    with scoped_conf(spark, spark__sql__shuffle__partitions=8):
+    conf_scope = (
+        scoped_conf(spark, spark__sql__shuffle__partitions=shuffle_partitions)
+        if shuffle_partitions is not None
+        else contextlib.nullcontext()
+    )
+    with conf_scope:
         edges = edges.localCheckpoint(eager=True)
         labels = labels.localCheckpoint(eager=True)
         prev_sum = labels.agg(F.sum("component")).collect()[0][0]
@@ -455,7 +474,11 @@ def connected_components(
 
 
 def connected_components_star(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 30
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 30,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components by ALTERNATING SMALL-STAR / LARGE-STAR edge
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -484,7 +507,16 @@ def connected_components_star(
     form whenever clusters can be deep (transitive near-dup chains at
     corpus scale). Parity vs the fixpoint implementation is pinned in
     tests/test_components_star.py (sf0.01 MinHash pairs + adversarial
-    long-chain/binary-tree fixtures)."""
+    long-chain/binary-tree fixtures).
+
+    ``shuffle_partitions``: every round here shuffles the (contracting)
+    corpus-sized edge list, so unlike the label-prop loop there is no
+    one-size partition count — None (default) leaves the session's
+    ``spark.sql.shuffle.partitions`` in charge (size it for the edge list,
+    as any corpus-scale job does); small candidate-pair callers pass a
+    small count to avoid per-round empty-task overhead."""
+    import contextlib
+
     from petfinder_database_distributor_spark.streaming.incremental import (
         scoped_conf,
     )
@@ -501,7 +533,12 @@ def connected_components_star(
         )
         .distinct()
     )
-    with scoped_conf(spark, spark__sql__shuffle__partitions=8):
+    conf_scope = (
+        scoped_conf(spark, spark__sql__shuffle__partitions=shuffle_partitions)
+        if shuffle_partitions is not None
+        else contextlib.nullcontext()
+    )
+    with conf_scope:
         edges = edges.localCheckpoint(eager=True)
         prev_witness = None
         for _ in range(max_iter):
@@ -539,14 +576,21 @@ def connected_components_star(
                 .localCheckpoint(eager=True)  # truncate lineage per round
             )
             # Exact-integer witness: count + both id sums + an order-free
-            # per-edge mixing term ((u*31+v) mod p — bigint-safe for 59-bit
-            # ids, unlike u*v), so two different edge sets colliding in
+            # per-edge mixing term. Reduce mod p BEFORE the multiply:
+            # 31 * (2^60-range id) overflows int64 (overflow starts ~2^58),
+            # which under ANSI mode (pyspark 4 default) raises
+            # ARITHMETIC_OVERFLOW for md5int-style ids — (u%p)*31 + v%p
+            # stays < 2^36, exact. The sums accumulate in DECIMAL(38,0) so
+            # corpus-scale edge counts of 60-bit ids cannot overflow the
+            # accumulator either. Two different edge sets colliding in
             # consecutive rounds would need four simultaneous coincidences.
+            p = F.lit(2147483647)
+            dec = "decimal(38,0)"
             witness = small.agg(
                 F.count(F.lit(1)),
-                F.sum("u"),
-                F.sum("v"),
-                F.sum((u * 31 + v) % F.lit(2147483647)),
+                F.sum(u.cast(dec)),
+                F.sum(v.cast(dec)),
+                F.sum((((u % p) * 31 + (v % p)) % p).cast(dec)),
             ).collect()[0]
             edges = small
             if tuple(witness) == prev_witness:
@@ -592,10 +636,6 @@ def levenshtein_neardup_counts(
     Output is aggregated because realistic catalogs are duplicate-heavy
     (the sf0.1 part names yield 3.1M d<=1 pairs) — the pair list itself
     is an intermediate, not a result a user would collect."""
-    # ensure_parallelism BEFORE the guard attach: its partition probe walks
-    # .rdd, and physical-planning a DataFrame that carries a scalar-subquery
-    # filter executes the subquery — which would resurrect the plan-build
-    # job the deferred guard exists to avoid.
     guarded = ensure_parallelism(df)
     if max_len is not None:
         longest = df.agg(F.max(F.length(F.col(name_col)))).scalar()

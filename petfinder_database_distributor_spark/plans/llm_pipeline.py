@@ -463,13 +463,15 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
     # Size guard: all-pairs is O(n²) — baseline only. Footer-metadata count
-    # (no Spark job at plan-build; round-3 verdict #6) over the raw table —
-    # a conservative upper bound on the filtered subset.
+    # (no Spark job at plan-build; round-3 verdict #6) over the raw table.
+    # The plan scores only the vec_id % 4 == 0 quarter, so the ~100k-scored-
+    # vector budget corresponds to 400k RAW rows (raw/4 ≈ scored).
     n = parquet_num_rows(sf_dir, "embeddings")
-    if n > 100_000:
+    if n > 400_000:
         raise ValueError(
-            f"dedup_embedding_cosine_exact is an all-pairs baseline; {n} vectors "
-            "exceed the 100k guard — use dedup_embedding_cosine (banded SRP-LSH)"
+            f"dedup_embedding_cosine_exact is an all-pairs baseline; {n} raw rows"
+            f" (~{n // 4} scored vectors after the %4 sample) exceed the 400k-raw"
+            " guard — use dedup_embedding_cosine (banded SRP-LSH)"
         )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -1184,7 +1186,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
-    comp = connected_components(pairs)
+    # candidate-pair scale: a small per-round shuffle beats scan-scale task overhead
+    comp = connected_components(pairs, shuffle_partitions=8)
     return comp.select(
         F.col("id").alias("doc_id"),
         "component",
@@ -1225,7 +1228,8 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
-    comp = connected_components_star(pairs)
+    # candidate-pair scale: a small per-round shuffle beats scan-scale task overhead
+    comp = connected_components_star(pairs, shuffle_partitions=8)
     return comp.select(
         F.col("id").alias("doc_id"),
         "component",
@@ -1315,7 +1319,7 @@ def dedup_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
-    comp = connected_components_star(pairs)
+    comp = connected_components_star(pairs, shuffle_partitions=8)
     drops = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )

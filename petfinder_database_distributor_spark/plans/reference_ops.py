@@ -333,13 +333,23 @@ def q_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT e.event_id, e.user_id
     FROM events e
-    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id AND c.c_custkey % 4 <> 0)
     """,
     doc="F4 duplicate-skip anti-join: new keys not already in the table, placed BEFORE expensive ops (server.py:200-203, O1)",
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    cust = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
+    # The already-ingested key set is a strict SUBSET of customers (keys with
+    # c_custkey % 4 == 0 have not been seen yet), so the frontier batch
+    # contains genuinely-new links and the anti-join keeps real rows —
+    # round-4 verdict #3: the old fixture covered every key and its green
+    # driver row was a vacuous 0 == 0.
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 != 0)
+        .withColumnRenamed("c_custkey", "user_id")
+    )
     out = anti_join_new_keys(ev, cust, ["user_id"], broadcast_existing=True)
     return out.select("event_id", "user_id")
 

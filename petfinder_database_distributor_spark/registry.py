@@ -67,7 +67,7 @@ PRIORITY: list[str] = [
     "j2_asof_join",
     "sessionize_events",
     "window_range_frame",
-    # (b) changed this round: SimHash widened to 64-bit; guard actions moved
+    # (b) changed this round: SimHash widened to 60-bit; guard actions moved
     # out of plan-build; new real-HTML extraction query
     "dedup_simhash",
     "dedup_simhash_pairs",

@@ -42,18 +42,54 @@ def parquet_num_rows(sf_dir: str, table: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimate how many partitions the file scan under ``df`` will yield,
+    from driver-side metadata only (file list + sizes + the session's
+    ``spark.sql.files.maxPartitionBytes``) — zero Spark jobs, and crucially
+    NO physical planning: the old ``df.rdd.getNumPartitions()`` probe
+    physical-planned the frame, which *executes* any scalar-subquery guard
+    already attached to it (round-4 verdict #4 — the invariant "probe before
+    guard" lived in a call-site comment; this estimator deletes the trap).
+
+    Mirrors ``FilePartition`` packing to first order: splittable files are
+    cut at ``maxPartitionBytes`` and small files are packed together, so
+    partitions ≈ ceil(total_bytes / maxPartitionBytes). When file sizes are
+    not statable (remote object store), fall back to the file count — at
+    real scale that is >= cores and the caller no-ops."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return 0  # in-memory relation — no scan stage to starve
+    try:
+        total = 0
+        for f in files:
+            path = urlparse(f).path if "://" in f else f
+            total += os.path.getsize(path)
+    except OSError:
+        return len(files)
+    conf = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    max_bytes = int("".join(ch for ch in str(conf) if ch.isdigit()) or "134217728")
+    return max(1, math.ceil(total / max_bytes))
+
+
 def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
-    """Round-robin repartition ONLY when the input has fewer partitions than
-    the cluster's parallelism.
+    """Round-robin repartition ONLY when the input scan would yield fewer
+    partitions than the cluster's parallelism.
 
     Why: CPU-heavy narrow operators (xpath projection, shingle hashing,
     mapInPandas decode) pipeline inside the scan stage — if the scan yields
     one partition (small single-row-group parquet files do), the whole
     operator serializes onto one core. At real scale the input already has
     >= cores partitions and this is a no-op: no shuffle is inserted, so the
-    100 TB plan is unchanged.
-    """
+    100 TB plan is unchanged. The partition count comes from file metadata
+    (:func:`_estimated_scan_partitions`), not a ``.rdd`` probe, so calling
+    this never plans or executes anything — safe in any order relative to
+    :func:`execution_guard`."""
     target = target or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _estimated_scan_partitions(df)
+    if est and est < target:
         return df.repartition(target)
     return df

@@ -59,6 +59,30 @@ def test_bench_isolates_failures_and_times_the_rest(spark):
     assert parsed["queries"]["bad_plan"] is None
 
 
+def test_compact_summary_fits_tail_capture_and_parses(spark):
+    """Round-4 verdict #1: the driver archives only the last 2000 chars of
+    stdout, so bench must end with a < 1.8 KB self-contained JSON line
+    (total + headline + top-15 + error count) that parses on its own."""
+    from bench import HEADLINE, compact_summary
+
+    # Worst realistic case: ~100 long-named queries, all timed, plus errors.
+    timings = {f"some_quite_long_query_name_number_{i:03d}": i / 7.0 for i in range(100)}
+    for h in HEADLINE:
+        timings[h] = 1.23
+    errors = {"broken_one": "ValueError: x" * 10}
+    line = compact_summary(timings, errors, total=123.45, sf=0.1)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["value"] == 123.45
+    assert set(parsed["headline"]) == set(HEADLINE)
+    assert len(parsed["top15"]) == 15
+    assert parsed["n_errors"] == 1
+    # Every value in top15 is among the largest timings (sorted desc).
+    assert min(parsed["top15"].values()) >= sorted(
+        (t for t in timings.values() if t is not None), reverse=True
+    )[14]
+
+
 def test_bench_failed_query_not_retried_in_pass_two(spark):
     calls = {"n": 0}
 

@@ -134,6 +134,36 @@ def test_simhash_candidate_ratio_bounded(spark):
     )
 
 
+def test_simhash_tokenizer_splits_ascii_whitespace_only(spark):
+    """Round-4 advice: Python's default \\s splits on Unicode whitespace
+    (U+00A0 NBSP — reachable via the HTML extractor's &nbsp;) but both the
+    expression-side tokens() (Java regex) and the DuckDB oracle (RE2) split
+    on ASCII whitespace only. 'a\\xa0b' must therefore hash as ONE token —
+    for a single-token doc the SimHash signature IS the token's 60-bit
+    md5int — and DuckDB must agree it is one token."""
+    import hashlib
+
+    import duckdb
+
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        simhash_text_udf,
+    )
+
+    text = "a\xa0b"
+    expected = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = df.select(simhash_text_udf()("text").alias("s")).collect()[0]["s"]
+    assert got == expected, (
+        f"simhash({text!r}) = {got}, expected single-token hash {expected} —"
+        " the UDF tokenizer is splitting on Unicode whitespace"
+    )
+    n_oracle = duckdb.sql(
+        r"SELECT len(list_filter(regexp_split_to_array('a' || chr(160) || 'b',"
+        r" '\s+'), x -> x <> ''))"
+    ).fetchone()[0]
+    assert n_oracle == 1, "oracle regexp must also treat NBSP as a non-split char"
+
+
 def test_ingest_frontend_anti_join_before_fetch(spark):
     # O1 plan shape: the key-dedup/anti-join runs on cheap columns; no
     # Python UDF (fetch) appears upstream of the anti join in this plan.
