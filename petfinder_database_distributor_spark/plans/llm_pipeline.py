@@ -1341,6 +1341,24 @@ def dedup_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_M = 512
 _HLL_ALPHA_SQL = "0.7213 / (1 + 1.079 / 512)"
 
+# Low-range linear-counting correction, made portable (round-4 verdict #5):
+# the standard correction m·ln(m/V) needs ln(), the one libm op with NO
+# cross-engine rounding guarantee — but V = zero_regs has only 512 possible
+# non-trivial values, so ln(m/V) becomes a 512-entry lookup of exact
+# doubles. repr() is the shortest round-tripping decimal, and both engines
+# parse decimal literals with correctly-rounded strtod, so the SAME literal
+# string yields the SAME double on both sides; the remaining arithmetic is
+# one IEEE multiply by 512.0 and the shared round(, 4).
+import math as _math
+
+_HLL_LN_LUT = tuple(repr(_math.log(_HLL_M / v)) for v in range(1, _HLL_M + 1))
+_HLL_LN_LUT_SQL = "[" + ", ".join(_HLL_LN_LUT) + "]"
+# Correction applies below the standard threshold E_raw <= 2.5m (= 1280)
+# while empty registers remain. The branch condition reads the ROUNDED raw
+# estimate, which is already bit-identical across engines, so both sides
+# always take the same branch.
+_HLL_LOW_RANGE = "1280.0"
+
 
 @register(
     "sketch_hll_distinct_users",
@@ -1359,14 +1377,22 @@ _HLL_ALPHA_SQL = "0.7213 / (1 + 1.079 / 512)"
       SELECT count(*) AS occupied,
              sum((1::BIGINT << (52 - m_j)))::BIGINT AS s_occ
       FROM regs
+    ),
+    raw AS (
+      SELECT {_HLL_M}::BIGINT AS m,
+             ({_HLL_M} - occupied)::BIGINT AS zero_regs,
+             (s_occ + ({_HLL_M} - occupied) * (1::BIGINT << 52))::BIGINT AS s_scaled,
+             round(({_HLL_ALPHA_SQL}) * 1180591620717411303424.0
+                   / (s_occ + ({_HLL_M} - occupied) * (1::BIGINT << 52)), 4)
+               AS hll_raw_estimate
+      FROM s
     )
-    SELECT {_HLL_M}::BIGINT AS m,
-           ({_HLL_M} - occupied)::BIGINT AS zero_regs,
-           (s_occ + ({_HLL_M} - occupied) * (1::BIGINT << 52))::BIGINT AS s_scaled,
-           round(({_HLL_ALPHA_SQL}) * 1180591620717411303424.0
-                 / (s_occ + ({_HLL_M} - occupied) * (1::BIGINT << 52)), 4)
-             AS hll_raw_estimate
-    FROM s
+    SELECT m, zero_regs, s_scaled, hll_raw_estimate,
+           CASE WHEN zero_regs > 0 AND hll_raw_estimate <= {_HLL_LOW_RANGE}
+                THEN round({_HLL_M} * list_extract({_HLL_LN_LUT_SQL}::DOUBLE[],
+                                                   zero_regs::INT), 4)
+                ELSE hll_raw_estimate END AS hll_corrected_estimate
+    FROM raw
     """,
     doc="Portable HyperLogLog distinct-count sketch (p=9, m=512) over "
     "events.user_id — THE 100 TB shape for distinct counting: a narrow "
@@ -1377,11 +1403,12 @@ _HLL_ALPHA_SQL = "0.7213 / (1 + 1.079 / 512)"
     "string length, harmonic sum pre-scaled by 2^52 so each term is an "
     "integer) defers ALL floating point to one deterministic IEEE divide. "
     "Output is the full sketch state (zero_regs + scaled harmonic sum + "
-    "raw estimate): the standard low-range linear-counting correction "
-    "needs ln(), the one libm op with NO cross-engine rounding guarantee, "
-    "so the engine emits the exact-portable state and the consumer applies "
-    "the correction — accuracy (<5% after correction, <14% raw at high "
-    "range) is bound-tested vs exact counts in tests/test_sketches.py",
+    "raw estimate) PLUS hll_corrected_estimate: the low-range linear-"
+    "counting correction m*ln(m/V) needs ln() — no cross-engine rounding "
+    "guarantee — but V has only 512 possible values, so both engines index "
+    "the SAME 512-entry exact-double literal table (round-4 verdict #5) "
+    "and the correction itself hash-matches. Accuracy (<5% corrected, "
+    "<14% raw at high range) is bound-tested in tests/test_sketches.py",
 )
 def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
@@ -1405,13 +1432,28 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(_HLL_M) - F.col("occupied")) * F.lit(1 << 52).cast("long")
     ).cast("long")
     alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(512))
-    return s.select(
+    raw = s.select(
         F.lit(_HLL_M).cast("long").alias("m"),
         (F.lit(_HLL_M) - F.col("occupied")).cast("long").alias("zero_regs"),
         s_scaled.alias("s_scaled"),
         F.round(
             alpha * F.lit(1180591620717411303424.0) / s_scaled.cast("double"), 4
         ).alias("hll_raw_estimate"),
+    )
+    # Same 512 literal doubles as the oracle's list — float(repr) round-trips,
+    # so both engines multiply identical doubles by 512.0 and round alike.
+    ln_lut = F.array(*[F.lit(float(x)) for x in _HLL_LN_LUT])
+    return raw.withColumn(
+        "hll_corrected_estimate",
+        F.when(
+            (F.col("zero_regs") > 0)
+            & (F.col("hll_raw_estimate") <= F.lit(float(_HLL_LOW_RANGE))),
+            F.round(
+                F.lit(float(_HLL_M))
+                * F.element_at(ln_lut, F.col("zero_regs").cast("int")),
+                4,
+            ),
+        ).otherwise(F.col("hll_raw_estimate")),
     )
 
 
