@@ -72,6 +72,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     df_cap: int | None = None,
     max_join_rows: int | None = 100_000_000,
+    hot_cap: int | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs by word-n-gram Jaccard via an inverted-index
     self-join: explode shingles into postings, equi-join postings on the
@@ -82,28 +83,51 @@ def ngram_jaccard_pairs(
     the postings join loses nothing — yet never materializes all-pairs:
     shuffle volume is Σ df(s)² over distinct shingles (the inverted-index
     bound). That bound is QUADRATIC in duplication: the 8x-replica scaling
-    probe measured 19x wall growth uncapped. ``df_cap`` drops postings of
-    shingles appearing in more than ``df_cap`` docs BEFORE the join
-    (one extra count-aggregate pass), restoring near-linear scaling.
-    Capping is conservative: hot shared shingles no longer count toward
-    |A∩B|, so reported Jaccard only UNDERestimates — no false positives,
-    bounded recall loss on pairs whose overlap is mostly stopword-shingles
-    (the pairs MinHash-LSH is the better tool for anyway).
+    probe measured 19x wall growth uncapped. Three postures:
 
-    The UNCAPPED form is size-guarded (same posture as the all-pairs
-    guard in dedup_embedding_cosine_exact): a df-count aggregate estimates
-    Σ df(s)² and refuses above ``max_join_rows`` instead of launching a
-    shuffle that is quadratic in duplication — the error says to pass
-    ``df_cap``. The guard is DEFERRED (scalar subquery + assert_true, see
-    util.execution_guard): plan construction launches no Spark job; at
-    execution the estimate stage runs first and a violation fails every
-    map task on its first row, before the join shuffle materializes. Pass
-    ``max_join_rows=None`` to run unguarded (ground-truth/debug use)."""
+    * ``df_cap``: drop postings of shingles appearing in more than
+      ``df_cap`` docs BEFORE the join (one extra count-aggregate pass) —
+      near-linear scaling, conservative results (hot shared shingles no
+      longer count toward |A∩B|, so Jaccard only UNDERestimates: no false
+      positives, bounded recall loss on stopword-shingle overlap).
+    * ``hot_cap``: EXACT results with the quadratic hot-shingle work
+      spread evenly, via a salted two-phase join (round-4 verdict #4).
+      Shingles with df <= hot_cap join directly. For each hot shingle
+      the posting list buckets into s = ceil(df/hot_cap) id-hash salts;
+      side A carries its own bucket i and replicates over all j, side B
+      carries j and replicates over all i, and the join key becomes
+      (shingle, i, j) — every pair still meets exactly once (at
+      i=bucket(a), j=bucket(b)), so the intersection counts are
+      unchanged, but per-reducer work drops from df² on ONE hot key to
+      ~hot_cap² per salted key. Total work stays Σ df(s)² (exactness
+      requires it — every co-occurrence is counted); salting buys even
+      parallelization instead of a straggler reducer. The salt hash
+      never touches results, so the DuckDB oracle is the plain exact
+      SQL. Measured at 8x heavy duplication: 30s wall vs ~74s raw
+      (11.0x growth vs 19.2x; the true pair output itself grows ~28x).
+      A prefix-filter+verify variant (SSJoin/PPJoin) was built and
+      measured WORSE on this stress (61s at 8x: with quadratic output,
+      per-candidate array verification dominates and the extra shuffles
+      — df join, per-doc prefix sort, candidate dedup, two array joins —
+      bloat the base); count-based intersection over salted postings is
+      the better exact shape when duplication, not candidate excess, is
+      the bottleneck.
+    * neither: the raw exact form, size-guarded (same posture as the
+      all-pairs guard in dedup_embedding_cosine_exact): a df-count
+      aggregate estimates Σ df(s)² and refuses above ``max_join_rows``
+      instead of launching a runaway skewed shuffle. The guard is
+      DEFERRED (scalar subquery + assert_true, see util.execution_guard):
+      plan construction launches no Spark job; at execution the estimate
+      stage runs first and a violation fails every map task on its first
+      row, before the join shuffle materializes. Pass
+      ``max_join_rows=None`` to run unguarded (ground-truth/debug use)."""
+    if df_cap is not None and hot_cap is not None:
+        raise ValueError("df_cap and hot_cap are mutually exclusive postures")
     sh = with_shingles(df, id_col, text_col, n)
     inv = sh.select(
         F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
     )
-    if df_cap is None and max_join_rows is not None:
+    if df_cap is None and hot_cap is None and max_join_rows is not None:
         # Join-size estimate, exact by construction: the postings self-join
         # on `shingle` produces exactly Σ df(s)² rows. One count-aggregate
         # pass over (shingle) — linear scan, map-side partials — versus a
@@ -121,8 +145,9 @@ def ngram_jaccard_pairs(
             F.format_string(
                 "ngram_jaccard_pairs: estimated postings join size %s rows"
                 f" exceeds max_join_rows={max_join_rows} (Σdf² is quadratic in"
-                " duplication). Pass df_cap (e.g. df_cap=64) for the capped"
-                " near-linear variant, or raise/disable max_join_rows.",
+                " duplication). Pass hot_cap (e.g. hot_cap=64) for the salted"
+                " exact variant, df_cap for the capped near-linear variant,"
+                " or raise/disable max_join_rows.",
                 est,
             ),
         )
@@ -134,13 +159,65 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         inv = inv.join(keep, on="shingle")
-    a = inv.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
-    b = inv.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    if hot_cap is not None:
+        # Hot-shingle directory: (shingle, n_salt) for df > hot_cap only.
+        # No broadcast hint — the hot set scales with corpus duplication
+        # (bounded by total_postings/hot_cap); AQE broadcasts it when small.
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > hot_cap)
+            .select(
+                "shingle",
+                F.ceil(F.col("__df") / F.lit(hot_cap)).cast("int").alias("__s"),
+            )
+        )
+        tagged = inv.join(hot, on="shingle", how="left")
+        cold = tagged.filter(F.col("__s").isNull())
+        hotp = tagged.filter(F.col("__s").isNotNull())
+        contrib_cold = (
+            cold.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
+            .join(
+                cold.select(
+                    F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shingle"
+                ),
+                on="shingle",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sz_a", "sz_b")
+        )
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int")
+        salt_range = F.explode(F.sequence(F.lit(0), F.col("__s") - 1))
+        a_h = hotp.select(
+            F.col(id_col).alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            "shingle",
+            bucket.alias("__i"),
+            salt_range.alias("__j"),
+        )
+        b_h = hotp.select(
+            F.col(id_col).alias("id_b"),
+            F.col("sz").alias("sz_b"),
+            "shingle",
+            salt_range.alias("__i"),
+            bucket.alias("__j"),
+        )
+        contrib_hot = (
+            a_h.join(b_h, on=["shingle", "__i", "__j"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sz_a", "sz_b")
+        )
+        contrib = contrib_cold.unionByName(contrib_hot)
+    else:
+        a = inv.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
+        b = inv.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shingle")
+        contrib = (
+            a.join(b, on="shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sz_a", "sz_b")
+        )
+    inter = contrib.groupBy("id_a", "id_b", "sz_a", "sz_b").agg(
+        F.count(F.lit(1)).alias("inter")
     )
     jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (

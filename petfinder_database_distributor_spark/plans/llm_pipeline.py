@@ -291,6 +291,32 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, df_cap=64)
 
 
+@register(
+    "dedup_ngram_jaccard_salted",
+    # Salting only changes execution layout, never results — the oracle is
+    # the SAME plain exact-Jaccard SQL as dedup_ngram_jaccard.
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+    doc="EXACT n-gram Jaccard with the salted two-phase postings join "
+    "(hot_cap=64): shingles hotter than the cap are bucketed into "
+    "ceil(df/cap) id-hash salts and joined on (shingle, i, j), so every "
+    "pair still meets exactly once but the quadratic hot-shingle work "
+    "spreads evenly across reducers instead of serializing on one — the "
+    "deployable plan for users who need exact (not capped) Jaccard; the "
+    "uncapped form's guard now points here (round-4 verdict #4)",
+)
+def dedup_ngram_jaccard_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, hot_cap=64)
+
+
 _MINHASH_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     hx AS (SELECT doc_id, ({_MD5INT.format(x="u.x")}) % 2147483647 AS h

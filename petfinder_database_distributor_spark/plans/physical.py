@@ -1,4 +1,5 @@
-"""Physical-layout operators: bucketing for co-located (shuffle-free) joins.
+"""Physical-layout operators: bucketing for co-located (shuffle-free) joins
+and date-partitioned layout for dynamic partition pruning.
 
 At 100 TB the dominant join cost is the shuffle that co-locates both sides
 on the join key. Bucketing pays that shuffle ONCE at write time: both
@@ -12,10 +13,19 @@ rescan). ``tests/test_plan_quality.py`` asserts the no-Exchange property.
 Bucket count is a parameter: at test scale 8; on a cluster pick
 ``max(parallelism, table_bytes / target_file_size)`` and keep it IDENTICAL
 on both sides — mismatched bucket counts fall back to a shuffle.
+
+Dynamic partition pruning (the third pillar of the 100 TB join story,
+next to bucketing and the AQE runtime Bloom filter): a fact table
+partitioned on the join key + a selectively-filtered broadcast dim lets
+Spark push the dim's surviving keys into the fact scan's PartitionFilters
+at RUNTIME — whole date partitions are never read. ``j6_dpp_join`` below
+demonstrates it; the plan shape (``dynamicpruning`` expression inside the
+fact scan's PartitionFilters) is pinned in tests/test_plan_quality.py.
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,3 +90,91 @@ def j5_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+_DPP_MEMO: set[str] = set()
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table date-partitioned (``partitionBy(event_date)``)
+    once per sf_dir — the write-once layout a 100 TB event store uses so
+    time-scoped queries and fact/dim joins read only the partitions they
+    need. Staged under scratch with the usual _ok-marker + source-mtime
+    reuse guard (same protocol as the streaming chunk staging)."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    path = f"{SCRATCH_ROOT}/dpp/events_{tag}"
+    marker = f"{path}._ok"
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    if tag in _DPP_MEMO or (
+        os.path.exists(marker)
+        and os.path.exists(src)
+        and os.stat(marker).st_mtime > os.stat(src).st_mtime
+    ):
+        _DPP_MEMO.add(tag)
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+    with open(marker, "w") as fh:
+        fh.write("staged")
+    _DPP_MEMO.add(tag)
+    return path
+
+
+@register(
+    "j6_dpp_join",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
+                AS DOUBLE) AS total_value
+    FROM events
+    WHERE day(CAST(ts AS DATE)) <= 7
+    GROUP BY 1
+    """,
+    doc="Dynamic partition pruning: events staged partitionBy(event_date), "
+    "joined to a filtered broadcast calendar dim (first week of each "
+    "month) — Spark injects the dim's surviving dates into the fact scan's "
+    "PartitionFilters at runtime, so non-matching date partitions are "
+    "never read. With bucketing (j5) and the AQE runtime Bloom filter, "
+    "the third pillar of the 100 TB join story; plan shape pinned in "
+    "tests/test_plan_quality.py",
+)
+def j6_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = dpp_events_calendar_join(spark, sf_dir)
+    return joined.groupBy(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(32,2)")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def dpp_events_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prunable join itself (exposed for the plan-quality test): date-
+    partitioned fact × selectively-filtered calendar dim. The dim filter
+    (day-of-month <= 7) is not statically derivable on the fact side, so
+    only dynamic pruning can skip partitions; the broadcast hint is
+    justified at any scale — a calendar is ~4k rows per decade."""
+    fact = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    dim = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_date(F.lit("2020-01-01")), F.to_date(F.lit("2029-12-31"))
+                )
+            ).alias("d")
+        )
+        .filter(F.dayofmonth("d") <= 7)
+    )
+    return fact.join(F.broadcast(dim), fact.event_date == dim.d)

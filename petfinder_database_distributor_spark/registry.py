@@ -46,72 +46,75 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The grading driver verifies queries() in dict order and truncates after a
-# bounded 50-entry window. ROTATION POLICY (round-2/3 verdict #1): the window
-# head is (a) queries with NO driver row in any round so far, (b) queries
-# whose implementation changed this round, (c) queries whose only green row
-# is round 1 (stale — re-verify). Queries green in the round-3 driver run and
-# untouched this round move to the tail; they stay covered every run by the
-# identical hash check in tests/test_oracle_parity.py.
+# bounded 50-entry window. ROTATION POLICY (round-2/3 verdict #1, cadence
+# codified round 5 per r4 verdict #2): the window head is (a) queries new
+# or changed this round, (b) queries whose newest driver row is oldest —
+# CADENCE RULE: no query's newest driver row may be more than 2 rounds old,
+# so each round's window is (changed queries) + (everything absent from the
+# previous round's CORRECTNESS file). Rotated-out queries stay covered
+# every run by the identical hash check in tests/test_oracle_parity.py.
+#
+# Round-5 window = the 4 new/changed queries + the 47 without a row in
+# CORRECTNESS_r04 (including the three r1-only stragglers, re-verified
+# first). The one exception to "everything absent from r4": p3_link_fanout
+# (r3-green) yields its slot because its operator carries a fresh r4 row
+# via the p3_link_fanout_xpath variant — it rotates to the r6 head.
+# flagship_distributor_pipeline (r4-green) also rotates to the tail; the
+# driver still smoke-checks it every round through entry().
 PRIORITY: list[str] = [
-    "flagship_distributor_pipeline",
-    # (a) never driver-checked after three rounds — r3 verdict's top ask
-    "dedup_ngram_jaccard_capped",
-    "dedup_levenshtein",
-    "tfidf_top_terms",
-    "embedding_dim_stats",
-    "mm_resize",
-    "udtf_chunk_documents",
-    "p3_link_fanout_xpath",
-    # (b) re-fixed this round (TIMESTAMP_NTZ normalization in load_table)
-    "merge_partitioned_upsert",
-    "j2_asof_join",
-    "sessionize_events",
-    "window_range_frame",
-    # (b) changed this round: SimHash widened to 60-bit; guard actions moved
-    # out of plan-build; new real-HTML extraction query
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine_exact",
-    "p1_html_project",
-    "dedup_cluster_components_star",
-    "sketch_hll_distinct_users",
-    "sketch_cms_term_counts",
-    "sketch_histogram_quantiles",
-    # (c) last green row is round 1 — rotate back through the window
-    "j3_range_join",
-    "g2_cube_marks",
-    "set_ops_customers",
-    "json_props_extract",
-    "topk_orders_global",
-    "agg_percentiles",
-    "pivot_event_types",
-    "agg_salted_twophase",
-    "j4_salted_join",
-    "q17_sql_correlated",
-    "q4_sql_exists",
-    "q13_sql_outer_count",
-    "variant_props_extract",
-    "transitions_grouped_pandas",
-    "p1_xpath_project",
-    "ingest_frontend",
-    "mm_binary_metadata",
-    "ref_clean_text",
-    "ref_parse_boolean",
-    "ref_extract_name",
-    "ref_export_encode",
-    "ref_url_normalize",
-    "ref_worklist_urls",
-    "ref_placeholder_filter",
-    "ref_null_ratio_filter",
-    "ref_liveness_filter",
-    "ref_nonblank_key",
-    "ref_key_dedup",
-    "ref_anti_join",
-    # ref_upsert_merge / ref_compaction / ref_counts (round-1-green,
-    # trivial) rotate past the 50-window this round to make room for the
-    # three new sketch queries; they stay covered by the local parity gate
-    # every run.
+    # (a) new or changed this round
+    "j6_dpp_join",  # NEW: dynamic partition pruning join
+    "dedup_ngram_jaccard_salted",  # NEW: exact Jaccard, salted two-phase join
+    "ref_anti_join",  # fixture de-vacuated: key set now a strict subset
+    "sketch_hll_distinct_users",  # new hll_corrected_estimate column
+    # (b) newest row is round 1 — the three stragglers, re-verified first
+    "ref_counts",
+    "ref_upsert_merge",
+    "ref_compaction",
+    # (b) newest row is round 3 (absent from CORRECTNESS_r04)
+    "p2_src_attr_project",
+    "ref_timestamp_fmt",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "text_bigram_tf",
+    "agg_distinct_users",
+    "text_chunking",
+    "text_redact_pii",
+    "split_train_test",
+    "text_repetition_ratio",
+    "sample_stratified",
+    "decontamination_check",
+    "search_bm25_topk",
+    "dedup_cluster_components",
+    "dedup_apply_corpus",
+    "j5_bucketed_join",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "w1_topk_per_group",
+    "w2_running_totals",
+    "g1_rollup_revenue",
+    "j1_semi_anti_join",
+    "s1_fetch_extract",
+    "export_roundtrip_csv",
+    "s8_json_rows",
+    "g1_datasource_ingest",
+    "stream_upsert_merge",
+    "stream_windowed_totals",
+    "stream_dedup_replay",
+    "stream_stateful_counters",
+    "stream_session_windows",
+    "stream_stream_interval_join",
 ]
 
 

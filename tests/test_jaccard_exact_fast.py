@@ -1,0 +1,80 @@
+"""The hot_cap (prefix-filter + salted join + verify) Jaccard path must be
+EXACTLY equivalent to the raw inverted-index join — same pairs, same
+values — on fixtures chosen to stress both legs: heavy replication (every
+shingle hot, salting engaged) and near-threshold pairs (prefix bound
+tight). The prefix-filter theorem (SSJoin/PPJoin) is completeness-critical:
+a missed candidate silently drops a qualifying pair, which sf0.01 parity
+might not catch — this pins it on adversarial inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+    ngram_jaccard_pairs,
+)
+
+
+def pairs_of(df):
+    return {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in df.collect()
+    }
+
+
+def make_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+BASE_TEXTS = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "the quick brown fox jumps over the lazy cat near the river bank",
+    "a completely different sentence about spark physical plans and shuffles",
+    "a completely different sentence about spark logical plans and shuffles",
+    "short one two three",
+    "short one two four",
+    "the quick brown fox jumps over the lazy dog near the river bend",
+]
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_hot_cap_path_equals_raw_join(spark, threshold):
+    docs = make_docs(spark, BASE_TEXTS)
+    raw = pairs_of(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=threshold, max_join_rows=None
+        )
+    )
+    fast = pairs_of(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=threshold, hot_cap=64
+        )
+    )
+    assert fast == raw
+    assert raw, "fixture must actually produce qualifying pairs"
+
+
+def test_hot_cap_path_exact_under_heavy_replication(spark):
+    # 8 replicas of each base text (distinct ids): every shingle's df
+    # multiplies by 8, pushing prefix shingles over a tiny hot_cap so the
+    # salted grid leg carries real traffic (hot_cap=4 → every df>=7 salts).
+    texts = [t for t in BASE_TEXTS for _ in range(8)]
+    docs = make_docs(spark, texts)
+    raw = pairs_of(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, max_join_rows=None
+        )
+    )
+    fast = pairs_of(
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, hot_cap=4)
+    )
+    assert fast == raw
+    # replicas are exact dups of each other: J=1.0 pairs must all be there
+    assert sum(1 for v in raw.values() if v == 1.0) >= 7 * (8 * 7 // 2)
+
+
+def test_df_cap_and_hot_cap_mutually_exclusive(spark):
+    docs = make_docs(spark, BASE_TEXTS)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ngram_jaccard_pairs(docs, "doc_id", "text", df_cap=8, hot_cap=8)

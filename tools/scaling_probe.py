@@ -56,6 +56,12 @@ OFFSETS = {
 
 
 def build_scaled(spark, factor: int, out_dir: str) -> None:
+    # Staged inputs are immutable per factor — reuse across probe runs
+    # (rebuilding the 8x tables costs minutes and dominated probe wall).
+    marker = f"{out_dir}/._ok"
+    if os.path.exists(marker):
+        print(f"reusing staged {out_dir}", flush=True)
+        return
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     for table, keys in OFFSETS.items():
@@ -73,6 +79,8 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
         for k in keys:
             copies = copies.withColumn(k, F.col(k) + F.col("__i") * offs[k])
         copies.drop("__i").write.parquet(f"{out_dir}/{table}.parquet")
+    with open(f"{out_dir}/._ok", "w") as fh:
+        fh.write("staged")
 
 
 def main() -> None:
@@ -89,14 +97,22 @@ def main() -> None:
     print(f"{'query':28s} {'1x':>7s} {'%dx' % factor:>7s} {'growth':>7s}")
     for name in queries:
         times = []
+        err = None
         for sf_dir in (BASE_SF, out_dir):
             best = float("inf")
             for _ in range(2):  # warm best-of-2: measure work, not codegen
                 t0 = time.time()
-                df = qs[name].fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
+                try:
+                    df = qs[name].fn(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                except Exception as exc:  # noqa: BLE001 — isolate, keep probing
+                    err = f"{type(exc).__name__}: {exc}".split("\n")[0][:120]
+                    break
                 best = min(best, time.time() - t0)
             times.append(best)
+        if err is not None:
+            print(f"{name:28s} ERR {err}", flush=True)
+            continue
         print(
             f"{name:28s} {times[0]:6.2f}s {times[1]:6.2f}s {times[1]/times[0]:6.1f}x",
             flush=True,
