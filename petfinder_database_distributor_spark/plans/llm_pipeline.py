@@ -1628,6 +1628,114 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.join(cum, on="bin").select("q", F.round(est, 6).alias("quantile_est"))
 
 
+# Bloom-filter membership sketch: the fourth portable sketch, and the
+# sketch twin of F4's duplicate-skip anti-join — at 100 TB the
+# already-ingested key set no longer fits a broadcast, but an 8192-bit
+# Bloom filter of it always does (fixed 1 KiB state at ANY corpus size),
+# turning the frontier dedup gate into a map-side bitmask test with zero
+# false negatives. Layout: m = 8192 bits packed as 256 x 32-bit words in
+# BIGINTs (32, not 64, bits per word because DuckDB overflow-checks
+# 1::BIGINT << 63 — bit positions stay < 2^32 on both engines); k = 4
+# row-salted md5int hashes (the CMS family); build = ONE 256-key
+# bit_or aggregate with map-side partials. Pure integer end-to-end ->
+# the whole filter state and every probe verdict is hash-exact.
+_BLOOM_M, _BLOOM_K, _BLOOM_WORD = 8192, 4, 32
+# Probes: four ids present at every SF (user_id is dense from 0) + two
+# absent sentinels exercising the false-positive path.
+_BLOOM_PROBES = (0, 1, 7, 14, 9999991, 9999997)
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH pos AS (
+      SELECT ({_MD5INT.format(x="r.j::VARCHAR || ':' || user_id::VARCHAR")})
+               % {_BLOOM_M} AS pos
+      FROM events, range(0, {_BLOOM_K}) r(j) WHERE user_id IS NOT NULL
+    ),
+    words AS (
+      SELECT pos // {_BLOOM_WORD} AS w,
+             bit_or(1::BIGINT << (pos % {_BLOOM_WORD})) AS bits
+      FROM pos GROUP BY 1
+    ),
+    fill AS (SELECT sum(bit_count(bits))::BIGINT AS bits_set FROM words),
+    probes(probe_user_id) AS (VALUES {", ".join(f"({p})" for p in _BLOOM_PROBES)}),
+    pp AS (
+      SELECT probe_user_id,
+             ({_MD5INT.format(x="r.j::VARCHAR || ':' || probe_user_id::VARCHAR")})
+               % {_BLOOM_M} AS pos
+      FROM probes, range(0, {_BLOOM_K}) r(j)
+    ),
+    hits AS (
+      SELECT probe_user_id,
+             sum(CASE WHEN (coalesce(w.bits, 0) >> (pp.pos % {_BLOOM_WORD})) & 1 = 1
+                      THEN 1 ELSE 0 END)::BIGINT AS k_hits
+      FROM pp LEFT JOIN words w ON w.w = pp.pos // {_BLOOM_WORD}
+      GROUP BY probe_user_id
+    )
+    SELECT probe_user_id::BIGINT AS probe_user_id, k_hits,
+           (k_hits = {_BLOOM_K}) AS maybe_present, bits_set
+    FROM hits, fill
+    """,
+    doc="Portable Bloom-filter membership sketch (m=8192 bits as 256x32-bit "
+    "words, k=4 row-salted md5int hashes) over events.user_id — the sketch "
+    "twin of F4's duplicate-skip gate: at 100 TB the ingested-key set "
+    "outgrows any broadcast but its Bloom filter is a FIXED 1 KiB of "
+    "state built by one 256-key bit_or aggregate with map-side partials; "
+    "probing is a map-side bitmask test with zero false negatives. Pure "
+    "integer math -> filter state and probe verdicts hash-exact across "
+    "engines; the no-false-negative guarantee and the fill-ratio-bounded "
+    "false-positive rate are tested in tests/test_sketches.py",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def positions_of(col: F.Column) -> F.Column:
+        return F.array(
+            *[
+                (md5int(F.concat(F.lit(f"{j}:"), col.cast("string"))) % _BLOOM_M)
+                for j in range(_BLOOM_K)
+            ]
+        )
+
+    pos = ev.select(F.explode(positions_of(F.col("user_id"))).alias("pos"))
+    words = (
+        pos.select(
+            F.shiftright(F.col("pos"), 5).alias("w"),
+            F.col("pos").bitwiseAND(F.lit(_BLOOM_WORD - 1)).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(bit AS INT)))").alias("bits"))
+    )
+    fill = words.agg(F.sum(F.bit_count("bits")).cast("long").alias("bits_set"))
+    probes = spark.createDataFrame(
+        [(p,) for p in _BLOOM_PROBES], "probe_user_id long"
+    )
+    pp = probes.select(
+        "probe_user_id", F.explode(positions_of(F.col("probe_user_id"))).alias("pos")
+    ).select(
+        "probe_user_id",
+        F.shiftright(F.col("pos"), 5).alias("w"),
+        F.col("pos").bitwiseAND(F.lit(_BLOOM_WORD - 1)).alias("bit"),
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0))
+        .bitwiseAND(F.expr("shiftleft(1L, CAST(bit AS INT))"))
+        != 0
+    )
+    hits = (
+        pp.join(words, on="w", how="left")
+        .groupBy("probe_user_id")
+        .agg(F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("k_hits"))
+    )
+    return hits.crossJoin(fill).select(
+        "probe_user_id",
+        "k_hits",
+        (F.col("k_hits") == _BLOOM_K).alias("maybe_present"),
+        "bits_set",
+    )
+
+
 @register(
     "embedding_dim_stats",
     # Decimal-exact moments: sums of x and x^2 run in DECIMAL so

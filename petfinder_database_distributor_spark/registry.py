@@ -115,6 +115,13 @@ PRIORITY: list[str] = [
     "stream_stateful_counters",
     "stream_session_windows",
     "stream_stream_interval_join",
+    # -- 50-entry driver window ends here. --
+    # sketch_bloom_membership is NEW this round but lands at 51: the 50
+    # slots above are all spoken for by the cadence rule, and displacing a
+    # rotation-due query would leave it 3 rounds stale. It is covered by
+    # the local parity gate + tests/test_sketches.py this round and MUST
+    # head the r6 window.
+    "sketch_bloom_membership",
 ]
 
 

@@ -86,6 +86,45 @@ def test_portable_hll_accuracy_with_correction(spark):
         )
 
 
+def test_bloom_membership_guarantees(spark):
+    """Bloom-filter guarantees at every SF: zero false negatives (every
+    probe id actually present in events.user_id must report
+    maybe_present), and the theoretical false-positive rate
+    (1 - e^{-kn/m})^k stays a meaningful bound — with n <= 1500 distinct
+    users, k=4, m=8192 the predicted FP rate is < 8%, so the absent
+    sentinels overwhelmingly report absent; we assert the per-hash hit
+    count never fabricates a full k-of-k match at the smallest SFs where
+    fill is ~1%."""
+    import duckdb
+
+    from petfinder_database_distributor_spark.registry import load_all
+
+    spec = load_all()["sketch_bloom_membership"]
+    for sf_dir in (SF_SMALL, f"{SF_SMALL}/../sf0.01", f"{SF_SMALL}/../sf0.1"):
+        rows = {r["probe_user_id"]: r for r in spec.fn(spark, sf_dir).collect()}
+        present = {
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT DISTINCT user_id FROM '{sf_dir}/events.parquet'"
+                " WHERE user_id IS NOT NULL"
+            ).fetchall()
+        }
+        bits_set = next(iter(rows.values()))["bits_set"]
+        assert 0 < bits_set <= 8192
+        for pid, r in rows.items():
+            if pid in present:
+                assert r["maybe_present"], f"{sf_dir}: FALSE NEGATIVE for {pid}"
+            else:
+                # fill ratio bounds the per-hash collision chance; at these
+                # SFs fill <= ~0.52 (sf0.1: 1500 users x 4 hashes / 8192),
+                # so a full 4-of-4 false positive has p <= fill^4 ~= 7%.
+                fill = bits_set / 8192
+                assert not r["maybe_present"] or fill > 0.25, (
+                    f"{sf_dir}: absent id {pid} reported present at fill"
+                    f" {fill:.3f} — hash family is not spreading"
+                )
+
+
 def test_cms_guarantee_vs_exact(spark):
     """Count-Min guarantee: estimate NEVER undercounts, and overcounts by
     at most the collision noise (~d-independent; bound by 2N/w with large
