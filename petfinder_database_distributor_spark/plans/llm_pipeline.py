@@ -1339,13 +1339,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
-        connected_components_star,
         minhash_lsh_pairs,
+        resolve_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
-    comp = connected_components_star(pairs, shuffle_partitions=8)
+    comp = resolve_components(pairs, shuffle_partitions=8)
     drops = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )

@@ -92,6 +92,40 @@ def test_levenshtein_guard_disable_and_short_ok(spark):
     )
 
 
+def test_ensure_parallelism_never_plans_or_executes(spark):
+    """Round-4 verdict #4: the old ``df.rdd.getNumPartitions()`` probe
+    physical-planned the frame, which EXECUTES any scalar-subquery guard
+    already attached — callers had to remember a fragile ordering. The
+    metadata-based estimator must (a) launch zero Spark jobs, (b) be safe
+    to call on a frame that already carries a violated deferred guard
+    (the guard must fire at the real action, not inside the probe), and
+    (c) still insert the repartition a small scan needs."""
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.util import (
+        ensure_parallelism,
+        execution_guard,
+    )
+
+    df = load_table(spark, SF_SMALL, "events")
+    # A guard whose scalar subquery is violated for this data.
+    longest = df.agg(F.max(F.length(F.col("event_type")))).scalar()
+    guarded = execution_guard(
+        df, F.coalesce(longest, F.lit(0)) < F.lit(0), F.lit("guard fired")
+    )
+    before = n_jobs(spark)
+    out = ensure_parallelism(guarded)  # must neither run jobs nor raise
+    assert n_jobs(spark) == before, "partition probe must not run Spark jobs"
+    with pytest.raises(Exception, match="guard fired"):
+        out.count()  # the guard still fires at the real action
+    # (c) the repartition still happens for a small single-file scan
+    small = ensure_parallelism(load_table(spark, SF_SMALL, "documents"))
+    assert "Repartition" in small._jdf.queryExecution().logical().toString() or (
+        small.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+
+
 def test_embedding_exact_guard_uses_footer_metadata(spark):
     # The 100k all-pairs guard must come from parquet footer metadata —
     # zero Spark jobs at plan-build.
