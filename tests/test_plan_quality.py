@@ -297,6 +297,48 @@ def test_runtime_bloom_filter_join(spark):
     assert got == want, "bloom-filtered join must not change results"
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling — the fourth runtime lever next to DPP,
+    bucketing, and the runtime Bloom filter, and the automatic fallback
+    behind the manual salting operators (j4_salted_join,
+    dedup_ngram_jaccard_salted): when one join key dominates, AQE splits
+    the oversized shuffle partition into multiple tasks instead of
+    serializing on one reducer. Thresholds are scoped down so the sf0.001
+    fixture's skew (~90% of rows on one key) crosses them; the executed
+    adaptive plan must mark the sort-merge join's skewed side and results
+    must be unchanged."""
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.streaming.incremental import scoped_conf
+
+    left = spark.range(0, 50_000).select(
+        # ~90% of rows share key 0 — one shuffle partition dwarfs the rest
+        F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 2_000).select(F.col("id").alias("k"))
+    with scoped_conf(
+        spark,
+        spark__sql__autoBroadcastJoinThreshold="-1",  # force SMJ: skew matters
+        spark__sql__adaptive__skewJoin__enabled="true",
+        spark__sql__adaptive__skewJoin__skewedPartitionFactor="1.0",
+        spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes="16KB",
+        spark__sql__adaptive__advisoryPartitionSizeInBytes="16KB",
+    ):
+        j = left.join(right, on="k")
+        # Execute THROUGH the same Dataset (count() would build its own
+        # QueryExecution and leave this one unexecuted/isFinalPlan=false);
+        # skew handling is decided at runtime, so only the final adaptive
+        # plan of the executed query shows it.
+        n = len(j.collect())
+        executed = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in executed, (
+        "AQE must mark the skewed SMJ side for partition splitting:\n"
+        + executed[:2000]
+    )
+    assert n == 45_000 + 200, "skew splitting must not change join results"
+
+
 def test_sketch_plans_partial_aggregate_no_expand(spark):
     """The sketches' scale claim in plan form: register construction is a
     partial-then-final hash aggregate over the BOUNDED key space (map-side
