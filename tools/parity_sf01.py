@@ -15,7 +15,9 @@ qs = load_all()
 SF = '/root/testdata/sf0.1'
 # skip quadratic / recursive / all-pairs oracles and the staged-stream queries
 SKIP = {
-    'dedup_ngram_jaccard', 'dedup_ngram_jaccard_capped', 'dedup_minhash_lsh',
+    'dedup_ngram_jaccard', 'dedup_ngram_jaccard_capped',
+    'dedup_ngram_jaccard_salted',  # oracle is the all-pairs list_intersect SQL
+    'dedup_minhash_lsh',
     'dedup_simhash_pairs', 'dedup_cluster_components',
     'dedup_cluster_components_star', 'dedup_apply_corpus',
     'dedup_embedding_cosine', 'dedup_embedding_cosine_exact',
