@@ -1779,6 +1779,148 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("dim").cast("int").alias("dim"), "mean", "std")
 
 
+# Sequence packing: budget + shard width. Packing is greedy and inherently
+# sequential, so the 100 TB form makes the sequence explicit and BOUNDED:
+# documents shard by doc_id // SHARD (64 docs per shard), each shard packs
+# independently (embarrassingly parallel — shard boundaries simply start a
+# fresh pack), and the per-shard walk is a tiny Arrow-batched kernel.
+_PACK_BUDGET, _PACK_SHARD = 256, 64
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, doc_id // {_PACK_SHARD} AS shard,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS tokens
+      FROM documents
+    ),
+    ord AS (
+      SELECT shard, doc_id, tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM toks
+    ),
+    walk(shard, rn, doc_id, tokens, pack, cum) AS (
+      SELECT shard, rn, doc_id, tokens, 0, tokens FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.tokens,
+             CASE WHEN w.cum + o.tokens > {_PACK_BUDGET} THEN w.pack + 1
+                  ELSE w.pack END,
+             CASE WHEN w.cum + o.tokens > {_PACK_BUDGET} THEN o.tokens
+                  ELSE w.cum + o.tokens END
+      FROM walk w JOIN ord o ON o.shard = w.shard AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, shard, (shard * 1048576 + pack)::BIGINT AS pack_id, tokens
+    FROM walk
+    """,
+    doc="Greedy sequence packing for LLM training batches: documents fill a "
+    f"{_PACK_BUDGET}-token budget in doc_id order and overflow starts the "
+    "next pack. Packing is sequential by nature, so the scale design bounds "
+    f"the sequence: shards of {_PACK_SHARD} docs pack independently "
+    "(shard boundaries start a fresh pack) — embarrassingly parallel via "
+    "one applyInPandas over the shard key, with the token counting done "
+    "JVM-side before the tiny per-shard walk. Oracle restates the greedy "
+    "recurrence as a recursive CTE, so the exact pack assignment "
+    "hash-matches",
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from petfinder_database_distributor_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        token_count(F.col("text")).cast("long").alias("tokens"),
+    )
+    budget, shard_w = _PACK_BUDGET, _PACK_SHARD  # close over plain ints
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        packs = []
+        pack = cum = 0
+        for i, t in enumerate(pdf["tokens"]):
+            t = int(t)
+            if i == 0:
+                pack, cum = 0, t
+            elif cum + t > budget:
+                pack, cum = pack + 1, t
+            else:
+                cum += t
+            packs.append(pack)
+        pdf["pack_id"] = pdf["shard"] * 1048576 + pd.Series(packs, dtype="int64")
+        return pdf[["doc_id", "shard", "pack_id", "tokens"]]
+
+    return docs.groupBy("shard").applyInPandas(
+        pack_shard, "doc_id long, shard long, pack_id long, tokens long"
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    # floor(x/scale + 0.5), NOT round(): both engines floor identically on
+    # every IEEE double, while round()'s half-tie convention is the one
+    # arithmetic detail DuckDB and Spark are allowed to disagree on for
+    # negative halves. The quantized vector rides as a CSV string because
+    # the canonical row compare stringifies arrays engine-specifically.
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+          FROM v)
+    SELECT vec_id, scale,
+           array_to_string(
+             CASE WHEN scale > 0
+                  THEN list_transform(e, x -> floor(x / scale + 0.5)::INT)
+                  ELSE list_transform(e, x -> 0) END, ',') AS q_csv,
+           CASE WHEN scale > 0
+                THEN list_sum(list_transform(e, x -> abs(floor(x / scale + 0.5))::BIGINT))::BIGINT
+                ELSE 0::BIGINT END AS q_l1
+    FROM s
+    """,
+    doc="Symmetric int8 quantization of the embedding column (per-vector "
+    "scale = max|x|/127, q = floor(x/scale + .5)): the memory-layout step "
+    "an ANN index runs before serving — 4x smaller vectors with the scale "
+    "kept for dequantized scoring. Pure narrow projection, no shuffle; "
+    "floor-based rounding keeps the quantized values bit-identical across "
+    "engines (round() half-ties are engine-specific on negatives)",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    e = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
+    with_scale = emb.select("vec_id", e.alias("e"), scale.alias("scale"))
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("e"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("e"), lambda x: F.lit(0)))
+    q_l1 = F.when(
+        F.col("scale") > 0,
+        F.aggregate(
+            F.transform(
+                F.col("e"),
+                lambda x: F.abs(F.floor(x / F.col("scale") + F.lit(0.5))).cast(
+                    "long"
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return with_scale.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("q_csv"),
+        q_l1.alias("q_l1"),
+    )
+
+
 @register(
     "dedup_levenshtein",
     # The oracle mirrors the deletion-neighborhood blocking: every name

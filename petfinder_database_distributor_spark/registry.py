@@ -116,12 +116,16 @@ PRIORITY: list[str] = [
     "stream_session_windows",
     "stream_stream_interval_join",
     # -- 50-entry driver window ends here. --
-    # sketch_bloom_membership is NEW this round but lands at 51: the 50
-    # slots above are all spoken for by the cadence rule, and displacing a
-    # rotation-due query would leave it 3 rounds stale. It is covered by
-    # the local parity gate + tests/test_sketches.py this round and MUST
-    # head the r6 window.
+    # These three are NEW this round but land at 51+: the 50 slots above
+    # are all spoken for by the cadence rule, and displacing a
+    # rotation-due query would leave it 3 rounds stale. They are covered
+    # by the local parity gate (+ tests/test_sketches.py for the bloom
+    # filter) this round and MUST head the r6 window, together with
+    # p3_link_fanout (yielded its r5 slot to them; operator covered by
+    # p3_link_fanout_xpath's r4 row).
     "sketch_bloom_membership",
+    "pack_sequences_greedy",
+    "embedding_quantize_int8",
 ]
 
 
