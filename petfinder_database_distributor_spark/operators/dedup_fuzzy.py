@@ -525,7 +525,12 @@ def connected_components(
     with conf_scope:
         edges = edges.localCheckpoint(eager=True)
         labels = labels.localCheckpoint(eager=True)
-        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+        # DECIMAL(38,0) accumulator, same reason as the star witness:
+        # summing 60-bit md5int labels overflows int64 within ~9 rows —
+        # ANSI mode raises, and a wrapped sum would break the monotone-
+        # witness argument the convergence check rests on.
+        label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
+        prev_sum = labels.agg(label_sum).collect()[0][0]
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(labels, edges.src == labels.id)
@@ -542,7 +547,7 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-            new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+            new_sum = new_labels.agg(label_sum).collect()[0][0]
             # No explicit unpersist: localCheckpoint blocks are not tracked
             # by the DataFrame cache manager (an unpersist() here would be a
             # no-op). Dropping the Python reference releases the JVM-side

@@ -487,11 +487,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.util import parquet_num_rows
 
+    from petfinder_database_distributor_spark.util import execution_guard
+
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
-    # Size guard: all-pairs is O(n²) — baseline only. Footer-metadata count
-    # (no Spark job at plan-build; round-3 verdict #6) over the raw table.
-    # The plan scores only the vec_id % 4 == 0 quarter, so the ~100k-scored-
-    # vector budget corresponds to 400k RAW rows (raw/4 ≈ scored).
+    # Two-layer size guard: all-pairs is O(n²) — baseline only.
+    # Layer 1 (plan-build, free): footer-metadata count over the raw table
+    # (no Spark job; round-3 verdict #6). The plan scores the
+    # vec_id % 4 == 0 quarter, so the ~100k-scored budget corresponds to
+    # 400k RAW rows — IF residues are uniform.
     n = parquet_num_rows(sf_dir, "embeddings")
     if n > 400_000:
         raise ValueError(
@@ -499,6 +502,22 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" (~{n // 4} scored vectors after the %4 sample) exceed the 400k-raw"
             " guard — use dedup_embedding_cosine (banded SRP-LSH)"
         )
+    # Layer 2 (deferred, exact): ids skewed toward multiples of 4 (key-
+    # offset replication, 4-aligned generators) could pass layer 1 with up
+    # to 400k SCORED vectors. A scalar-subquery assert counts the filtered
+    # side at execution — zero jobs at plan-build, fails fast before the
+    # cross join materializes.
+    scored = emb.agg(F.count(F.lit(1))).scalar()
+    emb = execution_guard(
+        emb,
+        F.coalesce(scored, F.lit(0)) <= F.lit(100_000),
+        F.format_string(
+            "dedup_embedding_cosine_exact: %s scored vectors exceed the 100k"
+            " all-pairs budget (raw-count guard passed but vec_id residues are"
+            " skewed toward multiples of 4) — use dedup_embedding_cosine",
+            scored,
+        ),
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
@@ -1829,9 +1848,14 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from petfinder_database_distributor_spark.operators.text import token_count
 
+    # shiftright, NOT (doc_id / 64).cast: `/` on longs is IEEE double
+    # division, which mis-shards ids past 2^53 (md5int-class keys) while
+    # the oracle's integer `doc_id // 64` does not. (The pack_id layout
+    # shard * 2^20 + pack assumes shard < 2^43 — fine for sharded
+    # sequential ids; re-key before packing if ids are full 60-bit.)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        F.shiftright(F.col("doc_id"), _PACK_SHARD.bit_length() - 1).alias("shard"),
         token_count(F.col("text")).cast("long").alias("tokens"),
     )
     budget, shard_w = _PACK_BUDGET, _PACK_SHARD  # close over plain ints

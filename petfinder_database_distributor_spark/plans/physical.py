@@ -164,17 +164,30 @@ def dpp_events_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned fact × selectively-filtered calendar dim. The dim filter
     (day-of-month <= 7) is not statically derivable on the fact side, so
     only dynamic pruning can skip partitions; the broadcast hint is
-    justified at any scale — a calendar is ~4k rows per decade."""
-    fact = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    justified at any scale — a calendar is ~4k rows per decade.
+
+    Calendar bounds come from the staged layout's own partition
+    directory names (a driver-side listing, zero Spark jobs) rather than
+    a hard-coded range — a fixed decade would silently inner-join away
+    any event dated outside it while the oracle kept it."""
+    path = partitioned_events_path(spark, sf_dir)
+    dates = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        if d.startswith("event_date=")
+    )
+    if not dates:
+        raise ValueError(f"no event_date partitions staged under {path}")
     dim = (
         spark.range(1)
         .select(
             F.explode(
                 F.sequence(
-                    F.to_date(F.lit("2020-01-01")), F.to_date(F.lit("2029-12-31"))
+                    F.to_date(F.lit(dates[0])), F.to_date(F.lit(dates[-1]))
                 )
             ).alias("d")
         )
         .filter(F.dayofmonth("d") <= 7)
     )
+    fact = spark.read.parquet(path)
     return fact.join(F.broadcast(dim), fact.event_date == dim.d)

@@ -71,8 +71,19 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
     except OSError:
         return len(files)
     conf = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    max_bytes = int("".join(ch for ch in str(conf) if ch.isdigit()) or "134217728")
-    return max(1, math.ceil(total / max_bytes))
+    return max(1, math.ceil(total / _parse_bytes(str(conf))))
+
+
+def _parse_bytes(conf: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728b', '128m', '1g',
+    '128MB', plain '134217728'). Stripping non-digits would turn '128m'
+    into 128 BYTES and silently disable the repartition this feeds —
+    the unit suffix is load-bearing."""
+    s = conf.strip().lower()
+    num = s.rstrip("kmgtpb")
+    suffix = s[len(num):].rstrip("b")  # '128mb' -> 'm'; '134217728b' -> ''
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    return int(num or "134217728") * mult.get(suffix, 1)
 
 
 def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:

@@ -1,10 +1,13 @@
-"""The hot_cap (prefix-filter + salted join + verify) Jaccard path must be
-EXACTLY equivalent to the raw inverted-index join — same pairs, same
-values — on fixtures chosen to stress both legs: heavy replication (every
-shingle hot, salting engaged) and near-threshold pairs (prefix bound
-tight). The prefix-filter theorem (SSJoin/PPJoin) is completeness-critical:
-a missed candidate silently drops a qualifying pair, which sf0.01 parity
-might not catch — this pins it on adversarial inputs."""
+"""The hot_cap (salted two-phase count-based) Jaccard path must be EXACTLY
+equivalent to the raw inverted-index join — same pairs, same values — on
+fixtures chosen to stress both legs: heavy replication (every shingle hot,
+the salted (shingle, i, j) grid carrying real traffic) and near-threshold
+pairs. The pairing argument is completeness-critical: every pair must meet
+the grid at exactly (i=bucket(a), j=bucket(b)) — a double-count would
+inflate intersection counts and a miss would drop a qualifying pair, and
+sf0.01 parity might not catch either — so this pins equivalence on
+adversarial inputs. (A prefix-filter/SSJoin variant was measured worse
+under quadratic-output stress and dropped; see PLANS.md.)"""
 
 from __future__ import annotations
 

@@ -126,6 +126,19 @@ def test_ensure_parallelism_never_plans_or_executes(spark):
     )
 
 
+def test_parse_bytes_respects_unit_suffixes():
+    """'128m' parsed by digit-stripping would be 128 BYTES and silently
+    disable ensure_parallelism's repartition — the suffix is load-bearing."""
+    from petfinder_database_distributor_spark.util import _parse_bytes
+
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("128MB") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("512k") == 512 << 10
+
+
 def test_embedding_exact_guard_uses_footer_metadata(spark):
     # The 100k all-pairs guard must come from parquet footer metadata —
     # zero Spark jobs at plan-build.

@@ -57,9 +57,17 @@ OFFSETS = {
 
 def build_scaled(spark, factor: int, out_dir: str) -> None:
     # Staged inputs are immutable per factor — reuse across probe runs
-    # (rebuilding the 8x tables costs minutes and dominated probe wall).
+    # (rebuilding the 8x tables costs minutes and dominated probe wall) —
+    # but only while they are NEWER than the source testdata: a marker
+    # without the mtime check would silently probe stale replicas after
+    # the driver regenerates /root/testdata (same guard as the streaming
+    # chunk staging and partitioned_events_path).
     marker = f"{out_dir}/._ok"
-    if os.path.exists(marker):
+    src = f"{BASE_SF}/events.parquet"
+    if os.path.exists(marker) and (
+        not os.path.exists(src)
+        or os.stat(marker).st_mtime > os.stat(src).st_mtime
+    ):
         print(f"reusing staged {out_dir}", flush=True)
         return
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -109,6 +117,8 @@ def main() -> None:
                     err = f"{type(exc).__name__}: {exc}".split("\n")[0][:120]
                     break
                 best = min(best, time.time() - t0)
+            if err is not None:
+                break  # don't burn minutes timing the scaled dir of a dead query
             times.append(best)
         if err is not None:
             print(f"{name:28s} ERR {err}", flush=True)
