@@ -1502,6 +1502,95 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_hll_mergeable",
+    oracle=f"""
+    WITH br AS (
+      SELECT event_type,
+             ({_MD5INT.format(x="user_id::VARCHAR")}) % {_HLL_M} AS bucket,
+             52 - length(bin(({_MD5INT.format(x="user_id::VARCHAR")}) // {_HLL_M}))
+               AS rho
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    per_shard AS (
+      SELECT event_type, bucket, max(rho) AS m_j FROM br GROUP BY 1, 2
+    ),
+    merged AS (SELECT bucket, max(m_j) AS m_j FROM per_shard GROUP BY bucket),
+    direct AS (SELECT bucket, max(rho) AS m_j FROM br GROUP BY bucket),
+    ms AS (
+      SELECT count(*) AS occ,
+             sum((1::BIGINT << (52 - m_j)))::BIGINT AS s_occ
+      FROM merged
+    ),
+    ds AS (
+      SELECT count(*) AS occ,
+             sum((1::BIGINT << (52 - m_j)))::BIGINT AS s_occ
+      FROM direct
+    )
+    SELECT {_HLL_M}::BIGINT AS m,
+           (ms.s_occ + ({_HLL_M} - ms.occ) * (1::BIGINT << 52))::BIGINT
+             AS s_scaled_merged,
+           (ds.s_occ + ({_HLL_M} - ds.occ) * (1::BIGINT << 52))::BIGINT
+             AS s_scaled_direct,
+           ((ms.s_occ + ({_HLL_M} - ms.occ) * (1::BIGINT << 52))
+            = (ds.s_occ + ({_HLL_M} - ds.occ) * (1::BIGINT << 52)))
+             AS merge_exact,
+           round(({_HLL_ALPHA_SQL}) * 1180591620717411303424.0
+                 / (ms.s_occ + ({_HLL_M} - ms.occ) * (1::BIGINT << 52)), 4)
+             AS hll_estimate_merged
+    FROM ms, ds
+    """,
+    doc="HLL MERGEABILITY — the property that makes sketches the "
+    "distributed shape: per-shard register states (here sharded by "
+    "event_type) combine by register-wise max into EXACTLY the state a "
+    "single global pass builds, so a 1000-executor cluster can sketch "
+    "each partition independently and union results without error "
+    "growth. Both paths are computed with the same exact-integer "
+    "register math as sketch_hll_distinct_users and compared "
+    "bit-for-bit; merge_exact lands as a hash-checked column (true by "
+    "max-associativity, now an engine-verified fact rather than a "
+    "docstring claim)",
+)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hv = md5int(F.col("user_id").cast("string"))
+    br = ev.select(
+        "event_type",
+        (hv % _HLL_M).alias("bucket"),
+        (
+            F.lit(52)
+            - F.length(F.conv(F.shiftright(hv, 9).cast("string"), 10, 2))
+        ).alias("rho"),
+    )
+    per_shard = br.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    merged = per_shard.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    direct = br.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+
+    def s_scaled_of(regs: DataFrame) -> F.Column:
+        s = regs.agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.sum(F.expr("shiftleft(1L, 52 - m_j)")).cast("long").alias("s_occ"),
+        )
+        return s.select(
+            (
+                F.col("s_occ")
+                + (F.lit(_HLL_M) - F.col("occ")) * F.lit(1 << 52).cast("long")
+            ).cast("long")
+        ).scalar()
+
+    sm, sd = s_scaled_of(merged), s_scaled_of(direct)
+    alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(512))
+    return spark.range(1).select(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        sm.alias("s_scaled_merged"),
+        sd.alias("s_scaled_direct"),
+        (sm == sd).alias("merge_exact"),
+        F.round(
+            alpha * F.lit(1180591620717411303424.0) / sm.cast("double"), 4
+        ).alias("hll_estimate_merged"),
+    )
+
+
 # Count-Min sketch parameters + fixed probe keys. d=4 hash rows x w=1024
 # buckets: the sketch state is 4096 integer counters REGARDLESS of corpus
 # size, and building it is one map-side-combinable groupBy on (row, bucket)

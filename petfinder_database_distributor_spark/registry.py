@@ -126,6 +126,7 @@ PRIORITY: list[str] = [
     "sketch_bloom_membership",
     "pack_sequences_greedy",
     "embedding_quantize_int8",
+    "sketch_hll_mergeable",
 ]
 
 

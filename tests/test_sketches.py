@@ -86,6 +86,19 @@ def test_portable_hll_accuracy_with_correction(spark):
         )
 
 
+def test_hll_merge_is_lossless(spark):
+    """Mergeability, the property that makes the sketch distributed: the
+    register-wise max of per-shard HLL states must equal the single-pass
+    global state EXACTLY (not approximately) at every SF."""
+    from petfinder_database_distributor_spark.registry import load_all
+
+    spec = load_all()["sketch_hll_mergeable"]
+    for sf_dir in (SF_SMALL, f"{SF_SMALL}/../sf0.01"):
+        row = spec.fn(spark, sf_dir).collect()[0]
+        assert row["merge_exact"] is True
+        assert row["s_scaled_merged"] == row["s_scaled_direct"]
+
+
 def test_bloom_membership_guarantees(spark):
     """Bloom-filter guarantees at every SF: zero false negatives (every
     probe id actually present in events.user_id must report
