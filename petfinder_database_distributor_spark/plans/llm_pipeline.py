@@ -1404,6 +1404,46 @@ _HLL_LN_LUT_SQL = "[" + ", ".join(_HLL_LN_LUT) + "]"
 # always take the same branch.
 _HLL_LOW_RANGE = "1280.0"
 
+# Shared register math for the two HLL queries (distinct_users, mergeable):
+# the cross-engine invariant — alpha and m²·2^52 written as the SAME
+# literals on both sides, rho from the same shifted hash — must live in
+# exactly one place per engine or a precision retune desyncs them.
+_HLL_SHIFT = _HLL_M.bit_length() - 1  # p = 9
+_HLL_POW70 = 1180591620717411303424.0  # m² · 2^52 as the shared literal
+
+
+def _hll_alpha() -> F.Column:
+    return F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(512))
+
+
+def _hll_rows(ev: DataFrame, *extra_cols: str) -> DataFrame:
+    """(bucket, rho) per event row (+ passthrough columns): the map-side
+    projection every HLL construction starts from."""
+    hv = md5int(F.col("user_id").cast("string"))
+    return ev.select(
+        *extra_cols,
+        (hv % _HLL_M).alias("bucket"),
+        (
+            F.lit(52)
+            - F.length(
+                F.conv(F.shiftright(hv, _HLL_SHIFT).cast("string"), 10, 2)
+            )
+        ).alias("rho"),
+    )
+
+
+def _hll_s_occ() -> F.Column:
+    """Aggregate: scaled harmonic sum over occupied registers. coalesce is
+    load-bearing — sum() over ZERO registers (every user_id NULL) is NULL,
+    which would poison s_scaled/merge_exact instead of yielding the
+    well-defined empty-sketch state m·2^52."""
+    # column-valued shift amount needs the SQL form (python F.shiftleft
+    # only takes an int literal)
+    return F.coalesce(
+        F.sum(F.expr("shiftleft(1L, 52 - m_j)")).cast("long"),
+        F.lit(0).cast("long"),
+    )
+
 
 @register(
     "sketch_hll_distinct_users",
@@ -1420,7 +1460,7 @@ _HLL_LOW_RANGE = "1280.0"
     regs AS (SELECT bucket, max(rho) AS m_j FROM br GROUP BY bucket),
     s AS (
       SELECT count(*) AS occupied,
-             sum((1::BIGINT << (52 - m_j)))::BIGINT AS s_occ
+             coalesce(sum((1::BIGINT << (52 - m_j))), 0)::BIGINT AS s_occ
       FROM regs
     ),
     raw AS (
@@ -1457,32 +1497,21 @@ _HLL_LOW_RANGE = "1280.0"
 )
 def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    hv = md5int(F.col("user_id").cast("string"))
-    br = ev.select(
-        (hv % _HLL_M).alias("bucket"),
-        (
-            F.lit(52)
-            - F.length(F.conv(F.shiftright(hv, 9).cast("string"), 10, 2))
-        ).alias("rho"),
-    )
-    regs = br.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    regs = _hll_rows(ev).groupBy("bucket").agg(F.max("rho").alias("m_j"))
     s = regs.agg(
         F.count(F.lit(1)).alias("occupied"),
-        # column-valued shift amount needs the SQL form (python F.shiftleft
-        # only takes an int literal)
-        F.sum(F.expr("shiftleft(1L, 52 - m_j)")).cast("long").alias("s_occ"),
+        _hll_s_occ().alias("s_occ"),
     )
     s_scaled = (
         F.col("s_occ")
         + (F.lit(_HLL_M) - F.col("occupied")) * F.lit(1 << 52).cast("long")
     ).cast("long")
-    alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(512))
     raw = s.select(
         F.lit(_HLL_M).cast("long").alias("m"),
         (F.lit(_HLL_M) - F.col("occupied")).cast("long").alias("zero_regs"),
         s_scaled.alias("s_scaled"),
         F.round(
-            alpha * F.lit(1180591620717411303424.0) / s_scaled.cast("double"), 4
+            _hll_alpha() * F.lit(_HLL_POW70) / s_scaled.cast("double"), 4
         ).alias("hll_raw_estimate"),
     )
     # Same 512 literal doubles as the oracle's list — float(repr) round-trips,
@@ -1505,12 +1534,15 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sketch_hll_mergeable",
     oracle=f"""
-    WITH br AS (
+    WITH h AS (
       SELECT event_type,
-             ({_MD5INT.format(x="user_id::VARCHAR")}) % {_HLL_M} AS bucket,
-             52 - length(bin(({_MD5INT.format(x="user_id::VARCHAR")}) // {_HLL_M}))
-               AS rho
+             ({_MD5INT.format(x="user_id::VARCHAR")}) AS hv
       FROM events WHERE user_id IS NOT NULL
+    ),
+    br AS (
+      SELECT event_type, hv % {_HLL_M} AS bucket,
+             52 - length(bin(hv // {_HLL_M})) AS rho
+      FROM h
     ),
     per_shard AS (
       SELECT event_type, bucket, max(rho) AS m_j FROM br GROUP BY 1, 2
@@ -1519,12 +1551,12 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct AS (SELECT bucket, max(rho) AS m_j FROM br GROUP BY bucket),
     ms AS (
       SELECT count(*) AS occ,
-             sum((1::BIGINT << (52 - m_j)))::BIGINT AS s_occ
+             coalesce(sum((1::BIGINT << (52 - m_j))), 0)::BIGINT AS s_occ
       FROM merged
     ),
     ds AS (
       SELECT count(*) AS occ,
-             sum((1::BIGINT << (52 - m_j)))::BIGINT AS s_occ
+             coalesce(sum((1::BIGINT << (52 - m_j))), 0)::BIGINT AS s_occ
       FROM direct
     )
     SELECT {_HLL_M}::BIGINT AS m,
@@ -1553,24 +1585,13 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    hv = md5int(F.col("user_id").cast("string"))
-    br = ev.select(
-        "event_type",
-        (hv % _HLL_M).alias("bucket"),
-        (
-            F.lit(52)
-            - F.length(F.conv(F.shiftright(hv, 9).cast("string"), 10, 2))
-        ).alias("rho"),
-    )
+    br = _hll_rows(ev, "event_type")
     per_shard = br.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
     merged = per_shard.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
     direct = br.groupBy("bucket").agg(F.max("rho").alias("m_j"))
 
     def s_scaled_of(regs: DataFrame) -> F.Column:
-        s = regs.agg(
-            F.count(F.lit(1)).alias("occ"),
-            F.sum(F.expr("shiftleft(1L, 52 - m_j)")).cast("long").alias("s_occ"),
-        )
+        s = regs.agg(F.count(F.lit(1)).alias("occ"), _hll_s_occ().alias("s_occ"))
         return s.select(
             (
                 F.col("s_occ")
@@ -1579,14 +1600,13 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).scalar()
 
     sm, sd = s_scaled_of(merged), s_scaled_of(direct)
-    alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(512))
     return spark.range(1).select(
         F.lit(_HLL_M).cast("long").alias("m"),
         sm.alias("s_scaled_merged"),
         sd.alias("s_scaled_direct"),
         (sm == sd).alias("merge_exact"),
         F.round(
-            alpha * F.lit(1180591620717411303424.0) / sm.cast("double"), 4
+            _hll_alpha() * F.lit(_HLL_POW70) / sm.cast("double"), 4
         ).alias("hll_estimate_merged"),
     )
 

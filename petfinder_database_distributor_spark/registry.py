@@ -116,12 +116,14 @@ PRIORITY: list[str] = [
     "stream_session_windows",
     "stream_stream_interval_join",
     # -- 50-entry driver window ends here. --
-    # These three are NEW this round but land at 51+: the 50 slots above
+    # These FOUR are NEW this round but land at 51-54: the 50 slots above
     # are all spoken for by the cadence rule, and displacing a
     # rotation-due query would leave it 3 rounds stale. They are covered
-    # by the local parity gate (+ tests/test_sketches.py for the bloom
-    # filter) this round and MUST head the r6 window, together with
-    # p3_link_fanout (yielded its r5 slot to them; operator covered by
+    # by the local parity gate (+ tests/test_sketches.py /
+    # tests/test_packing.py) this round, and the r6 window head MUST be:
+    # sketch_bloom_membership, pack_sequences_greedy,
+    # embedding_quantize_int8, sketch_hll_mergeable, plus p3_link_fanout
+    # (yielded its r5 slot to them; operator covered by
     # p3_link_fanout_xpath's r4 row).
     "sketch_bloom_membership",
     "pack_sequences_greedy",

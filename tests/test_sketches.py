@@ -93,7 +93,7 @@ def test_hll_merge_is_lossless(spark):
     from petfinder_database_distributor_spark.registry import load_all
 
     spec = load_all()["sketch_hll_mergeable"]
-    for sf_dir in (SF_SMALL, f"{SF_SMALL}/../sf0.01"):
+    for sf_dir in (SF_SMALL, f"{SF_SMALL}/../sf0.01", f"{SF_SMALL}/../sf0.1"):
         row = spec.fn(spark, sf_dir).collect()[0]
         assert row["merge_exact"] is True
         assert row["s_scaled_merged"] == row["s_scaled_direct"]
