@@ -1,0 +1,285 @@
+"""Data-mining / layout queries for the LLM-data layer: integer-exact
+k-means clustering, fixed-iteration PageRank, domain mixing weights, and
+Z-order (Morton) layout statistics.
+
+Like the sketch family, every operator here is constructed integer-exact
+(portable floor division, no float accumulation), so the iterative
+algorithms — normally excluded from cross-engine value checks — are
+hash-compared against DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from petfinder_database_distributor_spark.operators.clustering import (
+    kmeans_int8,
+    pagerank_integer,
+)
+from petfinder_database_distributor_spark.operators.text import token_count
+from petfinder_database_distributor_spark.registry import register
+from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.util import ensure_parallelism
+
+# ---------------------------------------------------------------------------
+# cluster_kmeans_int8
+# ---------------------------------------------------------------------------
+
+# The oracle restates the exact algorithm: int8 quantization (the proven
+# embedding_quantize_int8 kernel), k=8 seeds = smallest vec_ids, two
+# rounds of assign (min dist, ties -> min cluster) + floor-mean update,
+# then the final assignment. Integer arithmetic throughout: dist is
+# BIGINT squared-L2, centroid update is the portable pymod floor
+# division, so both engines produce identical (vec_id, cluster, dist).
+_KMEANS_QUANT = """
+q AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(e, x -> floor(x / scale + 0.5)::BIGINT)
+              ELSE list_transform(e, x -> 0::BIGINT) END AS q
+  FROM (SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, q AS c
+  FROM q ORDER BY vec_id LIMIT 8
+)
+"""
+
+
+def _kmeans_round(i: int, prev_c: str) -> str:
+    """One oracle round: assignment aN against prev_c, centroid update cN."""
+    return f"""
+a{i} AS (
+  SELECT vec_id, q, cluster, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+  FROM (SELECT q.vec_id, q.q, {prev_c}.cluster,
+               list_sum([(q.q[i] - {prev_c}.c[i]) * (q.q[i] - {prev_c}.c[i])
+                         for i in range(1, 65)])::BIGINT AS dist
+        FROM q, {prev_c})
+),
+c{i} AS (
+  SELECT cluster, list(v ORDER BY pos) AS c FROM (
+    SELECT cluster, pos, (s - (((s % n) + n) % n)) // n AS v FROM (
+      SELECT cluster, r.range AS pos,
+             sum(q[r.range])::BIGINT AS s, count(*)::BIGINT AS n
+      FROM a{i}, range(1, 65) r WHERE rn = 1
+      GROUP BY cluster, r.range))
+  GROUP BY cluster
+)"""
+
+
+_KMEANS_ORACLE = (
+    "WITH "
+    + _KMEANS_QUANT.strip()
+    + ","
+    + _kmeans_round(1, "c0")
+    + ","
+    + _kmeans_round(2, "c1")
+    + ""","""
+    + """
+af AS (
+  SELECT vec_id, cluster, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+  FROM (SELECT q.vec_id, c2.cluster,
+               list_sum([(q.q[i] - c2.c[i]) * (q.q[i] - c2.c[i])
+                         for i in range(1, 65)])::BIGINT AS dist
+        FROM q, c2)
+)
+SELECT vec_id, cluster::INT AS cluster, dist FROM af WHERE rn = 1
+"""
+)
+
+
+@register(
+    "cluster_kmeans_int8",
+    oracle=_KMEANS_ORACLE,
+    doc="Fixed-iteration Lloyd's k-means (k=8, 2 rounds) over int8-"
+    "quantized embeddings — the topic-clustering step a data-mixing "
+    "pipeline runs before sampling. Integer-exact: quantized vectors, "
+    "BIGINT squared-L2 distances, floor-mean centroid updates, so an "
+    "iterative float algorithm becomes bit-identical cross-engine. Scale "
+    "shape: assignment is a pure projection (k x 64 literal centroids in "
+    "the expression tree, vectors never ride a join), the only shuffle "
+    "per round is the bounded (k x dim)-key update agg, and driver state "
+    "is k centroid rows per round (bounded-scalar class, like the "
+    "components witness).",
+)
+def cluster_kmeans_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_int8(emb, k=8, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# pagerank_partsupp
+# ---------------------------------------------------------------------------
+
+_PAGERANK_SCALE = 10**12
+_PR_INIT = f"({_PAGERANK_SCALE} // n_nodes)"
+_PR_BASE = f"((15 * ({_PAGERANK_SCALE} // n_nodes)) // 100)"
+
+
+def _pr_round(i: int, prev: str) -> str:
+    return f"""
+i{i} AS (
+  SELECT e.dst AS node, sum({prev}.rank // od.outdeg)::BIGINT AS inc
+  FROM e JOIN od USING (src) JOIN {prev} ON {prev}.node = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         {_PR_BASE} + ((85 * coalesce(i{i}.inc, 0)) // 100) AS rank
+  FROM nodes LEFT JOIN i{i} ON nodes.node = i{i}.node, ns
+)"""
+
+
+_PAGERANK_ORACLE = (
+    """
+WITH e AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ns AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes),
+od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, """
+    + _PR_INIT
+    + """ AS rank FROM nodes, ns),"""
+    + _pr_round(1, "r0")
+    + ","
+    + _pr_round(2, "r1")
+    + ","
+    + _pr_round(3, "r2")
+    + """
+SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20
+"""
+)
+
+
+@register(
+    "pagerank_partsupp",
+    oracle=_PAGERANK_ORACLE,
+    doc="Fixed 3-iteration PageRank over the distinct part->supplier edge "
+    "graph from lineitem (nodes namespaced 2p / 2s+1) — the link-analysis "
+    "primitive a crawl-curation pipeline uses to weight domains. Ranks "
+    "are integers in units of 1e-12 and every contribution is an integer "
+    "division, so the iterative computation hash-matches DuckDB exactly. "
+    "Fully declarative: no driver collect; each round is one "
+    "edges-outdeg-ranks join plus one groupBy(dst) shuffle — the "
+    "O(iters)-round bulk-synchronous shape that survives 100 TB (at real "
+    "scale each round's result would be checkpointed to cut lineage). "
+    "Dangling (supplier) mass is dropped: a deterministic contraction, "
+    "not a normalized distribution — stated contract. Top-20 via "
+    "TakeOrderedAndProject with (rank DESC, node) tie-break.",
+)
+def pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    return pagerank_integer(edges, iters=3, scale=_PAGERANK_SCALE, top=20)
+
+
+# ---------------------------------------------------------------------------
+# domain_mix_weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "domain_mix_weights",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM per),
+    capped AS (SELECT source, n_docs, n_tokens,
+                      least(n_tokens, total // 4) AS eff FROM per, tot),
+    et AS (SELECT sum(eff)::BIGINT AS eff_total FROM capped)
+    SELECT source, n_docs, n_tokens,
+           (eff * 1000000) // eff_total AS weight_ppm
+    FROM capped, et
+    """,
+    doc="Per-domain sampling weights for training-mix construction: token "
+    "counts per source, any single domain capped at 25% of the corpus, "
+    "weights renormalized over the capped mass — emitted as exact "
+    "integer parts-per-million ((eff*1e6) div sum(eff)), so the mix "
+    "table is bit-identical cross-engine. One narrow token-count "
+    "projection + a tiny per-domain agg; the two scalar totals ride "
+    "broadcast cross-joins (1-row frames), so the 100 TB cost is the "
+    "single documents scan.",
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total"))
+    capped = per.crossJoin(F.broadcast(tot)).withColumn(
+        "eff", F.expr("least(n_tokens, total div 4)")
+    )
+    et = capped.agg(F.sum("eff").alias("eff_total"))
+    return capped.crossJoin(F.broadcast(et)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(eff * 1000000) div eff_total").alias("weight_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout_stats
+# ---------------------------------------------------------------------------
+
+# 10-bit x 10-bit Morton interleave as a closed-form expression — built
+# once here, then rendered with each engine's shift spelling
+# (Spark: shiftright(v, i); DuckDB: (v >> i)). The bit extract times a
+# power-of-two literal is plain integer arithmetic in both engines.
+def _morton_sql(x: str, y: str, shift_fmt: str) -> str:
+    terms = []
+    for i in range(10):
+        sx = shift_fmt.format(v=x, i=i)
+        sy = shift_fmt.format(v=y, i=i)
+        terms.append(f"(({sx} & 1) * {1 << (2 * i)})")
+        terms.append(f"(({sy} & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT (user_id % 1024) AS x,
+             ((extract('hour' FROM ts) * 60 + extract('minute' FROM ts)) % 1024) AS y
+      FROM events),
+    z AS (SELECT x, y, {_morton_sql('x', 'y', '({v} >> {i})')} AS morton FROM m)
+    SELECT (morton // 32768) AS bucket, count(*) AS n_events,
+           min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+    FROM z GROUP BY bucket
+    """,
+    doc="Z-order (Morton) data-layout statistics: interleave 10 bits of "
+    "user_id with 10 bits of minute-of-day, bucket the 20-bit curve into "
+    "32 equal code ranges, and report per-bucket extent of both "
+    "dimensions — each bucket covers a bounded quadrant of the (user, "
+    "time) plane, which is exactly why writing 100 TB sorted by Morton "
+    "code (repartitionByRange + sortWithinPartitions, see "
+    "tests/test_zorder_layout.py) gives file-level min/max pruning on "
+    "BOTH columns at once. Pure bit-op projection + a 32-key agg.",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        (F.col("user_id") % 1024).alias("x"),
+        ((F.hour("ts") * 60 + F.minute("ts")) % 1024).cast("long").alias("y"),
+    )
+    z = m.select("x", "y", F.expr(_morton_sql("x", "y", "shiftright({v}, {i})")).alias("morton"))
+    return z.groupBy(F.expr("morton div 32768").alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )

@@ -129,6 +129,14 @@ PRIORITY: list[str] = [
     "pack_sequences_greedy",
     "embedding_quantize_int8",
     "sketch_hll_mergeable",
+    # Mining/layout family (also NEW this round, same r6-head contract):
+    # integer-exact k-means + PageRank, domain mix weights, Z-order
+    # layout stats. Covered this round by the local parity gate +
+    # tests/test_mining.py / test_zorder_layout.py.
+    "cluster_kmeans_int8",
+    "pagerank_partsupp",
+    "domain_mix_weights",
+    "zorder_layout_stats",
 ]
 
 
@@ -141,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
         extraction_plans,
         flagship,
         llm_pipeline,
+        mining,
         physical,
         reference_ops,
         relational,

@@ -1,0 +1,108 @@
+"""Mining-family invariants beyond the hash-parity gate: the integer-exact
+k-means and PageRank are re-implemented independently in NumPy/pure Python
+and compared value-for-value (a THIRD engine besides Spark and DuckDB —
+if all three agree bit-for-bit, the portability construction holds), plus
+plan-shape pins for the scale claims."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from petfinder_database_distributor_spark.plans.mining import (
+    cluster_kmeans_int8,
+    pagerank_partsupp,
+)
+from tests.conftest import SF_SMALL
+
+
+def _numpy_kmeans(sf_dir: str, k: int = 8, iters: int = 2):
+    pdf = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).df()
+    e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    vec_ids = pdf["vec_id"].to_numpy()
+    scale = np.abs(e).max(axis=1) / 127.0
+    q = np.where(
+        scale[:, None] > 0, np.floor(e / np.where(scale[:, None] > 0, scale[:, None], 1) + 0.5), 0.0
+    ).astype(np.int64)
+
+    order = np.argsort(vec_ids)
+    seeds = order[:k]
+    cents = [(i, q[seeds[i]].copy()) for i in range(min(k, len(vec_ids)))]
+
+    def assign(cents):
+        cmat = np.stack([c for _, c in cents])
+        d = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        best = d.argmin(axis=1)  # first min — cents sorted by cluster id
+        return best, d[np.arange(len(q)), best]
+
+    for _ in range(iters):
+        best, _dist = assign(cents)
+        new = []
+        for j, (cid, _c) in enumerate(cents):
+            members = q[best == j]
+            if len(members):
+                new.append((cid, np.floor_divide(members.sum(axis=0), len(members))))
+        cents = new
+    best, dist = assign(cents)
+    return {
+        int(v): (int(cents[b][0]), int(d)) for v, b, d in zip(vec_ids, best, dist)
+    }
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    expected = _numpy_kmeans(SF_SMALL)
+    rows = cluster_kmeans_int8(spark, SF_SMALL).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        cid, dist = expected[r["vec_id"]]
+        assert (r["cluster"], r["dist"]) == (cid, dist), (
+            f"vec {r['vec_id']}: spark ({r['cluster']},{r['dist']}) != numpy ({cid},{dist})"
+        )
+
+
+def test_kmeans_assignment_is_projection_no_join(spark):
+    """The 100 TB claim: final assignment never joins/duplicates vectors —
+    centroids are literals in the expression tree."""
+    plan = cluster_kmeans_int8(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    for op in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
+        assert op not in plan, f"assignment plan unexpectedly contains {op}:\n{plan}"
+
+
+def _python_pagerank(sf_dir: str, iters: int = 3, scale: int = 10**12, top: int = 20):
+    pdf = duckdb.sql(
+        f"SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).df()
+    edges = list(zip(pdf["src"].astype(int), pdf["dst"].astype(int)))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg: dict[int, int] = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (15 * (scale // n)) // 100
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        inc: dict[int, int] = {}
+        for u, v in edges:
+            inc[v] = inc.get(v, 0) + rank[u] // outdeg[u]
+        rank = {v: base + (85 * inc.get(v, 0)) // 100 for v in nodes}
+    return sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+
+
+def test_pagerank_matches_python_reference(spark):
+    expected = _python_pagerank(SF_SMALL)
+    rows = [
+        (r["node"], r["rank"])
+        for r in pagerank_partsupp(spark, SF_SMALL).collect()
+    ]
+    rows.sort(key=lambda kv: (-kv[1], kv[0]))
+    assert rows == expected
+
+
+def test_pagerank_no_driver_collect_shape(spark):
+    """PageRank is fully declarative — the returned plan is a bounded
+    top-k (TakeOrderedAndProject), not a full sort."""
+    plan = pagerank_partsupp(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
