@@ -64,24 +64,77 @@ def _assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Nearest-centroid assignment as a pure projection: one
     (dist, cluster) struct per centroid, ``array_min`` picks the smallest
     distance with ties broken toward the smallest cluster id (struct
-    ordering is lexicographic — the oracle's ORDER BY dist, cluster)."""
+    ordering is lexicographic — the oracle's ORDER BY dist, cluster).
+
+    The whole argmin is rendered as ONE SQL expression string: building
+    the same tree through the Column API costs ~2 s of py4j round-trips
+    per call (k × dim literal Columns), which tripled the operator's wall
+    time; a single ``F.expr`` parses on the JVM in milliseconds."""
     structs = []
     for cid, vec in cents:
-        carr = F.array(*[F.lit(int(v)).cast("long") for v in vec])
-        dist = F.aggregate(
-            F.zip_with(F.col("q"), carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        carr = "array(" + ",".join(f"{int(v)}L" for v in vec) + ")"
+        dist = (
+            f"aggregate(zip_with(q, {carr}, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, x) -> acc + x)"
         )
         structs.append(
-            F.struct(dist.alias("dist"), F.lit(int(cid)).cast("int").alias("cluster"))
+            f"named_struct('dist', {dist}, 'cluster', CAST({int(cid)} AS INT))"
         )
-    best = F.array_min(F.array(*structs))
-    return qdf.select(
+    best = f"array_min(array({','.join(structs)}))"
+    # Materialize the struct once, extract after: interpreted HOFs get no
+    # CSE, so inlining `best` into both field extracts would run the k×dim
+    # distance computation twice per row (CollapseProject keeps the
+    # two-step shape — struct field extraction is not collapse-cheap).
+    return qdf.select("vec_id", "q", F.expr(best).alias("best")).select(
         "vec_id",
         "q",
-        best.getField("cluster").alias("cluster"),
-        best.getField("dist").alias("dist"),
+        F.col("best.cluster").alias("cluster"),
+        F.col("best.dist").alias("dist"),
+    )
+
+
+def _assign_arrow(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Arrow-batched assignment kernel — the large-k alternative path.
+
+    Nearest-centroid is a k×dim multiply-accumulate per row — a matrix
+    product — and Spark's higher-order functions run it interpreted (no
+    codegen). The numpy kernel computes |q|² − 2qCᵀ + |c|² in exact int64
+    (inputs are int8-range, so every intermediate is far below 2⁵³ let
+    alone int64 overflow). Measured head-to-head at k=8/dim=64 the two
+    paths tie (the Arrow round-trip of the vector column offsets the
+    interpreter cost; warm 8×-data runs were within noise of each other
+    once the quantized set is persisted), so the k=8 query defaults to
+    the JVM expression twin; this kernel is the path to flip to when k
+    grows — per-row work scales ×k for the interpreter but amortizes
+    into one matmul here. Tie-break parity: ``argmin`` returns the FIRST
+    minimum and ``cents`` is sorted by cluster id, matching the expression
+    twin's struct-min and the oracle's ORDER BY dist, cluster
+    (pinned in tests/test_mining.py::test_assignment_paths_agree)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int32)
+    cmat = np.stack([np.asarray(c, dtype=np.int64) for _, c in cents])
+    c_sq = (cmat * cmat).sum(axis=1)
+
+    @pandas_udf("struct<cluster:int, dist:bigint>")
+    def nearest(qs):  # pd.Series of list<long> -> pd.DataFrame
+        if len(qs) == 0:
+            return pd.DataFrame({"cluster": pd.array([], dtype="int32"),
+                                 "dist": pd.array([], dtype="int64")})
+        q = np.stack([np.asarray(v, dtype=np.int64) for v in qs])
+        d = (q * q).sum(axis=1)[:, None] - 2 * (q @ cmat.T) + c_sq[None, :]
+        b = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": cids[b], "dist": d[np.arange(len(b)), b]}
+        )
+
+    return qdf.select("vec_id", "q", nearest("q").alias("best")).select(
+        "vec_id",
+        "q",
+        F.col("best.cluster").alias("cluster"),
+        F.col("best.dist").alias("dist"),
     )
 
 
@@ -110,7 +163,7 @@ def _update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
 
 
 def kmeans_int8(
-    emb: DataFrame, k: int = 8, iters: int = 2
+    emb: DataFrame, k: int = 8, iters: int = 2, use_arrow: bool = False
 ) -> DataFrame:
     """Fixed-iteration Lloyd's k-means over int8-quantized embeddings.
 
@@ -119,15 +172,28 @@ def kmeans_int8(
     the FINAL assignment (vec_id, cluster, dist) against the post-update
     centroids. Runs ``iters`` bounded Spark jobs at call time (k×dim longs
     collected per round — the documented bounded-scalar exception, like the
-    components convergence witness)."""
-    qdf = quantize_int8(emb)
+    components convergence witness). ``use_arrow`` switches to the numpy
+    matmul kernel — bit-identical outputs (test-pinned), the path to
+    prefer when k is large; at k=8 the JVM expression form ties it and
+    stays codegen-adjacent, so it is the default."""
+    from pyspark import StorageLevel
+
+    assign = _assign_arrow if use_arrow else _assign
+    # Persist the quantized working set: every pass (seeds, each update,
+    # final assignment) otherwise re-scans parquet and re-runs the
+    # interpreted-HOF quantization — the measured dominant cost at 8×
+    # data. Caching the iterate is the standard Spark shape for iterative
+    # algorithms (MLlib k-means does exactly this); MEMORY_AND_DISK spills
+    # rather than OOMs at scale. Freed by the ContextCleaner once the
+    # returned plan is unreferenced.
+    qdf = quantize_int8(emb).persist(StorageLevel.MEMORY_AND_DISK)
     seed_rows = qdf.orderBy("vec_id").limit(k).collect()
     cents = [
         (i, list(r["q"])) for i, r in enumerate(sorted(seed_rows, key=lambda r: r["vec_id"]))
     ]
     for _ in range(iters):
-        cents = _update(_assign(qdf, cents))
-    return _assign(qdf, cents).select("vec_id", "cluster", "dist")
+        cents = _update(assign(qdf, cents))
+    return assign(qdf, cents).select("vec_id", "cluster", "dist")
 
 
 def pagerank_integer(

@@ -101,11 +101,14 @@ SELECT vec_id, cluster::INT AS cluster, dist FROM af WHERE rn = 1
     "pipeline runs before sampling. Integer-exact: quantized vectors, "
     "BIGINT squared-L2 distances, floor-mean centroid updates, so an "
     "iterative float algorithm becomes bit-identical cross-engine. Scale "
-    "shape: assignment is a pure projection (k x 64 literal centroids in "
-    "the expression tree, vectors never ride a join), the only shuffle "
-    "per round is the bounded (k x dim)-key update agg, and driver state "
-    "is k centroid rows per round (bounded-scalar class, like the "
-    "components witness).",
+    "shape: assignment is a pure projection (k x dim literal centroids "
+    "in the expression tree — vectors never ride a join), the quantized "
+    "working set is persisted across passes (the measured dominant cost "
+    "before caching; MLlib's own iterative shape), the only shuffle per "
+    "round is the bounded (k x dim)-key update agg, and driver state is "
+    "k centroid rows per round (bounded-scalar class). An Arrow int64 "
+    "matmul kernel twin exists for the large-k regime — bit-identical, "
+    "test-pinned; at k=8 the JVM expression form ties it.",
 )
 def cluster_kmeans_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
@@ -227,6 +230,61 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         F.expr("(eff * 1000000) div eff_total").alias("weight_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_commonness_score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_commonness_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, u.tok FROM (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                 string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> x <> '')) AS toks
+        FROM documents), unnest(toks) u(tok)),
+    d AS (SELECT tok, count(*)::BIGINT AS df FROM t GROUP BY tok),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    per AS (SELECT doc_id, count(*)::BIGINT AS n_tok, sum(d.df)::BIGINT AS sum_df
+            FROM t JOIN d USING (tok) GROUP BY doc_id)
+    SELECT doc_id, n_tok, sum_df,
+           (sum_df * 1000000) // (n_tok * n_docs) AS commonness_ppm
+    FROM per, n
+    """,
+    doc="Corpus-frequency quality score (the CCNet-style 'does this doc "
+    "use normal vocabulary' pre-filter): per-doc mean document-frequency "
+    "of its distinct tokens, emitted as exact integer ppm of the corpus "
+    "size — low commonness flags gibberish/boilerplate-coded docs, high "
+    "flags boilerplate. Two linear shuffles (token df agg, per-doc "
+    "re-agg); the token join is stopword-skewed by nature, which is "
+    "exactly what AQE skew-join splitting absorbs at scale "
+    "(tests/test_plan_quality.py::test_aqe_splits_skewed_join_partitions "
+    "pins that lever).",
+)
+def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import distinct_tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(distinct_tokens(F.col("text"))).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    per = (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.sum("df").alias("sum_df"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return per.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_tok",
+        "sum_df",
+        F.expr("(sum_df * 1000000) div (n_tok * n_docs)").alias("commonness_ppm"),
     )
 
 

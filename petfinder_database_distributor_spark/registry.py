@@ -137,6 +137,7 @@ PRIORITY: list[str] = [
     "pagerank_partsupp",
     "domain_mix_weights",
     "zorder_layout_stats",
+    "text_commonness_score",
 ]
 
 

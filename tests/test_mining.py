@@ -62,6 +62,20 @@ def test_kmeans_matches_numpy_reference(spark):
         )
 
 
+def test_assignment_paths_agree(spark):
+    """The Arrow matmul kernel (hot path) and the pure-expression twin
+    must be bit-identical — same distances, same tie-breaks."""
+    from petfinder_database_distributor_spark.operators.clustering import kmeans_int8
+    from petfinder_database_distributor_spark.schema import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = {r["vec_id"]: (r["cluster"], r["dist"])
+         for r in kmeans_int8(emb, use_arrow=True).collect()}
+    b = {r["vec_id"]: (r["cluster"], r["dist"])
+         for r in kmeans_int8(emb, use_arrow=False).collect()}
+    assert a == b
+
+
 def test_kmeans_assignment_is_projection_no_join(spark):
     """The 100 TB claim: final assignment never joins/duplicates vectors —
     centroids are literals in the expression tree."""
