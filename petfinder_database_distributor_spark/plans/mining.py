@@ -289,6 +289,149 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# profile_documents
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_oracle() -> str:
+    # Share the HLL literals with the sketch family — importing the
+    # private constants (same package) instead of restating them is
+    # load-bearing: a precision retune there must not desync this query.
+    from petfinder_database_distributor_spark.plans.llm_pipeline import (
+        _HLL_ALPHA_SQL,
+        _HLL_LN_LUT_SQL,
+        _HLL_LOW_RANGE,
+        _HLL_M,
+    )
+
+    unions = "\n  UNION ALL ".join(
+        f"SELECT '{c}' AS col, {c}{'::VARCHAR' if c in ('doc_id', 'n_chars') else ''} AS val FROM documents"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+    WITH vals AS ({unions}),
+    base AS (
+      SELECT col, count(*)::BIGINT AS n_rows,
+             (count(*) - count(val))::BIGINT AS n_nulls,
+             substr(min(val), 1, 32) AS min_val,
+             substr(max(val), 1, 32) AS max_val
+      FROM vals GROUP BY col),
+    br AS (
+      SELECT col, hv % {_HLL_M} AS bucket,
+             52 - length(bin(hv // {_HLL_M})) AS rho
+      FROM (SELECT col, ('0x' || substr(md5(val), 1, 15))::BIGINT AS hv
+            FROM vals WHERE val IS NOT NULL)),
+    regs AS (SELECT col, bucket, max(rho) AS m_j FROM br GROUP BY col, bucket),
+    s AS (SELECT col, count(*) AS occupied,
+                 coalesce(sum((1::BIGINT << (52 - m_j))), 0)::BIGINT AS s_occ
+          FROM regs GROUP BY col),
+    est AS (
+      SELECT col, ({_HLL_M} - occupied)::BIGINT AS zero_regs,
+             round(({_HLL_ALPHA_SQL}) * 1180591620717411303424.0
+                   / (s_occ + ({_HLL_M} - occupied) * (1::BIGINT << 52)), 4)
+               AS raw
+      FROM s),
+    fin AS (
+      SELECT col, CASE WHEN zero_regs > 0 AND raw <= {_HLL_LOW_RANGE}
+                  THEN round({_HLL_M} * list_extract({_HLL_LN_LUT_SQL}::DOUBLE[],
+                                                     zero_regs::INT), 4)
+                  ELSE raw END AS distinct_est
+      FROM est)
+    SELECT base.col, n_rows, n_nulls, min_val, max_val,
+           coalesce(fin.distinct_est, 0.0) AS distinct_est
+    FROM base LEFT JOIN fin ON base.col = fin.col
+    """
+
+
+@register(
+    "profile_documents",
+    oracle=_profile_oracle(),
+    doc="Single-pass table profiler — the data-quality primitive every "
+    "100 TB ingest runs first: per-column row/null counts, min/max (32-"
+    "char prefix, values profiled as strings), and a portable-HLL "
+    "distinct estimate with the sketch family's low-range correction. "
+    "ONE scan: columns are stacked map-side via inline() (x|cols| rows "
+    "but no extra pass), then two bounded shuffles — a |cols|-key stats "
+    "agg and a (|cols| x 512)-key register agg. Contrast the naive "
+    "profiler: one count-distinct shuffle PER COLUMN over every value. "
+    "HLL literals are imported from the sketch family so the engines "
+    "cannot desync.",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import md5int
+    from petfinder_database_distributor_spark.plans.llm_pipeline import (
+        _hll_alpha,
+        _HLL_LN_LUT,
+        _HLL_LOW_RANGE,
+        _HLL_M,
+        _HLL_POW70,
+        _HLL_SHIFT,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    entries = [
+        F.struct(F.lit(c).alias("col"), F.col(c).cast("string").alias("val"))
+        for c in _PROFILE_COLS
+    ]
+    vals = docs.select(F.inline(F.array(*entries)))
+    base = vals.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
+        F.substring(F.min("val"), 1, 32).alias("min_val"),
+        F.substring(F.max("val"), 1, 32).alias("max_val"),
+    )
+    hv = md5int(F.col("val"))
+    br = vals.filter(F.col("val").isNotNull()).select(
+        "col",
+        (hv % _HLL_M).alias("bucket"),
+        (
+            F.lit(52)
+            - F.length(F.conv(F.shiftright(hv, _HLL_SHIFT).cast("string"), 10, 2))
+        ).alias("rho"),
+    )
+    regs = br.groupBy("col", "bucket").agg(F.max("rho").alias("m_j"))
+    s = regs.groupBy("col").agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.coalesce(
+            F.sum(F.expr("shiftleft(1L, 52 - m_j)")).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("s_occ"),
+    )
+    s_scaled = (
+        F.col("s_occ")
+        + (F.lit(_HLL_M) - F.col("occupied")) * F.lit(1 << 52).cast("long")
+    ).cast("long")
+    ln_lut = F.array(*[F.lit(float(x)) for x in _HLL_LN_LUT])
+    est = s.select(
+        "col",
+        (F.lit(_HLL_M) - F.col("occupied")).cast("long").alias("zero_regs"),
+        F.round(_hll_alpha() * F.lit(_HLL_POW70) / s_scaled.cast("double"), 4).alias(
+            "raw"
+        ),
+    ).withColumn(
+        "distinct_est",
+        F.when(
+            (F.col("zero_regs") > 0) & (F.col("raw") <= F.lit(float(_HLL_LOW_RANGE))),
+            F.round(
+                F.lit(float(_HLL_M))
+                * F.element_at(ln_lut, F.col("zero_regs").cast("int")),
+                4,
+            ),
+        ).otherwise(F.col("raw")),
+    )
+    return base.join(est.select("col", "distinct_est"), "col", "left").select(
+        "col",
+        "n_rows",
+        "n_nulls",
+        "min_val",
+        "max_val",
+        F.coalesce("distinct_est", F.lit(0.0)).alias("distinct_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # zorder_layout_stats
 # ---------------------------------------------------------------------------
 

@@ -138,6 +138,7 @@ PRIORITY: list[str] = [
     "domain_mix_weights",
     "zorder_layout_stats",
     "text_commonness_score",
+    "profile_documents",
 ]
 
 
