@@ -50,7 +50,15 @@ def _floordiv(a: str, b: str) -> str:
 def quantize_int8(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization (scale = max|x|/127, q = floor(x/s + .5))
     — the same portable kernel as the ``embedding_quantize_int8`` query,
-    returned as an integer vector for exact downstream arithmetic."""
+    returned as an integer vector for exact downstream arithmetic.
+
+    Rows with a NULL id or NULL vector are EXCLUDED up front — part of the
+    operator contract, mirrored in the oracle's WHERE. Without it the two
+    engines diverge on nulls (Spark's posexplode drops a NULL vector from
+    the centroid update while the oracle's count(*) still divides by it,
+    and a NULL id crashes the Python seed sort / sorts NULLS FIRST vs
+    DuckDB's NULLS LAST)."""
+    emb = emb.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     e = F.col(vec_col).cast("array<double>")
     scale = F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
     q = F.when(

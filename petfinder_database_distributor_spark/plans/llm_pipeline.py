@@ -1416,10 +1416,12 @@ def _hll_alpha() -> F.Column:
     return F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(512))
 
 
-def _hll_rows(ev: DataFrame, *extra_cols: str) -> DataFrame:
-    """(bucket, rho) per event row (+ passthrough columns): the map-side
-    projection every HLL construction starts from."""
-    hv = md5int(F.col("user_id").cast("string"))
+def _hll_rows(ev: DataFrame, *extra_cols: str, col: str = "user_id") -> DataFrame:
+    """(bucket, rho) per row (+ passthrough columns): the map-side
+    projection every HLL construction starts from. ``col`` is the hashed
+    column (``user_id`` for the sketch queries, ``val`` for the
+    profiler) — callers must pre-filter NULLs."""
+    hv = md5int(F.col(col).cast("string"))
     return ev.select(
         *extra_cols,
         (hv % _HLL_M).alias("bucket"),
@@ -1442,6 +1444,43 @@ def _hll_s_occ() -> F.Column:
     return F.coalesce(
         F.sum(F.expr("shiftleft(1L, 52 - m_j)")).cast("long"),
         F.lit(0).cast("long"),
+    )
+
+
+def _hll_estimates(s: DataFrame, *group_cols: str) -> DataFrame:
+    """Register-state → estimate columns (m, zero_regs, s_scaled,
+    hll_raw_estimate, hll_corrected_estimate), optionally per group.
+    ``s`` carries (occupied, s_occ) plus the group columns. This is the
+    ONE place the estimate math lives on the Spark side (mirrored by the
+    oracle fragments) — the profiler and the sketch queries must not
+    restate it or a precision retune desyncs them."""
+    s_scaled = (
+        F.col("s_occ")
+        + (F.lit(_HLL_M) - F.col("occupied")) * F.lit(1 << 52).cast("long")
+    ).cast("long")
+    raw = s.select(
+        *group_cols,
+        F.lit(_HLL_M).cast("long").alias("m"),
+        (F.lit(_HLL_M) - F.col("occupied")).cast("long").alias("zero_regs"),
+        s_scaled.alias("s_scaled"),
+        F.round(
+            _hll_alpha() * F.lit(_HLL_POW70) / s_scaled.cast("double"), 4
+        ).alias("hll_raw_estimate"),
+    )
+    # Same 512 literal doubles as the oracle's list — float(repr) round-trips,
+    # so both engines multiply identical doubles by 512.0 and round alike.
+    ln_lut = F.array(*[F.lit(float(x)) for x in _HLL_LN_LUT])
+    return raw.withColumn(
+        "hll_corrected_estimate",
+        F.when(
+            (F.col("zero_regs") > 0)
+            & (F.col("hll_raw_estimate") <= F.lit(float(_HLL_LOW_RANGE))),
+            F.round(
+                F.lit(float(_HLL_M))
+                * F.element_at(ln_lut, F.col("zero_regs").cast("int")),
+                4,
+            ),
+        ).otherwise(F.col("hll_raw_estimate")),
     )
 
 
@@ -1502,33 +1541,7 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("occupied"),
         _hll_s_occ().alias("s_occ"),
     )
-    s_scaled = (
-        F.col("s_occ")
-        + (F.lit(_HLL_M) - F.col("occupied")) * F.lit(1 << 52).cast("long")
-    ).cast("long")
-    raw = s.select(
-        F.lit(_HLL_M).cast("long").alias("m"),
-        (F.lit(_HLL_M) - F.col("occupied")).cast("long").alias("zero_regs"),
-        s_scaled.alias("s_scaled"),
-        F.round(
-            _hll_alpha() * F.lit(_HLL_POW70) / s_scaled.cast("double"), 4
-        ).alias("hll_raw_estimate"),
-    )
-    # Same 512 literal doubles as the oracle's list — float(repr) round-trips,
-    # so both engines multiply identical doubles by 512.0 and round alike.
-    ln_lut = F.array(*[F.lit(float(x)) for x in _HLL_LN_LUT])
-    return raw.withColumn(
-        "hll_corrected_estimate",
-        F.when(
-            (F.col("zero_regs") > 0)
-            & (F.col("hll_raw_estimate") <= F.lit(float(_HLL_LOW_RANGE))),
-            F.round(
-                F.lit(float(_HLL_M))
-                * F.element_at(ln_lut, F.col("zero_regs").cast("int")),
-                4,
-            ),
-        ).otherwise(F.col("hll_raw_estimate")),
-    )
+    return _hll_estimates(s)
 
 
 @register(

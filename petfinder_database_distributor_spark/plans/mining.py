@@ -40,7 +40,8 @@ q AS (
               ELSE list_transform(e, x -> 0::BIGINT) END AS q
   FROM (SELECT vec_id, e,
                list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
-        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+              WHERE vec_id IS NOT NULL AND embedding IS NOT NULL))
 ),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, q AS c
@@ -194,42 +195,60 @@ def pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per AS (
       SELECT source, count(*)::BIGINT AS n_docs,
-             sum(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                 x -> x <> '')))::BIGINT AS n_tokens
+             sum(coalesce(len(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'),
+                   x -> x <> '')), 0))::BIGINT AS n_tokens
       FROM documents GROUP BY source),
     tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM per),
     capped AS (SELECT source, n_docs, n_tokens,
                       least(n_tokens, total // 4) AS eff FROM per, tot),
-    et AS (SELECT sum(eff)::BIGINT AS eff_total FROM capped)
+    etk AS (SELECT eff_total, greatest(0, length(bin(eff_total)) - 40) AS k
+            FROM (SELECT sum(eff)::BIGINT AS eff_total FROM capped))
     SELECT source, n_docs, n_tokens,
-           (eff * 1000000) // eff_total AS weight_ppm
-    FROM capped, et
+           ((eff >> k) * 1000000) // greatest(eff_total >> k, 1) AS weight_ppm
+    FROM capped, etk
     """,
     doc="Per-domain sampling weights for training-mix construction: token "
-    "counts per source, any single domain capped at 25% of the corpus, "
-    "weights renormalized over the capped mass — emitted as exact "
-    "integer parts-per-million ((eff*1e6) div sum(eff)), so the mix "
-    "table is bit-identical cross-engine. One narrow token-count "
-    "projection + a tiny per-domain agg; the two scalar totals ride "
-    "broadcast cross-joins (1-row frames), so the 100 TB cost is the "
-    "single documents scan.",
+    "counts per source (NULL texts count 0 — an all-NULL domain gets "
+    "weight 0, not the cap), any single domain capped at 25% of the "
+    "corpus, weights renormalized over the capped mass as integer "
+    "parts-per-million. The ppm divide pre-shifts both operands by "
+    "k = max(0, bit_length(eff_total) - 40) — identical bit math in "
+    "both engines (bin()/conv() length), k=0 below ~10^12 tokens so "
+    "small-scale results are exact, and at 100 TB the multiply stays "
+    "inside int64 instead of raising ARITHMETIC_OVERFLOW. One narrow "
+    "token-count projection + a tiny per-domain agg; the two scalar "
+    "totals ride broadcast cross-joins (1-row frames), so the 100 TB "
+    "cost is the single documents scan.",
 )
 def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     per = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        F.sum(F.coalesce(token_count(F.col("text")), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
     )
     tot = per.agg(F.sum("n_tokens").alias("total"))
     capped = per.crossJoin(F.broadcast(tot)).withColumn(
         "eff", F.expr("least(n_tokens, total div 4)")
     )
-    et = capped.agg(F.sum("eff").alias("eff_total"))
-    return capped.crossJoin(F.broadcast(et)).select(
+    etk = (
+        capped.agg(F.sum("eff").alias("eff_total"))
+        .withColumn(
+            "k",
+            F.expr(
+                "greatest(0, length(conv(cast(eff_total AS string), 10, 2)) - 40)"
+            ),
+        )
+    )
+    return capped.crossJoin(F.broadcast(etk)).select(
         "source",
         "n_docs",
         "n_tokens",
-        F.expr("(eff * 1000000) div eff_total").alias("weight_ppm"),
+        F.expr(
+            "(shiftright(eff, k) * 1000000) div greatest(shiftright(eff_total, k), 1)"
+        ).alias("weight_ppm"),
     )
 
 
@@ -253,7 +272,8 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per AS (SELECT doc_id, count(*)::BIGINT AS n_tok, sum(d.df)::BIGINT AS sum_df
             FROM t JOIN d USING (tok) GROUP BY doc_id)
     SELECT doc_id, n_tok, sum_df,
-           (sum_df * 1000000) // (n_tok * n_docs) AS commonness_ppm
+           ((sum_df // n_tok) * 1000000
+            + ((sum_df % n_tok) * 1000000) // n_tok) // n_docs AS commonness_ppm
     FROM per, n
     """,
     doc="Corpus-frequency quality score (the CCNet-style 'does this doc "
@@ -267,12 +287,19 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pins that lever).",
 )
 def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from petfinder_database_distributor_spark.operators.text import distinct_tokens
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Persist the exploded token set: it feeds BOTH sides of the df join
+    # (build: token->df agg; probe: per-doc re-agg) and Catalyst does not
+    # CSE a self-referencing subtree across a join, so without the cache
+    # the interpreted-HOF tokenization runs twice over the full corpus —
+    # the same working-set shape as k-means' persisted quantization.
     toks = docs.select(
         "doc_id", F.explode(distinct_tokens(F.col("text"))).alias("tok")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     per = (
         toks.join(dfreq, "tok")
@@ -280,11 +307,19 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_tok"), F.sum("df").alias("sum_df"))
     )
     n = docs.agg(F.count("*").alias("n_docs"))
+    # floor(sum_df·1e6 / (n_tok·n_docs)) decomposed via the nested-floor
+    # identity so no intermediate exceeds int64: (sum_df % n_tok)·1e6 is
+    # bounded by tokens-per-doc·1e6 and (sum_df div n_tok) by n_docs —
+    # safe to ~9e12 docs, vs the naive sum_df·1e6 which ANSI-aborts at
+    # large corpus scale.
     return per.crossJoin(F.broadcast(n)).select(
         "doc_id",
         "n_tok",
         "sum_df",
-        F.expr("(sum_df * 1000000) div (n_tok * n_docs)").alias("commonness_ppm"),
+        F.expr(
+            "((sum_df div n_tok) * 1000000"
+            " + ((sum_df % n_tok) * 1000000) div n_tok) div n_docs"
+        ).alias("commonness_ppm"),
     )
 
 
@@ -360,14 +395,13 @@ def _profile_oracle() -> str:
     "cannot desync.",
 )
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from petfinder_database_distributor_spark.operators.text import md5int
+    # Reuse the sketch family's register/estimate helpers — the math must
+    # live in exactly one place per engine (llm_pipeline's stated
+    # invariant), only the hashed column differs.
     from petfinder_database_distributor_spark.plans.llm_pipeline import (
-        _hll_alpha,
-        _HLL_LN_LUT,
-        _HLL_LOW_RANGE,
-        _HLL_M,
-        _HLL_POW70,
-        _HLL_SHIFT,
+        _hll_estimates,
+        _hll_rows,
+        _hll_s_occ,
     )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -382,46 +416,16 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.min("val"), 1, 32).alias("min_val"),
         F.substring(F.max("val"), 1, 32).alias("max_val"),
     )
-    hv = md5int(F.col("val"))
-    br = vals.filter(F.col("val").isNotNull()).select(
-        "col",
-        (hv % _HLL_M).alias("bucket"),
-        (
-            F.lit(52)
-            - F.length(F.conv(F.shiftright(hv, _HLL_SHIFT).cast("string"), 10, 2))
-        ).alias("rho"),
-    )
+    br = _hll_rows(vals.filter(F.col("val").isNotNull()), "col", col="val")
     regs = br.groupBy("col", "bucket").agg(F.max("rho").alias("m_j"))
     s = regs.groupBy("col").agg(
         F.count(F.lit(1)).alias("occupied"),
-        F.coalesce(
-            F.sum(F.expr("shiftleft(1L, 52 - m_j)")).cast("long"),
-            F.lit(0).cast("long"),
-        ).alias("s_occ"),
+        _hll_s_occ().alias("s_occ"),
     )
-    s_scaled = (
-        F.col("s_occ")
-        + (F.lit(_HLL_M) - F.col("occupied")) * F.lit(1 << 52).cast("long")
-    ).cast("long")
-    ln_lut = F.array(*[F.lit(float(x)) for x in _HLL_LN_LUT])
-    est = s.select(
-        "col",
-        (F.lit(_HLL_M) - F.col("occupied")).cast("long").alias("zero_regs"),
-        F.round(_hll_alpha() * F.lit(_HLL_POW70) / s_scaled.cast("double"), 4).alias(
-            "raw"
-        ),
-    ).withColumn(
-        "distinct_est",
-        F.when(
-            (F.col("zero_regs") > 0) & (F.col("raw") <= F.lit(float(_HLL_LOW_RANGE))),
-            F.round(
-                F.lit(float(_HLL_M))
-                * F.element_at(ln_lut, F.col("zero_regs").cast("int")),
-                4,
-            ),
-        ).otherwise(F.col("raw")),
+    est = _hll_estimates(s, "col").select(
+        "col", F.col("hll_corrected_estimate").alias("distinct_est")
     )
-    return base.join(est.select("col", "distinct_est"), "col", "left").select(
+    return base.join(est, "col", "left").select(
         "col",
         "n_rows",
         "n_nulls",
@@ -454,7 +458,7 @@ def _morton_sql(x: str, y: str, shift_fmt: str) -> str:
     oracle=f"""
     WITH m AS (
       SELECT (user_id % 1024) AS x,
-             ((extract('hour' FROM ts) * 60 + extract('minute' FROM ts)) % 1024) AS y
+             ((extract('hour' FROM ts) * 60 + extract('minute' FROM ts)) // 2) AS y
       FROM events),
     z AS (SELECT x, y, {_morton_sql('x', 'y', '({v} >> {i})')} AS morton FROM m)
     SELECT (morton // 32768) AS bucket, count(*) AS n_events,
@@ -462,7 +466,8 @@ def _morton_sql(x: str, y: str, shift_fmt: str) -> str:
     FROM z GROUP BY bucket
     """,
     doc="Z-order (Morton) data-layout statistics: interleave 10 bits of "
-    "user_id with 10 bits of minute-of-day, bucket the 20-bit curve into "
+    "user_id with 10 bits of halved minute-of-day (0..719, monotonic — "
+    "no wraparound aliasing), bucket the 20-bit curve into "
     "32 equal code ranges, and report per-bucket extent of both "
     "dimensions — each bucket covers a bounded quadrant of the (user, "
     "time) plane, which is exactly why writing 100 TB sorted by Morton "
@@ -474,7 +479,11 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     m = ev.select(
         (F.col("user_id") % 1024).alias("x"),
-        ((F.hour("ts") * 60 + F.minute("ts")) % 1024).cast("long").alias("y"),
+        # minute-of-day HALVED (0..1439 -> 0..719): a monotonic squeeze
+        # into 10 bits. `% 1024` would alias evening onto early morning
+        # (29% of the day wraps), destroying exactly the time-range
+        # pruning the layout exists for.
+        F.expr("cast((hour(ts) * 60 + minute(ts)) div 2 AS bigint)").alias("y"),
     )
     z = m.select("x", "y", F.expr(_morton_sql("x", "y", "shiftright({v}, {i})")).alias("morton"))
     return z.groupBy(F.expr("morton div 32768").alias("bucket")).agg(

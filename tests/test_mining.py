@@ -115,6 +115,47 @@ def test_pagerank_matches_python_reference(spark):
     assert rows == expected
 
 
+def test_mining_parity_with_nulls(spark, tmp_path):
+    """Regression for the round-5 review findings: NULL embeddings /
+    vec_ids and all-NULL-text domains broke cross-engine parity (Spark
+    posexplode drops NULL vectors, the oracle's count(*) kept them; NULL
+    vec_id crashed the seed sort; a zero-token domain got the full cap
+    weight). Parity must hold on null-bearing data, and an all-NULL
+    domain must weigh 0."""
+    import shutil
+
+    from petfinder_database_distributor_spark.registry import load_all
+    from tests.oracle_compare import assert_parity, run_oracle
+
+    tmp = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT * FROM read_parquet('{SF_SMALL}/embeddings.parquet')
+        UNION ALL SELECT 99999, NULL, 1
+        UNION ALL SELECT NULL,
+          (SELECT embedding FROM read_parquet('{SF_SMALL}/embeddings.parquet') LIMIT 1), 2
+      ) TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')
+        UNION ALL SELECT 99998, NULL, 'en', 'empty_src', 0
+        UNION ALL SELECT 99999, NULL, 'en', 'empty_src', 0
+      ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{tmp}/{t}.parquet")
+
+    specs = load_all()
+    for name in ("cluster_kmeans_int8", "domain_mix_weights",
+                 "text_commonness_score", "profile_documents"):
+        assert_parity(specs[name].fn(spark, tmp),
+                      run_oracle(specs[name].oracle, tmp), name)
+    weights = {r["source"]: r["weight_ppm"]
+               for r in specs["domain_mix_weights"].fn(spark, tmp).collect()}
+    assert weights["empty_src"] == 0
+
+
 def test_pagerank_no_driver_collect_shape(spark):
     """PageRank is fully declarative — the returned plan is a bounded
     top-k (TakeOrderedAndProject), not a full sort."""

@@ -20,7 +20,7 @@ def test_range_partition_by_morton_gives_disjoint_ranges(spark):
     ev = load_table(spark, SF_SMALL, "events")
     z = ev.select(
         (F.col("user_id") % 1024).alias("x"),
-        ((F.hour("ts") * 60 + F.minute("ts")) % 1024).cast("long").alias("y"),
+        F.expr("cast((hour(ts) * 60 + minute(ts)) div 2 AS bigint)").alias("y"),
     ).select("x", "y", F.expr(_morton_sql("x", "y", "shiftright({v}, {i})")).alias("morton"))
 
     parts = (
