@@ -106,11 +106,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_score",
-    oracle=f"""
-    WITH toks AS ({_TOKS_SQL}),
-    m AS (
+# Quality-score SQL, shared by text_quality_score and
+# dedup_canonical_quality (plans/mining.py) — the formula must live in
+# exactly one place per engine (the Spark twin is
+# operators/text.py::quality_score_from_tokens).
+_QUALITY_M_SQL = f"""
       SELECT doc_id,
              len(t) AS n,
              CASE WHEN length(text) > 0
@@ -123,14 +123,22 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN list_sum(list_transform(t, w -> length(w)))::DOUBLE / len(t)
                   ELSE 0.0 END AS mwl
       FROM toks
-    )
+"""
+_QUALITY_EXPR_SQL = """round((least(n / 50.0, 1.0)
+                  + (1 - least(punct * 5, 1.0))
+                  + least(sw * 4, 1.0)
+                  + CASE WHEN mwl >= 3 AND mwl <= 8 THEN 1.0 ELSE 0.5 END) / 4, 6)"""
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    m AS ({_QUALITY_M_SQL})
     SELECT doc_id,
            round(punct, 6) AS punct_ratio,
            round(sw, 6) AS stopword_ratio,
-           round((least(n / 50.0, 1.0)
-                  + (1 - least(punct * 5, 1.0))
-                  + least(sw * 4, 1.0)
-                  + CASE WHEN mwl >= 3 AND mwl <= 8 THEN 1.0 ELSE 0.5 END) / 4, 6) AS quality
+           {_QUALITY_EXPR_SQL} AS quality
     FROM m
     """,
     doc="Document quality scoring: length / punctuation density / stopword fluency / word-length plausibility",

@@ -253,6 +253,80 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# events_funnel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3, min(s2.t2) AS t2
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id)
+    SELECT 'view' AS stage, count(*)::BIGINT AS users,
+           0::BIGINT AS total_lag_us FROM s1
+    UNION ALL
+    SELECT 'click_after_view', count(*)::BIGINT,
+           coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0)::BIGINT FROM s2
+    UNION ALL
+    SELECT 'purchase_after_click', count(*)::BIGINT,
+           coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0)::BIGINT FROM s3
+    """,
+    doc="Ordered funnel analysis (view -> click-after-view -> purchase-"
+    "after-click): per stage, the users who reached it via a STRICTLY "
+    "later event than their previous stage, plus the exact total "
+    "conversion lag in microseconds (integer sum — no float time math). "
+    "Three cascaded aggregations all keyed on user_id, so at scale every "
+    "stage reuses the same hash partitioning (one logical shuffle key, "
+    "no windows over the corpus); earliest-qualifying-event semantics "
+    "via min() keeps it deterministic under event-time ties.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+    lag = lambda a, b: F.coalesce(  # noqa: E731 — exact integer lag sum
+        F.sum(F.unix_micros(F.col(a)) - F.unix_micros(F.col(b))), F.lit(0)
+    ).cast("long")
+    r1 = s1.agg(
+        F.count(F.lit(1)).alias("users"),
+    ).select(
+        F.lit("view").alias("stage"), "users", F.lit(0).cast("long").alias("total_lag_us")
+    )
+    r2 = s2.agg(F.count(F.lit(1)).alias("users"), lag("t2", "t1").alias("total_lag_us")).select(
+        F.lit("click_after_view").alias("stage"), "users", "total_lag_us"
+    )
+    r3 = s3.agg(F.count(F.lit(1)).alias("users"), lag("t3", "t2").alias("total_lag_us")).select(
+        F.lit("purchase_after_click").alias("stage"), "users", "total_lag_us"
+    )
+    return r1.unionAll(r2).unionAll(r3)
+
+
+# ---------------------------------------------------------------------------
 # text_commonness_score
 # ---------------------------------------------------------------------------
 
@@ -320,6 +394,97 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "((sum_df div n_tok) * 1000000"
             " + ((sum_df % n_tok) * 1000000) div n_tok) div n_docs"
         ).alias("commonness_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_canonical_quality
+# ---------------------------------------------------------------------------
+
+
+def _canonical_oracle() -> str:
+    # Reuse the minhash-pairs, tokenization, and quality fragments from
+    # the sibling plans — each formula lives in one place per engine.
+    from petfinder_database_distributor_spark.plans.llm_pipeline import (
+        _MINHASH_SQL,
+        _QUALITY_EXPR_SQL,
+        _QUALITY_M_SQL,
+        _TOKS_SQL,
+    )
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_SQL}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(v, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+    toks AS ({_TOKS_SQL}),
+    m AS ({_QUALITY_M_SQL}),
+    q AS (SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM m),
+    r AS (
+      SELECT comp.component, comp.doc_id, q.quality,
+             count(*) OVER (PARTITION BY comp.component) AS cluster_size,
+             row_number() OVER (PARTITION BY comp.component
+                                ORDER BY q.quality DESC, comp.doc_id) AS rn
+      FROM comp JOIN q USING (doc_id))
+    SELECT component, cluster_size, doc_id AS canonical_doc_id,
+           quality AS canonical_quality
+    FROM r WHERE rn = 1
+    """
+
+
+@register(
+    "dedup_canonical_quality",
+    oracle=_canonical_oracle(),
+    doc="Quality-aware canonical selection — the step after cluster "
+    "resolution a real training pipeline runs: per near-dup cluster "
+    "(MinHash-LSH pairs -> small/large-star components, the O(log n) "
+    "petabyte path), KEEP THE BEST document by quality score (ties -> "
+    "smallest doc_id) instead of the arbitrary min-id representative "
+    "that dedup_cluster_components emits. The argmax is a single "
+    "struct-max aggregate (quality, -doc_id) — no window over the "
+    "corpus, one bounded per-component shuffle; the oracle restates it "
+    "as ORDER BY quality DESC, doc_id.",
+)
+def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+    from petfinder_database_distributor_spark.operators.text import (
+        quality_score_from_tokens,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
+    comp = connected_components_star(pairs, shuffle_partitions=8)
+    t = F.col("text")
+    q = docs.select(
+        "doc_id", t, tokens(t).alias("toks")
+    ).select(
+        "doc_id",
+        F.round(quality_score_from_tokens(t, F.col("toks")), 6).alias("quality"),
+    )
+    joined = comp.join(q, comp["id"] == q["doc_id"]).select(
+        "component", "doc_id", "quality"
+    )
+    per = joined.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best"),
+    )
+    return per.select(
+        "component",
+        "cluster_size",
+        (-F.col("best.neg_id")).alias("canonical_doc_id"),
+        F.col("best.quality").alias("canonical_quality"),
     )
 
 

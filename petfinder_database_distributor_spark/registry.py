@@ -139,6 +139,8 @@ PRIORITY: list[str] = [
     "zorder_layout_stats",
     "text_commonness_score",
     "profile_documents",
+    "dedup_canonical_quality",
+    "events_funnel",
 ]
 
 
