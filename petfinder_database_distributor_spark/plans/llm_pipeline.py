@@ -1492,9 +1492,10 @@ def _hll_estimates(s: DataFrame, *group_cols: str) -> DataFrame:
     )
 
 
-@register(
-    "sketch_hll_distinct_users",
-    oracle=f"""
+# Named so stream_sketch_hll (plans/streaming_plans.py) can reuse the
+# identical contract: the streaming register fold must hash-match the
+# batch sketch, so both register with the SAME oracle SQL.
+_HLL_ORACLE_SQL = f"""
     WITH h AS (
       SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
       FROM events WHERE user_id IS NOT NULL
@@ -1525,7 +1526,12 @@ def _hll_estimates(s: DataFrame, *group_cols: str) -> DataFrame:
                                                    zero_regs::INT), 4)
                 ELSE hll_raw_estimate END AS hll_corrected_estimate
     FROM raw
-    """,
+    """
+
+
+@register(
+    "sketch_hll_distinct_users",
+    oracle=_HLL_ORACLE_SQL,
     doc="Portable HyperLogLog distinct-count sketch (p=9, m=512) over "
     "events.user_id — THE 100 TB shape for distinct counting: a narrow "
     "map-side projection then ONE 512-key partial-max shuffle (contrast "

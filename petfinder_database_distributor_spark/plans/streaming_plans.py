@@ -19,6 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petfinder_database_distributor_spark.plans.llm_pipeline import _HLL_ORACLE_SQL
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.streaming.incremental import (
     SCRATCH_ROOT,
@@ -263,3 +264,40 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
     )
+
+
+@register(
+    "stream_sketch_hll",
+    # Identical contract to the batch sketch: the streaming register state
+    # must converge to exactly the batch registers (max is the canonical
+    # mergeable monoid — sketch_hll_mergeable proves merge==direct), so
+    # the SAME oracle hash-checks the streaming path.
+    oracle=_HLL_ORACLE_SQL,  # the batch sketch's SQL — same contract
+    doc="Unbounded streaming distinct-count with O(m) state: the event "
+    "stream folds into 512 HLL registers via a streaming max-aggregate "
+    "(complete mode), so the state store holds 512 rows FOREVER — "
+    "contrast dropDuplicates-style distinct whose state grows with the "
+    "key universe. The final micro-batch's registers equal the batch "
+    "sketch bit-for-bit (mergeability is the monoid property the "
+    "sketch family pins), so the batch oracle hash-checks a STREAMING "
+    "query. Estimate math reuses _hll_rows/_hll_estimates — one place "
+    "per engine.",
+)
+def stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.plans.llm_pipeline import (
+        _hll_estimates,
+        _hll_rows,
+        _hll_s_occ,
+    )
+
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    stream = read_event_stream(spark, stage, max_files=2).filter(
+        F.col("user_id").isNotNull()
+    )
+    regs_stream = _hll_rows(stream).groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    regs = _run_to_memory(regs_stream, "complete")
+    s = regs.agg(
+        F.count(F.lit(1)).alias("occupied"),
+        _hll_s_occ().alias("s_occ"),
+    )
+    return _hll_estimates(s)

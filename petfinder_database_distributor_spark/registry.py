@@ -141,6 +141,7 @@ PRIORITY: list[str] = [
     "profile_documents",
     "dedup_canonical_quality",
     "events_funnel",
+    "stream_sketch_hll",
 ]
 
 
