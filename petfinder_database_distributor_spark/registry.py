@@ -116,15 +116,19 @@ PRIORITY: list[str] = [
     "stream_session_windows",
     "stream_stream_interval_join",
     # -- 50-entry driver window ends here. --
-    # These FOUR are NEW this round but land at 51-54: the 50 slots above
-    # are all spoken for by the cadence rule, and displacing a
-    # rotation-due query would leave it 3 rounds stale. They are covered
+    # Everything below is NEW this round but lands past slot 50: the 50
+    # slots above are all spoken for by the cadence rule, and displacing
+    # a rotation-due query would leave it 3 rounds stale. All are covered
     # by the local parity gate (+ tests/test_sketches.py /
-    # tests/test_packing.py) this round, and the r6 window head MUST be:
-    # sketch_bloom_membership, pack_sequences_greedy,
-    # embedding_quantize_int8, sketch_hll_mergeable, plus p3_link_fanout
-    # (yielded its r5 slot to them; operator covered by
-    # p3_link_fanout_xpath's r4 row).
+    # tests/test_packing.py / tests/test_mining.py /
+    # tests/test_zorder_layout.py) this round, and the r6 window head
+    # MUST be exactly this tail: sketch_bloom_membership,
+    # pack_sequences_greedy, embedding_quantize_int8,
+    # sketch_hll_mergeable, cluster_kmeans_int8, pagerank_partsupp,
+    # domain_mix_weights, zorder_layout_stats, text_commonness_score,
+    # profile_documents, dedup_canonical_quality, events_funnel,
+    # stream_sketch_hll, plus p3_link_fanout (yielded its r5 slot;
+    # operator covered by p3_link_fanout_xpath's r4 row).
     "sketch_bloom_membership",
     "pack_sequences_greedy",
     "embedding_quantize_int8",
