@@ -32,6 +32,15 @@ SHOW = {
     "probe join — never a full distinct-token shuffle",
     "p1_html_project": "malformed-HTML extraction is one ArrowEvalPython "
     "projection pipelined in the scan stage — narrow, no shuffle",
+    "cluster_kmeans_int8": "k-means assignment is a pure projection over "
+    "the persisted quantized set (literal centroids, no join); the plan "
+    "contains no Join/Cartesian operator",
+    "profile_documents": "five columns profiled in one scan: inline() "
+    "stack feeding two bounded aggs (|cols| stats keys, |cols|x512 HLL "
+    "register keys) — no per-column count-distinct shuffle",
+    "events_funnel": "three cascaded user_id-keyed aggregations — single "
+    "logical shuffle key, no corpus-wide window",
+    "zorder_layout_stats": "pure bit-op projection + 32-key agg",
 }
 
 
