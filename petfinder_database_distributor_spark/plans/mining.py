@@ -261,7 +261,8 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_funnel",
     oracle="""
     WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
+                WHERE event_type = 'view' AND user_id IS NOT NULL
+                GROUP BY user_id),
     s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
            FROM events e JOIN s1 ON e.user_id = s1.user_id
            WHERE e.event_type = 'click' AND e.ts > s1.t1
@@ -271,25 +272,32 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
            GROUP BY e.user_id)
     SELECT 'view' AS stage, count(*)::BIGINT AS users,
-           0::BIGINT AS total_lag_us FROM s1
+           0::DECIMAL(38,0) AS total_lag_us FROM s1
     UNION ALL
     SELECT 'click_after_view', count(*)::BIGINT,
-           coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0)::BIGINT FROM s2
+           coalesce(sum((epoch_us(t2) - epoch_us(t1))::DECIMAL(38,0)),
+                    0)::DECIMAL(38,0) FROM s2
     UNION ALL
     SELECT 'purchase_after_click', count(*)::BIGINT,
-           coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0)::BIGINT FROM s3
+           coalesce(sum((epoch_us(t3) - epoch_us(t2))::DECIMAL(38,0)),
+                    0)::DECIMAL(38,0) FROM s3
     """,
     doc="Ordered funnel analysis (view -> click-after-view -> purchase-"
     "after-click): per stage, the users who reached it via a STRICTLY "
     "later event than their previous stage, plus the exact total "
-    "conversion lag in microseconds (integer sum — no float time math). "
-    "Three cascaded aggregations all keyed on user_id, so at scale every "
-    "stage reuses the same hash partitioning (one logical shuffle key, "
-    "no windows over the corpus); earliest-qualifying-event semantics "
-    "via min() keeps it deterministic under event-time ties.",
+    "conversion lag in microseconds. NULL-user events are excluded up "
+    "front (they could never appear past stage 1, so counting them in "
+    "stage 1 would skew every conversion-rate read); the lag accumulates "
+    "in DECIMAL(38,0) — the registry's float/overflow discipline — "
+    "because an int64 of microseconds wraps at ~10^8 users x 1-day lag, "
+    "exactly the claimed scale. Three cascaded aggregations all keyed on "
+    "user_id, so at scale every stage reuses the same hash partitioning "
+    "(one logical shuffle key, no windows over the corpus); earliest-"
+    "qualifying-event semantics via min() keeps it deterministic under "
+    "event-time ties.",
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     s1 = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -309,13 +317,18 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
     )
-    lag = lambda a, b: F.coalesce(  # noqa: E731 — exact integer lag sum
-        F.sum(F.unix_micros(F.col(a)) - F.unix_micros(F.col(b))), F.lit(0)
-    ).cast("long")
+    lag = lambda a, b: F.coalesce(  # noqa: E731 — exact decimal lag sum
+        F.sum(
+            (F.unix_micros(F.col(a)) - F.unix_micros(F.col(b))).cast("decimal(38,0)")
+        ),
+        F.lit(0),
+    ).cast("decimal(38,0)")
     r1 = s1.agg(
         F.count(F.lit(1)).alias("users"),
     ).select(
-        F.lit("view").alias("stage"), "users", F.lit(0).cast("long").alias("total_lag_us")
+        F.lit("view").alias("stage"),
+        "users",
+        F.lit(0).cast("decimal(38,0)").alias("total_lag_us"),
     )
     r2 = s2.agg(F.count(F.lit(1)).alias("users"), lag("t2", "t1").alias("total_lag_us")).select(
         F.lit("click_after_view").alias("stage"), "users", "total_lag_us"
