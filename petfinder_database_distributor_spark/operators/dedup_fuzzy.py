@@ -73,6 +73,7 @@ def ngram_jaccard_pairs(
     df_cap: int | None = None,
     max_join_rows: int | None = 100_000_000,
     hot_cap: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """EXACT near-dup pairs by word-n-gram Jaccard via an inverted-index
     self-join: explode shingles into postings, equi-join postings on the
@@ -219,10 +220,20 @@ def ngram_jaccard_pairs(
     inter = contrib.groupBy("id_a", "id_b", "sz_a", "sz_b").agg(
         F.count(F.lit(1)).alias("inter")
     )
-    jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    if metric == "containment":
+        # asymmetric overlap normalized by the SMALLER shingle set:
+        # |A∩B| / min(|A|,|B|) — 1.0 when one doc's shingles are a subset
+        # of the other's, the doc-inside-doc / contamination measure that
+        # Jaccard dilutes (a paragraph quoted inside a long page scores
+        # near 0 Jaccard but 1.0 containment). One IEEE divide, portable.
+        score = F.col("inter").cast("double") / F.least(F.col("sz_a"), F.col("sz_b"))
+    else:
+        score = F.col("inter").cast("double") / (
+            F.col("sz_a") + F.col("sz_b") - F.col("inter")
+        )
     return (
-        inter.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        inter.select("id_a", "id_b", score.alias(metric))
+        .filter(F.col(metric) >= threshold)
     )
 
 

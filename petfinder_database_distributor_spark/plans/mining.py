@@ -253,6 +253,53 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_ngram_containment
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle() -> str:
+    from petfinder_database_distributor_spark.plans.llm_pipeline import _SHINGLES_SQL
+
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    inv AS (SELECT doc_id, len(s) AS sz, u.x AS shingle FROM sh, unnest(sh.s) u(x)),
+    keep AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 64),
+    capped AS (SELECT i.* FROM inv i JOIN keep k ON i.shingle = k.shingle),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           inter::DOUBLE / least(sz_a, sz_b) AS containment
+    FROM inter WHERE inter::DOUBLE / least(sz_a, sz_b) >= 0.8
+    """
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=_containment_oracle(),
+    doc="Asymmetric containment near-dup pairs: |A∩B| / min(|A|,|B|) over "
+    "word-3-gram shingles — the doc-inside-doc / benchmark-contamination "
+    "measure Jaccard dilutes (a paragraph quoted inside a long page "
+    "scores near-0 Jaccard but 1.0 containment). Same df-capped "
+    "inverted-index machinery as dedup_ngram_jaccard_capped (one code "
+    "path, a metric switch), so the Σdf² posture and its scale evidence "
+    "carry over unchanged.",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, df_cap=64, metric="containment"
+    )
+
+
+# ---------------------------------------------------------------------------
 # events_funnel
 # ---------------------------------------------------------------------------
 

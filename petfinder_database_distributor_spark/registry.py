@@ -146,6 +146,7 @@ PRIORITY: list[str] = [
     "dedup_canonical_quality",
     "events_funnel",
     "stream_sketch_hll",
+    "dedup_ngram_containment",
 ]
 
 
