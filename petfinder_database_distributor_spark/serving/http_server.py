@@ -1,0 +1,127 @@
+"""S8/S9 serving routes + F6 auth — the reference's HTTP surface
+(`server.py:407-518`) rebuilt on the Python stdlib, closing the "user
+still has to write the ~50-line web shim" gap.
+
+Architecture parity, not a Flask port: the reference serves its
+``pets.csv`` FILE, never the live scrape state (`server.py:478-489`
+re-reads the CSV per request) — i.e. the serving tier reads the bounded
+EXPORT ARTIFACT, not the pipeline. This module is that tier for the
+engine: point it at a directory written by
+:func:`..sources.export.write_csv_table` (``single_file=True`` — the
+reference's one-file serving artifact) and it exposes:
+
+- ``GET /pets``      → ``{"count": n, "pets": [row-dicts]}`` (auth'd;
+  `server.py:463-490`)
+- ``GET /pets.csv``  → the raw CSV, ``Content-Disposition: attachment``
+  (auth'd; `server.py:493-518`)
+- ``GET /health``, ``GET /``, ``GET /status`` → status JSON, no auth
+  (`server.py:407-428`)
+
+F6 auth (`server.py:449-461`): the key rides ``?key=`` or the
+``X-API-Key`` header; missing or wrong → 401
+``{"error": "Invalid or missing endpoint key"}`` exactly like the
+reference. At 100 TB nothing changes shape-wise: the engine writes the
+serving export (partitioned for big exports — front it with any static
+file tier), and this process serves the snapshot it loaded; a refresh is
+a new artifact + ``reload()``.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import io
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+AUTH_ERROR = {"error": "Invalid or missing endpoint key"}
+
+
+def load_csv_artifact(path: str) -> tuple[str, list[dict]]:
+    """Load the single-file CSV export written by ``write_csv_table``:
+    returns (raw csv text, rows as header-keyed dicts — the reference's
+    ``csv.DictReader`` serving decode, `server.py:478-482`)."""
+    parts = sorted(glob.glob(os.path.join(path, "part-*.csv")))
+    if not parts:
+        return "", []
+    with open(parts[0], encoding="utf-8", newline="") as fh:
+        text = fh.read()
+    return text, [dict(r) for r in csv.DictReader(io.StringIO(text))]
+
+
+class PetServingHandler(BaseHTTPRequestHandler):
+    server_version = "PetServing/1.0"
+
+    # -- helpers ----------------------------------------------------------
+    def _authorized(self) -> bool:
+        """F6: ``?key=`` query param OR ``X-API-Key`` header, exact match
+        (`server.py:449-461`)."""
+        q = parse_qs(urlparse(self.path).query)
+        provided = (q.get("key") or [None])[0] or self.headers.get("X-API-Key")
+        return provided is not None and provided == self.server.api_key
+
+    def _send(self, code: int, body: bytes, ctype: str, extra: dict | None = None):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    # -- routes -----------------------------------------------------------
+    def do_GET(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler contract
+        route = urlparse(self.path).path
+        if route in ("/", "/health"):
+            self._json(200, {"status": "running", "message": "Pet serving layer"})
+        elif route == "/status":
+            self._json(200, {"running": True, "rows": len(self.server.rows)})
+        elif route == "/pets":
+            if not self._authorized():
+                self._json(401, AUTH_ERROR)
+            else:
+                self._json(
+                    200, {"count": len(self.server.rows), "pets": self.server.rows}
+                )
+        elif route == "/pets.csv":
+            if not self._authorized():
+                self._json(401, AUTH_ERROR)
+            else:
+                self._send(
+                    200,
+                    self.server.csv_text.encode(),
+                    "text/csv",
+                    {"Content-Disposition": "attachment; filename=pets.csv"},
+                )
+        else:
+            self._json(404, {"error": "not found"})
+
+    def log_message(self, *args) -> None:  # quiet: tests assert via responses
+        pass
+
+
+class PetServer(ThreadingHTTPServer):
+    """Serving snapshot + key, attached to the stdlib threading server."""
+
+    def __init__(self, artifact_path: str, api_key: str, port: int = 0):
+        super().__init__(("127.0.0.1", port), PetServingHandler)
+        self.api_key = api_key
+        self.artifact_path = artifact_path
+        self.reload()
+
+    def reload(self) -> None:
+        self.csv_text, self.rows = load_csv_artifact(self.artifact_path)
+
+
+def serve_export(artifact_path: str, api_key: str, port: int = 0) -> PetServer:
+    """Start serving a CSV export on a daemon thread; returns the server
+    (``.server_address[1]`` is the bound port; ``.shutdown()`` stops it)."""
+    httpd = PetServer(artifact_path, api_key, port)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd

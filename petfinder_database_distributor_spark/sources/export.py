@@ -10,7 +10,9 @@ tests/test_export.py.
 
 Serving (S8/S9, ``server.py:463-518``) maps to emitters over the same
 encoded projection: per-row JSON objects / a single-header CSV. The HTTP
-layer itself (auth F6, routes) is out of engine scope (SURVEY.md §2.10).
+layer itself (auth F6, routes) lives in
+:mod:`petfinder_database_distributor_spark.serving.http_server` — a
+stdlib tier over the artifacts these functions write.
 """
 
 from __future__ import annotations

@@ -1,0 +1,102 @@
+"""Serving-tier tests (S8/S9 routes + F6 auth, reference
+`server.py:407-518`): the stdlib HTTP layer over a real engine export —
+auth matrix (missing / wrong / query-param / header key), JSON envelope
+equality with the artifact rows, raw-CSV byte equality, health routes."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from petfinder_database_distributor_spark.serving import (
+    load_csv_artifact,
+    serve_export,
+)
+from petfinder_database_distributor_spark.sources.export import (
+    encode_for_export,
+    write_csv_table,
+)
+from tests.conftest import SF_SMALL
+
+KEY = "test-endpoint-key"
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    from petfinder_database_distributor_spark.plans.source_sink_plans import (
+        _typed_pets_ish,
+    )
+
+    path = str(tmp_path_factory.mktemp("serving") / "pets_csv")
+    encoded = encode_for_export(
+        _typed_pets_ish(spark, SF_SMALL),
+        string_cols=["link", "name", "about_me"],
+        bool_cols=["flag"],
+        text_cols=["about_me"],
+    )
+    write_csv_table(encoded, path, single_file=True)
+    httpd = serve_export(path, api_key=KEY)
+    yield httpd, path
+    httpd.shutdown()
+
+
+def _get(port: int, route: str, headers: dict | None = None):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{route}")
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+def test_auth_matrix(server):
+    httpd, _ = server
+    port = httpd.server_address[1]
+    for route in ("/pets", "/pets.csv"):
+        code, body, _ = _get(port, route)  # no key
+        assert code == 401 and b"endpoint key" in body
+        code, body, _ = _get(port, route, {"X-API-Key": "wrong"})
+        assert code == 401
+        code, _, _ = _get(port, f"{route}?key={KEY}")  # query param form
+        assert code == 200
+        code, _, _ = _get(port, route, {"X-API-Key": KEY})  # header form
+        assert code == 200
+
+
+def test_pets_json_envelope_matches_artifact(server):
+    httpd, path = server
+    port = httpd.server_address[1]
+    _, rows = load_csv_artifact(path)
+    code, body, _ = _get(port, "/pets", {"X-API-Key": KEY})
+    payload = json.loads(body)
+    assert code == 200
+    assert payload["count"] == len(rows) > 0
+    assert payload["pets"] == rows
+    # the export's tri-state encoding survives to the wire: every flag is
+    # one of the three on-disk spellings
+    assert {p["flag"] for p in payload["pets"]} <= {"True", "False", ""}
+
+
+def test_pets_csv_serves_artifact_bytes(server):
+    httpd, path = server
+    port = httpd.server_address[1]
+    text, _ = load_csv_artifact(path)
+    code, body, headers = _get(port, "/pets.csv", {"X-API-Key": KEY})
+    assert code == 200
+    assert body.decode() == text
+    assert headers.get("Content-Disposition") == "attachment; filename=pets.csv"
+
+
+def test_health_routes_unauthenticated(server):
+    httpd, _ = server
+    port = httpd.server_address[1]
+    for route in ("/", "/health", "/status"):
+        code, body, _ = _get(port, route)
+        assert code == 200, route
+    code, _, _ = _get(port, "/nope")
+    assert code == 404
