@@ -58,10 +58,16 @@ class PetServingHandler(BaseHTTPRequestHandler):
     # -- helpers ----------------------------------------------------------
     def _authorized(self) -> bool:
         """F6: ``?key=`` query param OR ``X-API-Key`` header, exact match
-        (`server.py:449-461`)."""
+        (`server.py:449-461`); compared constant-time (same accept/reject
+        behavior as the reference's ``==``, minus the timing side
+        channel)."""
+        import hmac
+
         q = parse_qs(urlparse(self.path).query)
         provided = (q.get("key") or [None])[0] or self.headers.get("X-API-Key")
-        return provided is not None and provided == self.server.api_key
+        return provided is not None and hmac.compare_digest(
+            provided, self.server.api_key
+        )
 
     def _send(self, code: int, body: bytes, ctype: str, extra: dict | None = None):
         self.send_response(code)
@@ -76,12 +82,42 @@ class PetServingHandler(BaseHTTPRequestHandler):
         self._send(code, json.dumps(obj).encode(), "application/json")
 
     # -- routes -----------------------------------------------------------
+    def do_POST(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler contract
+        """Pipeline control (`server.py:431-446`): /start guards against
+        double-start with a 400 like the reference; the actual pipeline is
+        whatever hooks the server was constructed with (e.g. a streaming
+        query's start / graceful stop — T6)."""
+        route = urlparse(self.path).path
+        if route == "/start":
+            if self.server.running:
+                self._json(400, {"message": "Scraping already running"})
+            else:
+                self.server.running = True
+                if self.server.start_hook:
+                    self.server.start_hook()
+                self._json(200, {"message": "Scraping started"})
+        elif route == "/stop":
+            self.server.running = False
+            if self.server.stop_hook:
+                self.server.stop_hook()
+            self._json(200, {"message": "Scraping stopped"})
+        else:
+            self._json(404, {"error": "not found"})
+
     def do_GET(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler contract
         route = urlparse(self.path).path
         if route in ("/", "/health"):
-            self._json(200, {"status": "running", "message": "Pet serving layer"})
+            self._json(
+                200,
+                {
+                    "status": "running" if self.server.running else "stopped",
+                    "message": "Pet serving layer",
+                },
+            )
         elif route == "/status":
-            self._json(200, {"running": True, "rows": len(self.server.rows)})
+            self._json(
+                200, {"running": self.server.running, "rows": len(self.server.rows)}
+            )
         elif route == "/pets":
             if not self._authorized():
                 self._json(401, AUTH_ERROR)
@@ -109,10 +145,20 @@ class PetServingHandler(BaseHTTPRequestHandler):
 class PetServer(ThreadingHTTPServer):
     """Serving snapshot + key, attached to the stdlib threading server."""
 
-    def __init__(self, artifact_path: str, api_key: str, port: int = 0):
+    def __init__(
+        self,
+        artifact_path: str,
+        api_key: str,
+        port: int = 0,
+        start_hook=None,
+        stop_hook=None,
+    ):
         super().__init__(("127.0.0.1", port), PetServingHandler)
         self.api_key = api_key
         self.artifact_path = artifact_path
+        self.running = True
+        self.start_hook = start_hook
+        self.stop_hook = stop_hook
         self.reload()
 
     def reload(self) -> None:

@@ -100,3 +100,32 @@ def test_health_routes_unauthenticated(server):
         assert code == 200, route
     code, _, _ = _get(port, "/nope")
     assert code == 404
+
+
+def _post(port: int, route: str):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{route}", data=b"")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_start_stop_lifecycle_with_double_start_guard(server):
+    """Reference parity (server.py:431-446): /start returns 400 when
+    already running, /stop flips status, hooks fire."""
+    httpd, _ = server
+    port = httpd.server_address[1]
+    calls = []
+    httpd.start_hook = lambda: calls.append("start")
+    httpd.stop_hook = lambda: calls.append("stop")
+    assert httpd.running
+    code, body = _post(port, "/start")  # double-start guard
+    assert code == 400 and b"already running" in body
+    code, body = _post(port, "/stop")
+    assert code == 200 and json.loads(body)["message"] == "Scraping stopped"
+    assert json.loads(_get(port, "/health")[1])["status"] == "stopped"
+    code, body = _post(port, "/start")
+    assert code == 200 and json.loads(body)["message"] == "Scraping started"
+    assert json.loads(_get(port, "/status")[1])["running"] is True
+    assert calls == ["stop", "start"]
