@@ -384,3 +384,22 @@ def test_similarity_chooser_switches_strategy(spark):
     )
     assert "BroadcastNestedLoopJoin" not in approx, "over budget -> LSH path"
     assert "ArrowEvalPython" in approx, "LSH path computes band keys via the Arrow UDF"
+
+
+def test_profile_documents_bounded_aggs_no_distinct_rewrite(spark):
+    """The one-scan profiler claim: per-column distinct comes from the
+    bounded HLL register agg, never a count-distinct Expand rewrite, and
+    the whole 5-column profile plans a bounded number of exchanges
+    (measured 6: stats agg, two register agg hops, the tiny est join) —
+    NOT one count-distinct shuffle per column."""
+    from petfinder_database_distributor_spark.plans.mining import profile_documents
+    from tests.conftest import SF_SMALL
+
+    plan = (
+        profile_documents(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan, "profiler must not use a distinct rewrite"
+    assert plan.count("Exchange") <= 8, plan
