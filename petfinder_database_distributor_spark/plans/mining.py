@@ -253,6 +253,49 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# scd2_user_history
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           event_type AS state,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD-type-2 history construction — the warehousing primitive that "
+    "turns an event stream into validity intervals: per user, each event "
+    "opens a state valid from its timestamp until the next event "
+    "(valid_to NULL + is_current on the open row). One window over the "
+    "user partition with a deterministic (ts, event_id) tie-break; at "
+    "scale this is a single shuffle by the dimension key and the sort "
+    "rides the shuffle (SortWithinPartitions), which is exactly how a "
+    "100 TB dimension-history build runs. Timestamps emitted as "
+    "epoch_us BIGINTs (the repo's TZ-safe convention).",
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        F.col("event_type").alias("state"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup_ngram_containment
 # ---------------------------------------------------------------------------
 

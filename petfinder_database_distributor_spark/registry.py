@@ -147,6 +147,7 @@ PRIORITY: list[str] = [
     "events_funnel",
     "stream_sketch_hll",
     "dedup_ngram_containment",
+    "scd2_user_history",
 ]
 
 
