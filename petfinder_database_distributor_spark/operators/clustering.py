@@ -216,13 +216,21 @@ def pagerank_integer(
     flooring ``//`` agree and the result is bit-exact cross-engine.
     Dangling mass is dropped (documented contraction). Output: top-``top``
     nodes ordered (rank DESC, node ASC) via TakeOrderedAndProject."""
+    # Materialize the edge list once: every iteration joins it, and
+    # without the checkpoint each round re-runs the upstream scan +
+    # DISTINCT (the same lineage-truncation move the star-components
+    # loop makes). nodes/outdeg derive from the materialized edges.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nstats = nodes.agg(F.count("*").alias("n_nodes"))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(
+        eager=True
+    )
     base = f"(15 * (cast({scale} as bigint) div n_nodes)) div 100"
     ranks = nodes.crossJoin(F.broadcast(nstats)).select(
         "node", F.expr(f"cast({scale} as bigint) div n_nodes").alias("rank")

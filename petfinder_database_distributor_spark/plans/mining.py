@@ -168,10 +168,12 @@ SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20
     "primitive a crawl-curation pipeline uses to weight domains. Ranks "
     "are integers in units of 1e-12 and every contribution is an integer "
     "division, so the iterative computation hash-matches DuckDB exactly. "
-    "Fully declarative: no driver collect; each round is one "
-    "edges-outdeg-ranks join plus one groupBy(dst) shuffle — the "
-    "O(iters)-round bulk-synchronous shape that survives 100 TB (at real "
-    "scale each round's result would be checkpointed to cut lineage). "
+    "Fully declarative: no driver collect (edges/nodes/outdeg are "
+    "localCheckpoint-materialized ONCE so rounds never re-run the "
+    "upstream scan+distinct — the components-loop lineage discipline); "
+    "each round is one edges-outdeg-ranks join plus one groupBy(dst) "
+    "shuffle — the O(iters)-round bulk-synchronous shape that survives "
+    "100 TB. "
     "Dangling (supplier) mass is dropped: a deterministic contraction, "
     "not a normalized distribution — stated contract. Top-20 via "
     "TakeOrderedAndProject with (rank DESC, node) tie-break.",
