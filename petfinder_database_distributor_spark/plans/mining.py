@@ -255,6 +255,59 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bpe_first_merges
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_first_merges",
+    oracle="""
+    WITH w AS (
+      SELECT u.w FROM (
+        SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents), unnest(t) u(w)),
+    pairs AS (
+      SELECT p.pair FROM w,
+        unnest([substr(w.w, i, 2) for i in range(1, length(w.w))]) p(pair)
+      WHERE length(w.w) >= 2)
+    SELECT pair, count(*)::BIGINT AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 30
+    """,
+    doc="BPE vocabulary training, step 1: count adjacent character pairs "
+    "over every word occurrence (the merge-candidate statistics a "
+    "byte-pair tokenizer trains from) and emit the top-30 merges with a "
+    "deterministic (count DESC, pair ASC) tie-break. Pairs come straight "
+    "from substring(w, i, 2) over a sequence — no char-array explode — "
+    "so the whole pass is one narrow projection + one hash agg + "
+    "TakeOrderedAndProject; at 100 TB the pair-count shuffle is bounded "
+    "by alphabet², not corpus size.",
+)
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = docs.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
 # scd2_user_history
 # ---------------------------------------------------------------------------
 

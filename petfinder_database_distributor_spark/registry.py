@@ -148,6 +148,7 @@ PRIORITY: list[str] = [
     "stream_sketch_hll",
     "dedup_ngram_containment",
     "scd2_user_history",
+    "bpe_first_merges",
 ]
 
 
