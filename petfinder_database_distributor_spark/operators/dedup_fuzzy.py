@@ -124,6 +124,10 @@ def ngram_jaccard_pairs(
       ``max_join_rows=None`` to run unguarded (ground-truth/debug use)."""
     if df_cap is not None and hot_cap is not None:
         raise ValueError("df_cap and hot_cap are mutually exclusive postures")
+    if metric not in ("jaccard", "containment"):
+        # a typo'd metric would otherwise silently compute Jaccard under
+        # the wrong column name with the wrong threshold applied
+        raise ValueError(f"unknown metric {metric!r}: use 'jaccard' or 'containment'")
     sh = with_shingles(df, id_col, text_col, n)
     inv = sh.select(
         F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("shingle")

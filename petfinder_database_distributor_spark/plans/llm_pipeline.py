@@ -269,12 +269,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
-@register(
-    "dedup_ngram_jaccard_capped",
-    # The oracle mirrors the cap: shingles with df > 64 are dropped from
-    # postings AND from intersection counts; sizes stay full, so Jaccard
-    # underestimates conservatively (no false positives).
-    oracle=f"""
+# df-capped inverted-index intersection counts — shared by the capped
+# Jaccard oracle and dedup_ngram_containment (plans/mining.py): the
+# posting/cap/join block must live in one place per engine.
+_CAPPED_INTER_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     inv AS (SELECT doc_id, len(s) AS sz, u.x AS shingle FROM sh, unnest(sh.s) u(x)),
     keep AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 64),
@@ -285,6 +283,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
     )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    # The oracle mirrors the cap: shingles with df > 64 are dropped from
+    # postings AND from intersection counts; sizes stay full, so Jaccard
+    # underestimates conservatively (no false positives).
+    oracle=f"""
+    {_CAPPED_INTER_SQL}
     SELECT id_a, id_b,
            inter::DOUBLE / (sz_a + sz_b - inter) AS jaccard
     FROM inter WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.5

@@ -168,9 +168,10 @@ SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20
     "primitive a crawl-curation pipeline uses to weight domains. Ranks "
     "are integers in units of 1e-12 and every contribution is an integer "
     "division, so the iterative computation hash-matches DuckDB exactly. "
-    "Fully declarative: no driver collect (edges/nodes/outdeg are "
-    "localCheckpoint-materialized ONCE so rounds never re-run the "
-    "upstream scan+distinct — the components-loop lineage discipline); "
+    "No driver collect; edges/nodes/outdeg are localCheckpoint-"
+    "materialized once at call time (three bounded jobs — the "
+    "components-loop lineage discipline) so rounds never re-run the "
+    "upstream scan+distinct; "
     "each round is one edges-outdeg-ranks join plus one groupBy(dst) "
     "shuffle — the O(iters)-round bulk-synchronous shape that survives "
     "100 TB. "
@@ -259,14 +260,15 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "bpe_first_merges",
-    oracle="""
-    WITH w AS (
-      SELECT u.w FROM (
-        SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                           x -> x <> '') AS t
-        FROM documents), unnest(t) u(w)),
+def _bpe_oracle() -> str:
+    # Tokenization comes from the shared _TOKS_SQL fragment (one place
+    # per engine — a whitespace-semantics fix there must reach this
+    # oracle too).
+    from petfinder_database_distributor_spark.plans.llm_pipeline import _TOKS_SQL
+
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    w AS (SELECT u.w FROM toks, unnest(toks.t) u(w)),
     pairs AS (
       SELECT p.pair FROM w,
         unnest([substr(w.w, i, 2) for i in range(1, length(w.w))]) p(pair)
@@ -274,7 +276,12 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT pair, count(*)::BIGINT AS n
     FROM pairs GROUP BY pair
     ORDER BY n DESC, pair LIMIT 30
-    """,
+    """
+
+
+@register(
+    "bpe_first_merges",
+    oracle=_bpe_oracle(),
     doc="BPE vocabulary training, step 1: count adjacent character pairs "
     "over every word occurrence (the merge-candidate statistics a "
     "byte-pair tokenizer trains from) and emit the top-30 merges with a "
@@ -321,7 +328,7 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type AS state,
            (lead(ts) OVER w IS NULL) AS is_current
     FROM events
-    WHERE user_id IS NOT NULL
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     doc="SCD-type-2 history construction — the warehousing primitive that "
@@ -337,7 +344,12 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # NULL user/ts rows are excluded by contract: a NULL ts would sort
+    # NULLS FIRST in Spark but NULLS LAST in DuckDB (silent parity break)
+    # and would mislabel its predecessor's is_current in both engines.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     return ev.select(
@@ -356,19 +368,14 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_oracle() -> str:
-    from petfinder_database_distributor_spark.plans.llm_pipeline import _SHINGLES_SQL
+    # The posting/cap/join block is the shared _CAPPED_INTER_SQL — only
+    # the scoring expression differs from the capped Jaccard oracle.
+    from petfinder_database_distributor_spark.plans.llm_pipeline import (
+        _CAPPED_INTER_SQL,
+    )
 
     return f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    inv AS (SELECT doc_id, len(s) AS sz, u.x AS shingle FROM sh, unnest(sh.s) u(x)),
-    keep AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 64),
-    capped AS (SELECT i.* FROM inv i JOIN keep k ON i.shingle = k.shingle),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
-             count(*) AS inter
-      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-    )
+    {_CAPPED_INTER_SQL}
     SELECT id_a, id_b,
            inter::DOUBLE / least(sz_a, sz_b) AS containment
     FROM inter WHERE inter::DOUBLE / least(sz_a, sz_b) >= 0.8

@@ -60,13 +60,15 @@ class PetServingHandler(BaseHTTPRequestHandler):
         """F6: ``?key=`` query param OR ``X-API-Key`` header, exact match
         (`server.py:449-461`); compared constant-time (same accept/reject
         behavior as the reference's ``==``, minus the timing side
-        channel)."""
+        channel). Compared as UTF-8 BYTES: str compare_digest raises
+        TypeError on any non-ASCII input, which would kill the connection
+        with no response instead of 401."""
         import hmac
 
         q = parse_qs(urlparse(self.path).query)
         provided = (q.get("key") or [None])[0] or self.headers.get("X-API-Key")
         return provided is not None and hmac.compare_digest(
-            provided, self.server.api_key
+            provided.encode(), self.server.api_key.encode()
         )
 
     def _send(self, code: int, body: bytes, ctype: str, extra: dict | None = None):
@@ -81,26 +83,62 @@ class PetServingHandler(BaseHTTPRequestHandler):
     def _json(self, code: int, obj) -> None:
         self._send(code, json.dumps(obj).encode(), "application/json")
 
+    GET_ROUTES = ("/", "/health", "/status", "/pets", "/pets.csv")
+    POST_ROUTES = ("/start", "/stop")
+
+    def _drain_body(self) -> None:
+        """Read and discard any request body before responding: leaving
+        unread bytes in the socket can RST the connection under the
+        client's feet before it reads the response."""
+        length = int(self.headers.get("Content-Length") or 0)
+        while length > 0:
+            chunk = self.rfile.read(min(length, 1 << 16))
+            if not chunk:
+                break
+            length -= len(chunk)
+
     # -- routes -----------------------------------------------------------
     def do_POST(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler contract
         """Pipeline control (`server.py:431-446`): /start guards against
         double-start with a 400 like the reference; the actual pipeline is
         whatever hooks the server was constructed with (e.g. a streaming
-        query's start / graceful stop — T6)."""
+        query's start / graceful stop — T6). The test-and-set is
+        lock-protected (two concurrent /start must not both fire the
+        hook), and a raising hook rolls the state back and answers 500
+        instead of wedging the server in a running-but-not-started limbo."""
+        self._drain_body()
         route = urlparse(self.path).path
         if route == "/start":
-            if self.server.running:
-                self._json(400, {"message": "Scraping already running"})
-            else:
+            with self.server.lifecycle_lock:
+                if self.server.running:
+                    self._json(400, {"message": "Scraping already running"})
+                    return
                 self.server.running = True
+            try:
                 if self.server.start_hook:
                     self.server.start_hook()
-                self._json(200, {"message": "Scraping started"})
+            except Exception as exc:  # noqa: BLE001 — report, don't wedge
+                self.server.running = False
+                self._json(500, {"error": f"start failed: {exc}"})
+                return
+            self._json(200, {"message": "Scraping started"})
         elif route == "/stop":
-            self.server.running = False
-            if self.server.stop_hook:
-                self.server.stop_hook()
+            with self.server.lifecycle_lock:
+                self.server.running = False
+            try:
+                if self.server.stop_hook:
+                    self.server.stop_hook()
+            except Exception as exc:  # noqa: BLE001
+                self._json(500, {"error": f"stop failed: {exc}"})
+                return
             self._json(200, {"message": "Scraping stopped"})
+        elif route in self.GET_ROUTES:
+            self._send(
+                405,
+                json.dumps({"error": "method not allowed"}).encode(),
+                "application/json",
+                {"Allow": "GET"},
+            )
         else:
             self._json(404, {"error": "not found"})
 
@@ -136,7 +174,15 @@ class PetServingHandler(BaseHTTPRequestHandler):
                     {"Content-Disposition": "attachment; filename=pets.csv"},
                 )
         else:
-            self._json(404, {"error": "not found"})
+            if route in self.POST_ROUTES:
+                self._send(
+                    405,
+                    json.dumps({"error": "method not allowed"}).encode(),
+                    "application/json",
+                    {"Allow": "POST"},
+                )
+            else:
+                self._json(404, {"error": "not found"})
 
     def log_message(self, *args) -> None:  # quiet: tests assert via responses
         pass
@@ -159,15 +205,26 @@ class PetServer(ThreadingHTTPServer):
         self.running = True
         self.start_hook = start_hook
         self.stop_hook = stop_hook
+        self.lifecycle_lock = threading.Lock()
         self.reload()
 
     def reload(self) -> None:
         self.csv_text, self.rows = load_csv_artifact(self.artifact_path)
 
 
-def serve_export(artifact_path: str, api_key: str, port: int = 0) -> PetServer:
+def serve_export(
+    artifact_path: str,
+    api_key: str,
+    port: int = 0,
+    start_hook=None,
+    stop_hook=None,
+) -> PetServer:
     """Start serving a CSV export on a daemon thread; returns the server
-    (``.server_address[1]`` is the bound port; ``.shutdown()`` stops it)."""
-    httpd = PetServer(artifact_path, api_key, port)
+    (``.server_address[1]`` is the bound port; ``.shutdown()`` stops it).
+    ``start_hook``/``stop_hook`` wire POST /start|/stop to a pipeline
+    lifecycle (e.g. a streaming query's start / T6 graceful stop) —
+    plumbed at construction so the hooks exist before the first request
+    can race them."""
+    httpd = PetServer(artifact_path, api_key, port, start_hook, stop_hook)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return httpd

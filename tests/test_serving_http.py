@@ -111,6 +111,49 @@ def _post(port: int, route: str):
         return e.code, e.read()
 
 
+def test_non_ascii_key_rejected_with_401_not_connection_reset(server):
+    """Regression (review finding): str-mode compare_digest raised
+    TypeError on non-ASCII keys, killing the socket with no response."""
+    httpd, _ = server
+    port = httpd.server_address[1]
+    code, body, _ = _get(port, "/pets?key=caf%C3%A9")
+    assert code == 401 and b"endpoint key" in body
+    code, _, _ = _get(port, "/pets", {"X-API-Key": "café"})
+    assert code == 401
+
+
+def test_method_mismatch_is_405_with_allow_header(server):
+    httpd, _ = server
+    port = httpd.server_address[1]
+    code, _, headers = _get(port, "/start")  # GET on a POST route
+    assert code == 405 and headers.get("Allow") == "POST"
+    code, body = _post(port, "/pets")  # POST on a GET route
+    assert code == 405
+
+
+def test_failing_start_hook_rolls_back_and_answers_500(server):
+    httpd, _ = server
+    port = httpd.server_address[1]
+    old_start, old_stop = httpd.start_hook, httpd.stop_hook
+    try:
+        httpd.stop_hook = None
+        _post(port, "/stop")  # ensure stopped
+
+        def boom():
+            raise RuntimeError("stream refused to start")
+
+        httpd.start_hook = boom
+        code, body = _post(port, "/start")
+        assert code == 500 and b"start failed" in body
+        assert httpd.running is False  # rolled back — not wedged
+        httpd.start_hook = None
+        code, _ = _post(port, "/start")  # recoverable
+        assert code == 200
+    finally:
+        httpd.start_hook, httpd.stop_hook = old_start, old_stop
+        httpd.running = True
+
+
 def test_start_stop_lifecycle_with_double_start_guard(server):
     """Reference parity (server.py:431-446): /start returns 400 when
     already running, /stop flips status, hooks fire."""
