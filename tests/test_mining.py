@@ -142,13 +142,22 @@ def test_mining_parity_with_nulls(spark, tmp_path):
         UNION ALL SELECT 99998, NULL, 'en', 'empty_src', 0
         UNION ALL SELECT 99999, NULL, 'en', 'empty_src', 0
       ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
+    # events with a NULL ts and a NULL user: scd2's window would order
+    # NULLS FIRST (Spark) vs LAST (DuckDB) without its contract filter
+    con.execute(f"""
+      COPY (
+        SELECT * FROM read_parquet('{SF_SMALL}/events.parquet')
+        UNION ALL SELECT 888801, NULL, 3, 'view', 1.0, NULL
+        UNION ALL SELECT 888802, TIMESTAMP '2024-01-01 00:00:00', NULL, 'view', 1.0, NULL
+      ) TO '{tmp}/events.parquet' (FORMAT PARQUET)""")
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"):
+              "lineitem"):
         shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{tmp}/{t}.parquet")
 
     specs = load_all()
     for name in ("cluster_kmeans_int8", "domain_mix_weights",
-                 "text_commonness_score", "profile_documents"):
+                 "text_commonness_score", "profile_documents",
+                 "scd2_user_history", "events_funnel"):
         assert_parity(specs[name].fn(spark, tmp),
                       run_oracle(specs[name].oracle, tmp), name)
     weights = {r["source"]: r["weight_ppm"]
