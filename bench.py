@@ -17,7 +17,10 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-# Headline set: flagship pipeline + relational + (as they land) north-star ops.
+# Headline set: flagship pipeline + relational + north-star representatives
+# (one per family: fuzzy dedup, sketch, clustering) so the driver-archived
+# compact line tracks the LLM-ops families round-over-round, not just the
+# reference queries.
 HEADLINE = [
     "flagship_distributor_pipeline",
     "q1_pricing_summary",
@@ -30,6 +33,9 @@ HEADLINE = [
     "ref_key_dedup",
     "ref_upsert_merge",
     "ref_compaction",
+    "dedup_minhash_lsh",
+    "sketch_hll_distinct_users",
+    "cluster_kmeans_int8",
 ]
 
 
