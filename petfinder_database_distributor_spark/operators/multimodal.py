@@ -31,7 +31,10 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     """Treat a text column's UTF-8 bytes as an opaque media payload with
     typed metadata — the schema pattern for image/audio/video columns:
     (id, payload binary, n_bytes, checksum, media_type)."""
-    payload = F.encode(F.col(text_col), "UTF-8")
+    # NULL text ≡ zero-byte payload (the text family's NULL≡'' contract
+    # carried to the media layer): metadata stays well-defined (n_bytes 0,
+    # checksum sha2('')) and the Arrow kernels never see a None payload.
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
     return df.select(
         F.col(id_col),
         payload.alias("payload"),

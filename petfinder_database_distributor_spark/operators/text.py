@@ -29,8 +29,18 @@ MERSENNE_P = 2147483647  # 2^31 - 1, modulus for the minhash family
 
 
 def tokens(c: Column) -> Column:
-    """Whitespace tokenization (lowercased, empties dropped)."""
-    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda x: x != "")
+    """Whitespace tokenization (lowercased, empties dropped).
+
+    NULL text ≡ empty document (→ ``[]``), matching the oracle fragment's
+    ``coalesce(text, '')``. Without the coalesce, NULL propagates into a
+    NULL array — and the engines then DISAGREE downstream (e.g. Spark's
+    ``concat_ws`` treats a NULL array as '' while DuckDB's
+    ``array_to_string`` yields NULL → md5(NULL) = NULL), which the
+    null-robustness sweep caught across the text family."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
 
 
 def distinct_tokens(c: Column) -> Column:

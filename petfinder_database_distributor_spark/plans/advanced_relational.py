@@ -188,7 +188,8 @@ def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, ts, event_id,
@@ -204,7 +205,9 @@ def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session ids → per-session rollup; one shuffle on user_id",
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ordered-window contract: NULL-ts rows excluded (cross-engine NULLS
+    # FIRST/LAST divergence; a NULL gap would also open a phantom session)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     flagged = ev.select(
@@ -473,7 +476,9 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      FROM events)
+      FROM (SELECT user_id, ts, event_id,
+                   coalesce(event_type, '') AS event_type
+            FROM events WHERE ts IS NOT NULL))
     SELECT user_id, prev AS from_type, event_type AS to_type, count(*) AS n
     FROM seq WHERE prev IS NOT NULL
     GROUP BY user_id, prev, event_type
@@ -488,8 +493,19 @@ def transitions_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    # ordered-window contract (see sessionize): NULL-ts rows excluded —
+    # they also poison the kernel's lexsort key
+    # NULL event_type ≡ '' state: lag()'s NULL doubles as the
+    # first-row marker, so a NULL *type* would be indistinguishable from
+    # "no previous event" in the oracle — the sentinel keeps the state
+    # countable on both sides
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            F.coalesce(F.col("event_type"), F.lit("")).alias("event_type"),
+        )
     )
 
     def transition_counts(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -507,13 +523,23 @@ def transitions_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n": np.empty(0, dtype="int64"),
                 }
             )
-        codes, uniques = pd.factorize(et)
+        # use_na_sentinel=False: a NULL event_type is a real transition
+        # state (the oracle's GROUP BY keeps the NULL group); the default
+        # -1 sentinel would poison the bincount index
+        codes, uniques = pd.factorize(et, use_na_sentinel=False)
         k = len(uniques)
         counts = np.bincount(codes[:-1] * k + codes[1:], minlength=k * k)
         nz = np.flatnonzero(counts)
+        uid = pdf["user_id"].iloc[0]
         return pd.DataFrame(
             {
-                "user_id": np.full(len(nz), pdf["user_id"].iloc[0], dtype="int64"),
+                # the NULL-user group arrives as NaN — int64 np.full would
+                # raise; emit a null column for it instead
+                "user_id": (
+                    pd.array([None] * len(nz), dtype="Int64")
+                    if pd.isna(uid)
+                    else np.full(len(nz), uid, dtype="int64")
+                ),
                 "from_type": np.asarray(uniques)[nz // k],
                 "to_type": np.asarray(uniques)[nz % k],
                 "n": counts[nz].astype("int64"),

@@ -46,13 +46,22 @@ from petfinder_database_distributor_spark.operators.text import (
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
 
+def _load_embeddings(spark: SparkSession, sf_dir: str):
+    """Embeddings with the vector-family null contract applied: rows with
+    a NULL id or NULL vector are excluded (they would crash the Arrow
+    kernels and diverge from the oracles, which carry the same WHERE)."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared DuckDB fragments
 # ---------------------------------------------------------------------------
 
 _TOKS_SQL = """
   SELECT doc_id, lang, text,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS t
   FROM documents
 """
 
@@ -212,8 +221,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS ({_TOKS_SQL})
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint,
-           {_MD5INT.format(x="array_to_string(list_sort(list_distinct(t)), ' ')")} AS fingerprint_int
+           md5(coalesce(array_to_string(list_sort(list_distinct(t)), ' '), '')) AS fingerprint,
+           {_MD5INT.format(x="coalesce(array_to_string(list_sort(list_distinct(t)), ' '), '')")} AS fingerprint_int
     FROM toks
     """,
     doc="Document fingerprinting: order/repetition-invariant bag-of-words hash (string + portable int64)",
@@ -239,7 +248,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact",
     oracle=f"""
     WITH toks AS ({_TOKS_SQL}),
-    f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+    f AS (SELECT doc_id, md5(coalesce(array_to_string(list_sort(list_distinct(t)), ' '), '')) AS fingerprint
           FROM toks)
     SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS group_size
     FROM f GROUP BY fingerprint
@@ -375,7 +384,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CASE WHEN sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) > 0
                          THEN (1::BIGINT << r.j) ELSE 0 END AS b
              FROM hx, range(0, {SIMHASH_BITS}) r(j) GROUP BY doc_id, r.j)
-    SELECT doc_id, sum(b)::BIGINT AS simhash FROM bits GROUP BY doc_id
+    SELECT t.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+    FROM (SELECT DISTINCT doc_id FROM toks) t
+    LEFT JOIN (SELECT doc_id, sum(b)::BIGINT AS simhash FROM bits
+               GROUP BY doc_id) s ON t.doc_id = s.doc_id
     """,
     doc="60-bit SimHash signatures over distinct tokens (portable md5int hash)",
 )
@@ -394,7 +406,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CASE WHEN sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) > 0
                          THEN (1::BIGINT << r.j) ELSE 0 END AS b
              FROM hx, range(0, {SIMHASH_BITS}) r(j) GROUP BY doc_id, r.j),
-    sims AS (SELECT doc_id, sum(b)::BIGINT AS simhash FROM bits GROUP BY doc_id),
+    sims AS (SELECT t.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+             FROM (SELECT DISTINCT doc_id FROM toks) t
+             LEFT JOIN (SELECT doc_id, sum(b)::BIGINT AS simhash FROM bits
+                        GROUP BY doc_id) s ON t.doc_id = s.doc_id),
     blocks AS ({_SIMHASH_BLOCKS_SQL}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
                              b.doc_id AS id_b, b.simhash AS sim_b
@@ -446,7 +461,7 @@ _SRP_PLANES128_VALUES = ",\n      ".join(
     qvecs AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[], x -> round(1000 * x)) AS qe
-      FROM embeddings
+      FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     ),
     banded AS (
       SELECT q.vec_id, pl.i // 8 AS band,
@@ -477,7 +492,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_neardup_pairs,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     return embedding_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.4, bands=8, band_bits=8, dim=64
     )
@@ -486,7 +501,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine_exact",
     oracle="""
-    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0 AND embedding IS NOT NULL)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
              / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
@@ -505,7 +520,7 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from petfinder_database_distributor_spark.util import execution_guard
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    emb = _load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 4 == 0)
     # Two-layer size guard: all-pairs is O(n²) — baseline only.
     # Layer 1 (plan-build, free): footer-metadata count over the raw table
     # (no Spark job; round-3 verdict #6). The plan scores the
@@ -547,7 +562,7 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-_ANN_QUERIES_SQL = "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8"
+_ANN_QUERIES_SQL = "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL"
 
 
 @register(
@@ -570,7 +585,7 @@ _ANN_QUERIES_SQL = "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
     doc="Exact cosine top-5 per query (broadcast queries, map-side scores, one window shuffle)",
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -593,7 +608,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[], x -> round(1000 * x)) AS qe
-      FROM embeddings
+      FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     ),
     banded AS (
       SELECT q.vec_id, pl.i // 8 AS band,
@@ -629,7 +644,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path; measured recall@5 0.875 pinned in tests",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -644,8 +659,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_binary_metadata",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text))::BIGINT AS n_bytes,
-           sha256(text) AS checksum,
+           octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes,
+           sha256(coalesce(text, '')) AS checksum,
            'application/octet-stream' AS media_type
     FROM documents
     """,
@@ -667,10 +682,10 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact per-bin values are asserted in tests/test_multimodal.py.
     oracle="""
     SELECT doc_id,
-           (64 + octet_length(encode(text)) % 577)::INT AS width,
-           (64 + octet_length(encode(text)) % 433)::INT AS height,
-           (1 + octet_length(encode(text)) % 30)::INT AS n_frames,
-           octet_length(encode(text))::BIGINT AS hist_sum
+           (64 + octet_length(encode(coalesce(text, ''))) % 577)::INT AS width,
+           (64 + octet_length(encode(coalesce(text, ''))) % 433)::INT AS height,
+           (1 + octet_length(encode(coalesce(text, ''))) % 30)::INT AS n_frames,
+           octet_length(encode(coalesce(text, '')))::BIGINT AS hist_sum
     FROM documents
     """,
     doc="Arrow-batched mapInPandas decode/feature-extract over binary payloads (deterministic fake decode; see operators/multimodal.py)",
@@ -716,7 +731,7 @@ _IVF_UPDATE = """
     oracle=f"""
     WITH q AS (SELECT vec_id,
                       list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qe
-               FROM embeddings),
+               FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     c0 AS (SELECT vec_id::INT AS centroid_id, qe AS cvec FROM q WHERE vec_id < 16),
     a1 AS ({_IVF_ASSIGN.format(vecs="q", cents="c0")}),
     c1 AS ({_IVF_UPDATE.format(assigned="a1")}),
@@ -750,7 +765,7 @@ _IVF_UPDATE = """
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -817,7 +832,7 @@ def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_frame_sample",
     oracle="""
-    WITH meta AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    WITH meta AS (SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n FROM documents)
     SELECT m.doc_id, r.i::INT AS frame_idx, (m.n * 31 + r.i) % 997 AS frame_feature
     FROM meta m, range(0, 30) r(i)
     WHERE r.i < least(1 + m.n % 30, 4)
@@ -841,10 +856,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_multimodal.py (ArrayType doesn't survive the driver canon).
     oracle="""
     SELECT doc_id,
-           least(64 + octet_length(encode(text)) % 577, 32)::INT AS out_width,
-           least(64 + octet_length(encode(text)) % 433, 32)::INT AS out_height,
-           ((octet_length(encode(text)) + 3) // 4)::INT AS n_sampled,
-           ((octet_length(encode(text)) + 3) // 4)::BIGINT AS sampled_sum
+           least(64 + octet_length(encode(coalesce(text, ''))) % 577, 32)::INT AS out_width,
+           least(64 + octet_length(encode(coalesce(text, ''))) % 433, 32)::INT AS out_height,
+           ((octet_length(encode(coalesce(text, ''))) + 3) // 4)::INT AS n_sampled,
+           ((octet_length(encode(coalesce(text, ''))) + 3) // 4)::BIGINT AS sampled_sum
     FROM documents
     """,
     doc="Multimodal resize plumbing: strided byte resample (deterministic fake "
@@ -1044,7 +1059,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS ({_TOKS_SQL}),
     f AS (SELECT doc_id,
-                 md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp,
+                 md5(coalesce(array_to_string(list_sort(list_distinct(t)), ' '), '')) AS fp,
                  CASE WHEN ({_MD5INT.format(x="'split:' || doc_id")}) % 100 < 80
                       THEN 'train' ELSE 'test' END AS split
           FROM toks)
@@ -1125,7 +1140,7 @@ _BM25_TERMS = ("spark", "merge", "vector")
 _BM25_SQL = """
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+             list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS t
       FROM documents
     ),
     d AS (
@@ -1908,6 +1923,7 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dims AS (
       SELECT u.i - 1 AS dim, (e.embedding[u.i])::DECIMAL(20,8) AS v
       FROM embeddings e, range(1, 65) u(i)
+      WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
     )
     SELECT dim::INT AS dim,
            round(CAST(CAST(sum(v) AS DECIMAL(38,8)) AS DOUBLE) / count(*), 6) AS mean,
@@ -1924,7 +1940,7 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.util import ensure_parallelism
 
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    emb = ensure_parallelism(_load_embeddings(spark, sf_dir))
     dims = emb.select(
         F.posexplode(F.col("embedding").cast("array<decimal(20,8)>")).alias(
             "dim", "v"
@@ -1955,7 +1971,7 @@ _PACK_BUDGET, _PACK_SHARD = 256, 64
     oracle=f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, doc_id // {_PACK_SHARD} AS shard,
-             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
                              x -> x <> '')) AS tokens
       FROM documents
     ),
@@ -2033,7 +2049,7 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # negative halves. The quantized vector rides as a CSV string because
     # the canonical row compare stringifies arrays engine-specifically.
     oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     s AS (SELECT vec_id, e,
                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
           FROM v)
@@ -2057,7 +2073,7 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.util import ensure_parallelism
 
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    emb = ensure_parallelism(_load_embeddings(spark, sf_dir))
     e = F.col("embedding").cast("array<double>")
     scale = F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
     with_scale = emb.select("vec_id", e.alias("e"), scale.alias("scale"))

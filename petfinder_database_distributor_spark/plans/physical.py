@@ -117,8 +117,14 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
         _DPP_MEMO.add(tag)
         return path
     shutil.rmtree(path, ignore_errors=True)
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_date", F.to_date("ts")
+    # Partition keys are non-null by contract: a NULL ts would land in
+    # __HIVE_DEFAULT_PARTITION__ and crash the date-typed read-back; the
+    # oracle's day() predicate drops NULL-ts rows anyway, so the
+    # exclusion is parity-neutral.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("event_date", F.to_date("ts"))
     )
     ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
     with open(marker, "w") as fh:

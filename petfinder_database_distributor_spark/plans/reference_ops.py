@@ -317,13 +317,15 @@ def q_nonblank_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_key_dedup",
     oracle="""
     SELECT user_id, event_id, event_type, ts
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
     """,
     doc="D1 key-dedup: first-writer-wins one row per key (server.py:194-207)",
 )
 def q_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # first-writer-wins needs an order key: NULL-ts rows are excluded
+    # (NULLS FIRST/LAST divergence would pick different representatives)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     out = key_dedup(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
     return out.select("user_id", "event_id", "event_type", "ts")
 

@@ -163,12 +163,15 @@ def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     doc="Window running aggregate + lag: per-user ordered frame (decimal-exact running sum)",
 )
 def w2_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ordered-window contract: NULL-ts rows are excluded — Spark orders
+    # NULLS FIRST, DuckDB NULLS LAST, so they silently shift every
+    # running sum after them
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(

@@ -106,7 +106,7 @@ def _typed_pets_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
                        WHEN doc_id % 5 = 0 THEN '' ELSE source END, '') AS name,
            replace(replace(lang || chr(10) || substring(text, 1, 40) || chr(13) || 'end',
                    chr(10), '\\n'), chr(13), '\\n') AS about_me,
-           CASE WHEN lang = 'en' THEN NULL
+           CASE WHEN lang IS NULL OR trim(lang) = '' OR lang = 'en' THEN NULL
                 WHEN contains(lang, 'no') OR contains(lang, 'false') OR contains(lang, 'n')
                      THEN FALSE
                 WHEN contains(lang, 'yes') OR contains(lang, 'true') OR contains(lang, 'y')
@@ -141,8 +141,8 @@ def export_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT to_json(struct_pack(
              link := 'pet/' || doc_id,
              name := CASE WHEN doc_id % 7 = 0 THEN '' WHEN doc_id % 5 = 0 THEN ''
-                          ELSE source END,
-             flag := CASE WHEN lang = 'en' THEN ''
+                          ELSE coalesce(source, '') END,
+             flag := CASE WHEN lang IS NULL OR trim(lang) = '' OR lang = 'en' THEN ''
                           WHEN contains(lang, 'no') OR contains(lang, 'false')
                                OR contains(lang, 'n') THEN 'False'
                           WHEN contains(lang, 'yes') OR contains(lang, 'true')

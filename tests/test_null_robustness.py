@@ -1,0 +1,94 @@
+"""Null-robustness regression suite (round-5 registry-wide sweep).
+
+A synthetic sf0.001 layout with NULLs injected into the three "dirty
+data" tables — documents (NULL/empty text, NULL lang/source), embeddings
+(NULL vector, NULL id), events (NULL ts/user/type/value/props) — caught
+TWENTY queries that crashed or silently diverged from their oracles.
+Every fix landed as an explicit contract (NULL text ≡ '', vector rows
+with NULL id/embedding excluded, ordered windows exclude NULL-ts rows,
+NULL event_type ≡ '' state, zero-byte media payloads, parse_boolean
+tri-state in the export oracles) — this file pins all of them.
+
+The clean-data oracle gate can never catch these: both engines agreeing
+on the shipped fixtures says nothing about rows the fixtures don't
+contain.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMALL
+
+# the queries the sweep originally failed, grouped by contract
+SWEPT = [
+    # text family: NULL text ≡ '' (tokens()/_TOKS_SQL coalesce;
+    # array_to_string([]) vs concat_ws divergence)
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "pack_sequences_greedy",
+    # simhash: token-less docs pin to signature 0 on BOTH engines
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    # vector family: NULL id/vector rows excluded
+    "dedup_embedding_cosine",
+    "ann_lsh_topk",
+    "embedding_quantize_int8",
+    "embedding_dim_stats",
+    # media: NULL text ≡ zero-byte payload
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize",
+    # ordered windows: NULL-ts rows excluded (NULLS FIRST vs LAST)
+    "w2_running_totals",
+    "sessionize_events",
+    "ref_key_dedup",
+    "transitions_grouped_pandas",
+    # partitioned staging: NULL partition keys excluded
+    "j6_dpp_join",
+    # export boundary: parse_boolean tri-state / encoded '' in oracles
+    "export_roundtrip_csv",
+    "s8_json_rows",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("nullsweep"))
+    con = duckdb.connect()
+    con.execute(f"""COPY (
+      SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')
+      UNION ALL SELECT 99990, NULL, 'en', 'nullsrc', 0
+      UNION ALL SELECT 99991, 'some text here', NULL, NULL, 14
+      UNION ALL SELECT 99992, '', 'en', 'nullsrc', 0
+    ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (
+      SELECT * FROM read_parquet('{SF_SMALL}/embeddings.parquet')
+      UNION ALL SELECT 99990, NULL, 1
+      UNION ALL SELECT NULL,
+        (SELECT embedding FROM read_parquet('{SF_SMALL}/embeddings.parquet') LIMIT 1),
+        NULL
+    ) TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (
+      SELECT * FROM read_parquet('{SF_SMALL}/events.parquet')
+      UNION ALL SELECT 888801, NULL, 3, 'view', 1.0, NULL
+      UNION ALL SELECT 888802, TIMESTAMP '2024-01-01 00:00:00', NULL, 'click', NULL, NULL
+      UNION ALL SELECT 888803, TIMESTAMP '2024-01-02 00:00:00', 4, NULL, 2.0, '{{}}'
+    ) TO '{tmp}/events.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"):
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{tmp}/{t}.parquet")
+    return tmp
+
+
+@pytest.mark.parametrize("name", SWEPT)
+def test_null_parity(spark, null_sf_dir, name):
+    from petfinder_database_distributor_spark.registry import load_all
+    from tests.oracle_compare import assert_parity, run_oracle
+
+    spec = load_all()[name]
+    assert_parity(spec.fn(spark, null_sf_dir), run_oracle(spec.oracle, null_sf_dir), name)
