@@ -384,7 +384,10 @@ def simhash_text_udf(n_bits: int = SIMHASH_BITS):
             out = []
             for text in s:
                 toks = (
-                    [t for t in ws.split(text.lower()) if t]
+                    # portable_lower contract: pre-substitute the two
+                    # JVM-vs-simple-casing divergers (see operators/text.py)
+                    [t for t in ws.split(
+                        text.replace("İ", "i").replace("Σ", "σ").lower()) if t]
                     if isinstance(text, str)
                     else []
                 )

@@ -28,6 +28,19 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 MERSENNE_P = 2147483647  # 2^31 - 1, modulus for the minhash family
 
 
+def portable_lower(c: Column) -> Column:
+    """``lower()`` that agrees across engines on multilingual text.
+
+    The JVM implements full Unicode SpecialCasing — lower('İ') is
+    'i'+U+0307 and a capital Σ takes the context-dependent final-sigma
+    form — while DuckDB applies the simple per-codepoint map ('i', 'σ').
+    Pre-substituting exactly those two divergent classes to their simple
+    lowercase BEFORE lower() makes both engines produce identical bytes;
+    every other lowercase mapping already agrees (probed: ß/ẞ, Ĳ,
+    ligatures, Ⱥ). The oracle fragments apply the same substitution."""
+    return F.lower(F.translate(c, "İΣ", "iσ"))
+
+
 def tokens(c: Column) -> Column:
     """Whitespace tokenization (lowercased, empties dropped).
 
@@ -36,9 +49,10 @@ def tokens(c: Column) -> Column:
     NULL array — and the engines then DISAGREE downstream (e.g. Spark's
     ``concat_ws`` treats a NULL array as '' while DuckDB's
     ``array_to_string`` yields NULL → md5(NULL) = NULL), which the
-    null-robustness sweep caught across the text family."""
+    null-robustness sweep caught across the text family. Lowercasing is
+    :func:`portable_lower` (cross-engine Unicode casing contract)."""
     return F.filter(
-        F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+"),
+        F.split(portable_lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+"),
         lambda x: x != "",
     )
 

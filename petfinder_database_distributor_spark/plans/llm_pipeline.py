@@ -61,7 +61,7 @@ def _load_embeddings(spark: SparkSession, sf_dir: str):
 
 _TOKS_SQL = """
   SELECT doc_id, lang, text,
-         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(lower(replace(replace(trim(coalesce(text, '')), 'İ', 'i'), 'Σ', 'σ')), '\\s+'), x -> x <> '') AS t
   FROM documents
 """
 
@@ -1140,7 +1140,7 @@ _BM25_TERMS = ("spark", "merge", "vector")
 _BM25_SQL = """
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS t
+             list_filter(string_split_regex(lower(replace(replace(trim(coalesce(text, '')), 'İ', 'i'), 'Σ', 'σ')), '\\s+'), x -> x <> '') AS t
       FROM documents
     ),
     d AS (
@@ -1971,7 +1971,7 @@ _PACK_BUDGET, _PACK_SHARD = 256, 64
     oracle=f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, doc_id // {_PACK_SHARD} AS shard,
-             len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+             len(list_filter(string_split_regex(lower(replace(replace(trim(coalesce(text, '')), 'İ', 'i'), 'Σ', 'σ')), '\\s+'),
                              x -> x <> '')) AS tokens
       FROM documents
     ),

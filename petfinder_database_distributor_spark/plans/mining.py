@@ -199,7 +199,7 @@ def pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS (
       SELECT source, count(*)::BIGINT AS n_docs,
              sum(coalesce(len(list_filter(
-                   string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                   string_split_regex(lower(replace(replace(trim(coalesce(text, '')), 'İ', 'i'), 'Σ', 'σ')), '\\s+'),
                    x -> x <> '')), 0))::BIGINT AS n_tokens
       FROM documents GROUP BY source),
     tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM per),
@@ -503,7 +503,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, u.tok FROM (
         SELECT doc_id,
                list_distinct(list_filter(
-                 string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                 string_split_regex(lower(replace(replace(trim(coalesce(text, '')), 'İ', 'i'), 'Σ', 'σ')), '\\s+'),
                  x -> x <> '')) AS toks
         FROM documents), unnest(toks) u(tok)),
     d AS (SELECT tok, count(*)::BIGINT AS df FROM t GROUP BY tok),
