@@ -1,0 +1,793 @@
+"""Extended TPC-H-style relational coverage (SURVEY.md §2.11 generalization).
+
+Rounds 1–4 demonstrated one query per relational plan shape (q1/q3/q5,
+q4/q13/q17, windows, rollup, semi/anti). This module completes the classic
+decision-support battery on the driver tables — the remaining TPC-H query
+shapes a user of a general engine runs daily — each adapted to the slim
+schema (no partsupp / commitdate / shipmode columns; substitutes documented
+per query) and each with a DuckDB oracle.
+
+Cross-engine float discipline (same as plans/relational.py): every DOUBLE
+aggregate goes through exact DECIMAL sums and is cast back to DOUBLE at the
+end; every ratio is ONE IEEE division of two exact decimals-cast-to-double;
+threshold comparisons against a fraction of a total are cross-multiplied
+into pure decimal comparisons (no division at all). All money columns are
+2-decimal and quantities integral (verified against the generator output),
+so the decimal casts are value-exact in both engines.
+
+Scale posture: dimension tables (part/supplier/nation/region and filtered
+customer subsets) are broadcast so the fact table never shuffles for them;
+fact-fact joins (lineitem↔orders) shuffle once on the join key and AQE
+co-partitions the downstream aggregation. Per-order / per-part aggregates
+reduce BEFORE joining back (the TPC-H "group then join" shape), so the
+shuffled payload is the reduced aggregate, not the raw fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from petfinder_database_distributor_spark.registry import register
+from petfinder_database_distributor_spark.schema import load_table
+
+
+def _dec(c, p=18, s=6):
+    return c.cast(f"decimal({p},{s})")
+
+
+def _dec8(c):
+    return c.cast("decimal(8,6)")
+
+
+def _rev():
+    """extendedprice * (1 - discount) as an exact decimal Column."""
+    return _dec(F.col("l_extendedprice")) * (1 - _dec8(F.col("l_discount")))
+
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))"
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                         * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(32,4)) AS DOUBLE)
+             AS promo_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure scan-filter-sum — every predicate reaches the parquet "
+    "scan (PushedFilters on shipdate/discount/quantity), zero joins, one "
+    "map-side-combined 1-row aggregate. The canonical pushdown probe.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec8(F.col("l_discount")))
+            .cast("decimal(32,4)")
+            .cast("double")
+            .alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH sp AS (
+        SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+               min(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS cost
+        FROM lineitem l GROUP BY 1, 2
+    ), best AS (
+        SELECT partkey, min(cost) AS min_cost FROM sp GROUP BY 1
+    )
+    SELECT p.p_partkey, s.s_name, CAST(sp.cost AS DOUBLE) AS cost
+    FROM sp
+    JOIN best ON sp.partkey = best.partkey AND sp.cost = best.min_cost
+    JOIN part p ON p.p_partkey = sp.partkey AND p.p_size = 15
+    JOIN supplier s ON s.s_suppkey = sp.suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    """,
+    doc="TPC-H Q2-style correlated minimum: for each size-15 part, the "
+    "EUROPE supplier(s) achieving the per-part minimum observed price. No "
+    "partsupp table in the slim schema, so the supplier-part relation is "
+    "derived by reducing lineitem to (part, supplier) -> min(price) FIRST "
+    "(the shuffled payload is the reduced pairs, not raw lineitem), then the "
+    "per-part min is a second small agg joined back on decimal-exact "
+    "equality — the decorrelated form of Q2's scalar subquery.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sp = (
+        li.groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min(_dec(F.col("l_extendedprice"))).alias("cost"))
+    )
+    # `best` derives from `sp`, so alias its key — joining sp.partkey to a
+    # same-lineage column would be ambiguous self-reference.
+    best = sp.groupBy(F.col("partkey").alias("b_partkey")).agg(F.min("cost").alias("min_cost"))
+    euro_supp = supplier.join(
+        F.broadcast(
+            nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        sp.join(best, (F.col("partkey") == F.col("b_partkey")) & (F.col("cost") == F.col("min_cost")))
+        .drop("b_partkey")
+        .join(F.broadcast(part), F.col("partkey") == part.p_partkey)
+        .join(F.broadcast(euro_supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", F.col("cost").cast("double").alias("cost"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(CAST(sum({_REV_SQL}) AS DECIMAL(32,4)) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE ((s.s_nationkey < 5 AND c.c_nationkey >= 5 AND c.c_nationkey < 10)
+        OR (s.s_nationkey >= 5 AND s.s_nationkey < 10 AND c.c_nationkey < 5))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 volume shipping between two trading blocs (nation bands "
+    "0-4 ↔ 5-9 in either direction — single-nation pairs are vacuous at the "
+    "smallest SF): the supplier-side dim chain broadcasts onto lineitem, "
+    "the customer-side chain broadcasts onto orders, and lineitem↔orders is "
+    "the single fact-fact shuffle. The bloc disjunction references both "
+    "sides, so it is applied post-join.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    sk, ck = F.col("supp_natkey"), F.col("cust_natkey")
+    pair = ((sk < 5) & (ck >= 5) & (ck < 10)) | ((sk >= 5) & (sk < 10) & (ck < 5))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("supp_nation"),
+            F.col("s_nationkey").alias("supp_natkey"),
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("cust_nation"),
+            F.col("c_nationkey").alias("cust_natkey"),
+        )
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+                "o_orderkey", "cust_nation", "cust_natkey"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("decimal(32,4)").cast("double").alias("volume"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               sum({_REV_SQL}) AS total_vol,
+               sum(CASE WHEN sn.n_name = 'NATION_3' THEN {_REV_SQL}
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS nation_vol
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+        GROUP BY 1
+    )
+    SELECT o_year,
+           CAST(CAST(nation_vol AS DECIMAL(32,4)) AS DOUBLE)
+             / CAST(CAST(total_vol AS DECIMAL(32,4)) AS DOUBLE) AS mkt_share
+    FROM vol
+    """,
+    doc="TPC-H Q8 market share: NATION_3's fraction of PROMO-part revenue "
+    "sold into ASIA customers, by order year. Both numerator and denominator "
+    "are exact decimal sums of the same scan (one conditional aggregate, not "
+    "two passes); the share is ONE IEEE double division per group, so the "
+    "ratio is bit-identical cross-engine.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    asia_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    vol = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            orders.join(F.broadcast(asia_cust), orders.o_custkey == F.col("c_custkey")).select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(_rev()).alias("total_vol"),
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(zero)).alias(
+                "nation_vol"
+            ),
+        )
+    )
+    return vol.select(
+        "o_year",
+        (
+            F.col("nation_vol").cast("decimal(32,4)").cast("double")
+            / F.col("total_vol").cast("decimal(32,4)").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(CAST(sum({_REV_SQL}
+                 - CAST(p.p_retailprice AS DECIMAL(12,2))
+                   * CAST(l.l_quantity AS DECIMAL(8,2))
+                   * CAST(0.5 AS DECIMAL(2,1))) AS DECIMAL(32,4)) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 product-type profit by supplier nation and year. The slim "
+    "schema has no ps_supplycost, so unit cost is proxied as half the part's "
+    "retail price (p_retailprice * qty * 0.5 — all operands exactly "
+    "2-decimal, so the decimal arithmetic is value-exact in both engines). "
+    "Part (name-filtered) and supplier⋈nation broadcast; lineitem↔orders is "
+    "the one shuffle.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+        * F.lit(0.5).cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_rev() - cost).cast("decimal(32,4)").cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(CAST(sum({_REV_SQL}) AS DECIMAL(32,4)) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 returned-item losers: quarter of orders × returned lines "
+    "→ revenue per customer → global top-20. Aggregates on the (already "
+    "co-partitioned) custkey after the fact-fact shuffle; the final top-k is "
+    "TakeOrderedAndProject (bounded per-partition heaps), never a full sort.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev()).cast("decimal(32,4)").cast("double").alias("revenue"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH holdings AS (
+        SELECT l.l_partkey AS partkey,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                   * (1 - CAST(l.l_discount AS DECIMAL(8,6)))) AS value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey < 5
+        GROUP BY 1
+    )
+    SELECT partkey, CAST(CAST(value AS DECIMAL(32,4)) AS DOUBLE) AS value
+    FROM holdings, (SELECT sum(value) AS total FROM holdings)
+    WHERE value * 1000 > total
+    """,
+    doc="TPC-H Q11 important stock: per-part value held by a supplier "
+    "subset, keeping parts above 1/1000 of the grand total. The threshold "
+    "is cross-multiplied (value*1000 > total) so the comparison is pure "
+    "decimal — no division anywhere. The grand total rides a 1-row "
+    "broadcast cross-join, and the per-part agg is computed once and "
+    "reused for both sides (self-referencing CTE shape).",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    holdings = (
+        li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_rev()).alias("value"))
+    )
+    total = holdings.agg(F.sum("value").alias("total"))
+    return (
+        holdings.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1000 > F.col("total"))
+        .select("partkey", F.col("value").cast("decimal(32,4)").cast("double").alias("value"))
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 late-shipment priority split. No commit/receipt dates in "
+    "the slim schema, so 'late' is shipped >90 days after the order date — "
+    "a non-equi predicate evaluated post-join (it references both sides); "
+    "the shipdate year-range still pushes down to the scan. Conditional "
+    "integer counts, exact by construction.",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"), li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL}
+                              ELSE CAST(0 AS DECIMAL(18,6)) END)
+                     * 100 AS DECIMAL(34,4)) AS DOUBLE)
+           / CAST(CAST(sum({_REV_SQL}) AS DECIMAL(32,4)) AS DOUBLE)
+             AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    doc="TPC-H Q14 promotion effect: PROMO-part share of one month's "
+    "revenue as a percentage. Numerator (×100) and denominator are exact "
+    "decimals from a single conditional aggregate over one broadcast join; "
+    "the percentage is one IEEE division — bit-identical cross-engine.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(18,6)")
+    agg = (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)).alias("promo"),
+            F.sum(_rev()).alias("total"),
+        )
+    )
+    return agg.select(
+        (
+            (F.col("promo") * 100).cast("decimal(34,4)").cast("double")
+            / F.col("total").cast("decimal(32,4)").cast("double")
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey, sum({_REV_SQL}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(CAST(rev.total_rev AS DECIMAL(32,4)) AS DOUBLE) AS total_rev
+    FROM rev
+    JOIN (SELECT max(total_rev) AS best FROM rev) ON total_rev = best
+    JOIN supplier s ON s.s_suppkey = rev.suppkey
+    """,
+    doc="TPC-H Q15 top supplier: quarterly revenue per supplier, then the "
+    "argmax row(s) by decimal-exact equality against a 1-row broadcast max "
+    "(the view + scalar-subquery shape, decorrelated). Ties all surface, "
+    "deterministically.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(F.sum(_rev()).alias("total_rev"))
+    best = rev.agg(F.max("total_rev").alias("best"))
+    return (
+        rev.join(F.broadcast(best), rev.total_rev == F.col("best"))
+        .join(F.broadcast(supplier), F.col("suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("decimal(32,4)").cast("double").alias("total_rev"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 9, 15, 23, 31, 40, 47, 50)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 supplier-part relationship counts. The supplier-part "
+    "relation is the distinct (partkey, suppkey) projection of lineitem "
+    "(no partsupp in the slim schema); excluded suppliers (name-pattern "
+    "proxy for the complaints filter) are removed with a broadcast NOT IN "
+    "(null-free key set → safe anti-join), then count(DISTINCT suppkey) per "
+    "(brand, type, size) runs as a two-phase distinct aggregate.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 9, 15, 23, 31, 40, 47, 50)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_name").like("%7")).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(CAST(big.sum_qty AS DECIMAL(32,2)) AS DOUBLE) AS sum_qty
+    FROM (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 250
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18 large-volume orders: per-order quantity total with a "
+    "HAVING threshold (decimal-exact), then join the small surviving set "
+    "back to orders and customer. The heavy agg happens BEFORE any join — "
+    "the classic reduce-then-join shape Q18 exists to test.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty").cast("decimal(32,2)").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(CAST(sum({_REV_SQL}) AS DECIMAL(32,4)) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 disjunctive join predicates: three (brand, size-range, "
+    "qty-range) conjunctions OR'd across the join. The optimizer extracts "
+    "the common join key (partkey equi-join survives) and the brand/size "
+    "disjunction factors onto the part side pre-join; part broadcasts.",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")), li.l_partkey == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return joined.filter(branch).agg(
+        F.sum(_rev()).cast("decimal(32,4)").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q20_excess_share_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+               sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT partkey, sum(qty) AS total_qty, count(*) AS n_supp
+        FROM shipped GROUP BY 1
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM shipped
+    JOIN totals ON shipped.partkey = totals.partkey
+               AND shipped.qty * totals.n_supp > 2 * totals.total_qty
+    JOIN supplier s ON s.s_suppkey = shipped.suppkey AND s.s_nationkey < 10
+    """,
+    doc="TPC-H Q20 semi-join chain: suppliers (in a nation band) that "
+    "shipped more than twice the per-supplier average volume of some red "
+    "part (an absolute majority share is vacuous once parts have many "
+    "suppliers, so the threshold is relative to the part's supplier count "
+    "— scale-stable). Both aggs reduce lineitem before any join; the "
+    "threshold is cross-multiplied (qty*n > 2*total) so it stays pure "
+    "decimal/integer; the final DISTINCT collapses a supplier qualifying "
+    "via several parts.",
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    red = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 10)
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty"))
+    )
+    totals = shipped.groupBy(F.col("partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        shipped.join(
+            totals,
+            (shipped.partkey == totals.t_partkey)
+            & (shipped.qty * totals.n_supp > 2 * totals.total_qty),
+        )
+        .join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@register(
+    "q21_sole_returner",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l.l_orderkey AS orderkey, l.l_suppkey AS suppkey,
+               max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ), per_order AS (
+        SELECT orderkey, count(*) AS n_supp, sum(has_r) AS n_supp_r
+        FROM per_supp GROUP BY 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM per_supp
+    JOIN per_order ON per_supp.orderkey = per_order.orderkey
+                  AND per_order.n_supp > 1 AND per_order.n_supp_r = 1
+    JOIN supplier s ON s.s_suppkey = per_supp.suppkey
+    WHERE per_supp.has_r = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    doc="TPC-H Q21 waiting-supplier shape (EXISTS another supplier / NOT "
+    "EXISTS another failing supplier), decorrelated: per-(order, supplier) "
+    "flags → per-order counts → the sole supplier with returned lines on a "
+    "multi-supplier finished order. No l_receiptdate/commitdate in the slim "
+    "schema, so 'failed' is the returnflag. Two cascaded aggs on the same "
+    "orderkey partitioning (no extra shuffle between them), then top-20.",
+)
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_supp = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"))
+    )
+    per_order = per_supp.groupBy(F.col("orderkey").alias("o_key")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").alias("n_supp_r")
+    )
+    return (
+        per_supp.filter(F.col("has_r") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)),
+            F.col("orderkey") == F.col("o_key"),
+        )
+        .join(F.broadcast(supplier), F.col("suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+    WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0),
+         stats AS (
+        SELECT count(*) AS n,
+               sum(CAST(c_acctbal AS DECIMAL(18,6))) AS total
+        FROM pos
+    )
+    SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+           count(*) AS n_cust,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE)
+             AS total_acctbal
+    FROM pos, stats
+    WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n > total
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = pos.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 global-sales-opportunity shape: above-average-balance "
+    "customers with no recent orders, counted per country code (nationkey "
+    "mod 10 — the slim schema has no phone column). The average threshold "
+    "is cross-multiplied (acctbal * n > total: exact decimal, no division); "
+    "the scalar stats ride a 1-row broadcast; 'no recent orders' is a "
+    "left-anti join against the date-filtered orders scan (filter pushed "
+    "down before the anti-join).",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,6)")
+    stats = cust.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(bal).alias("total")
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("n") > F.col("total"))
+        .join(recent.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(bal).cast("decimal(32,2)").cast("double").alias("total_acctbal"),
+        )
+    )

@@ -149,6 +149,25 @@ PRIORITY: list[str] = [
     "dedup_ngram_containment",
     "scd2_user_history",
     "bpe_first_merges",
+    # Extended TPC-H battery (plans/tpch_extended.py, NEW mid-round-5):
+    # past the 50-slot window this round, covered by the local parity gate;
+    # part of the same r6-head contract as the block above.
+    "q6_forecast_revenue",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_excess_share_suppliers",
+    "q21_sole_returner",
+    "q22_dormant_customers",
 ]
 
 
@@ -167,6 +186,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         source_sink_plans,
         streaming_plans,
+        tpch_extended,
     )
 
     ordered = {name: QUERIES[name] for name in PRIORITY if name in QUERIES}
