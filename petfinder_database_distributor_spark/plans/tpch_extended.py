@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
@@ -109,8 +110,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partsupp table in the slim schema, so the supplier-part relation is "
     "derived by reducing lineitem to (part, supplier) -> min(price) FIRST "
     "(the shuffled payload is the reduced pairs, not raw lineitem), then the "
-    "per-part min is a second small agg joined back on decimal-exact "
-    "equality — the decorrelated form of Q2's scalar subquery.",
+    "per-part min is a window over the part key — the decorrelated form of "
+    "Q2's scalar subquery with NO self-join: the oracle's CTE-and-join "
+    "formulation would make Spark recompute the reduced set twice (DataFrame "
+    "reuse is lineage, not materialization), the window computes it in the "
+    "same pipeline.",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -122,18 +126,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
         .agg(F.min(_dec(F.col("l_extendedprice"))).alias("cost"))
     )
-    # `best` derives from `sp`, so alias its key — joining sp.partkey to a
-    # same-lineage column would be ambiguous self-reference.
-    best = sp.groupBy(F.col("partkey").alias("b_partkey")).agg(F.min("cost").alias("min_cost"))
     euro_supp = supplier.join(
         F.broadcast(
             nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         ),
         supplier.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name")
+    min_cost = F.min("cost").over(Window.partitionBy("partkey"))
     return (
-        sp.join(best, (F.col("partkey") == F.col("b_partkey")) & (F.col("cost") == F.col("min_cost")))
-        .drop("b_partkey")
+        sp.withColumn("min_cost", min_cost)
+        .filter(F.col("cost") == F.col("min_cost"))
         .join(F.broadcast(part), F.col("partkey") == part.p_partkey)
         .join(F.broadcast(euro_supp), F.col("suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "s_name", F.col("cost").cast("double").alias("cost"))
@@ -390,8 +392,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subset, keeping parts above 1/1000 of the grand total. The threshold "
     "is cross-multiplied (value*1000 > total) so the comparison is pure "
     "decimal — no division anywhere. The grand total rides a 1-row "
-    "broadcast cross-join, and the per-part agg is computed once and "
-    "reused for both sides (self-referencing CTE shape).",
+    "broadcast cross-join (a window-over-() total would funnel the whole "
+    "per-part set through one partition), and the per-part agg is "
+    "persisted so both the total and the filter read ONE materialization "
+    "— DataFrame reuse alone is lineage, which would scan lineitem twice.",
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -400,6 +404,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_rev()).alias("value"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     total = holdings.agg(F.sum("value").alias("total"))
     return (
@@ -506,7 +511,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q15 top supplier: quarterly revenue per supplier, then the "
     "argmax row(s) by decimal-exact equality against a 1-row broadcast max "
-    "(the view + scalar-subquery shape, decorrelated). Ties all surface, "
+    "(the view + scalar-subquery shape, decorrelated). The per-supplier "
+    "agg is persisted so the max and the filter read one materialization "
+    "instead of scanning lineitem twice. Ties all surface, "
     "deterministically.",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,7 +522,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     supplier = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(F.sum(_rev()).alias("total_rev"))
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(_rev()).alias("total_rev"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     best = rev.agg(F.max("total_rev").alias("best"))
     return (
         rev.join(F.broadcast(best), rev.total_rev == F.col("best"))
@@ -659,10 +670,11 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipped more than twice the per-supplier average volume of some red "
     "part (an absolute majority share is vacuous once parts have many "
     "suppliers, so the threshold is relative to the part's supplier count "
-    "— scale-stable). Both aggs reduce lineitem before any join; the "
-    "threshold is cross-multiplied (qty*n > 2*total) so it stays pure "
-    "decimal/integer; the final DISTINCT collapses a supplier qualifying "
-    "via several parts.",
+    "— scale-stable). The lineitem reduction happens once; the per-part "
+    "total and supplier count are a window over the part key (no self-join, "
+    "no recompute); the threshold is cross-multiplied (qty*n > 2*total) so "
+    "it stays pure decimal/integer; the final DISTINCT collapses a "
+    "supplier qualifying via several parts.",
 )
 def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -673,15 +685,11 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
         .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty"))
     )
-    totals = shipped.groupBy(F.col("partkey").alias("t_partkey")).agg(
-        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_supp")
-    )
+    w = Window.partitionBy("partkey")
     return (
-        shipped.join(
-            totals,
-            (shipped.partkey == totals.t_partkey)
-            & (shipped.qty * totals.n_supp > 2 * totals.total_qty),
-        )
+        shipped.withColumn("total_qty", F.sum("qty").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .filter(F.col("qty") * F.col("n_supp") > 2 * F.col("total_qty"))
         .join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name")
         .distinct()
@@ -715,7 +723,10 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flags → per-order counts → the sole supplier with returned lines on a "
     "multi-supplier finished order. No l_receiptdate/commitdate in the slim "
     "schema, so 'failed' is the returnflag. Two cascaded aggs on the same "
-    "orderkey partitioning (no extra shuffle between them), then top-20.",
+    "orderkey partitioning (no extra shuffle between them), then top-20. "
+    "The per-order counts are a window over the order key on the reduced "
+    "per-(order, supplier) set — the oracle's CTE self-join would make "
+    "Spark scan and reduce lineitem twice.",
 )
 def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -726,15 +737,11 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("l_suppkey").alias("suppkey"))
         .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"))
     )
-    per_order = per_supp.groupBy(F.col("orderkey").alias("o_key")).agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").alias("n_supp_r")
-    )
+    w = Window.partitionBy("orderkey")
     return (
-        per_supp.filter(F.col("has_r") == 1)
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)),
-            F.col("orderkey") == F.col("o_key"),
-        )
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_supp_r", F.sum("has_r").over(w))
+        .filter((F.col("has_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
         .join(F.broadcast(supplier), F.col("suppkey") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

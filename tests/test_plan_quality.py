@@ -403,3 +403,50 @@ def test_profile_documents_bounded_aggs_no_distinct_rewrite(spark):
     )
     assert "Expand" not in plan, "profiler must not use a distinct rewrite"
     assert plan.count("Exchange") <= 8, plan
+
+
+def test_q6_every_predicate_reaches_scan(spark):
+    """Q6 is the canonical pushdown probe: shipdate range, discount band and
+    quantity cap must all appear as data filters on the parquet scan, and
+    the scan must read only the four referenced columns."""
+    p = plan_of(spark, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount" in p and "LessThan(l_quantity" in p
+    assert "l_orderkey" not in p, "unused key column must be pruned"
+
+
+def test_q19_disjunction_factors_and_broadcasts(spark):
+    """Q19's OR-of-ANDs must not defeat the optimizer: the partkey equi-join
+    survives as a broadcast hash join, the brand/size disjunction factors
+    onto the part scan, and the quantity disjunction onto the lineitem
+    scan — neither side is scanned unfiltered."""
+    p = plan_of(spark, "q19_disjunctive_predicates")
+    assert "BroadcastHashJoin" in p, "partkey equi-join must survive the OR"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Brand#12" in p and "Brand#34" in p, "brand disjunction must reach the part side"
+    # quantity bounds factored onto the lineitem scan (pushed Or filter)
+    assert "Or(And(GreaterThanOrEqual(l_quantity" in p
+
+
+def test_tpch_self_reference_single_fact_scan(spark):
+    """Q2/Q20/Q21 reference their reduced aggregate twice (per-key min /
+    total / counts). The window rewrite must keep lineitem scanned ONCE —
+    a CTE-style self-join would scan and reduce the fact table twice."""
+    for name in ("q2_min_cost_supplier", "q20_excess_share_suppliers", "q21_sole_returner"):
+        p = plan_of(spark, name)
+        assert p.count("lineitem.parquet") == 1, f"{name}: fact table scanned more than once"
+
+
+def test_q21_topk_uses_bounded_sort(spark):
+    p = plan_of(spark, "q21_sole_returner")
+    assert "TakeOrderedAndProject" in p, "top-20 must not full-sort"
+
+
+def test_q18_reduces_before_join(spark):
+    """Q18's per-order quantity agg must run below the joins (reduce-then-
+    join): the HAVING filter sits on the aggregate, not after the joins."""
+    p = plan_of(spark, "q18_large_orders")
+    pos_agg = p.find("HashAggregate")
+    pos_join = p.find("Join")
+    assert pos_agg != -1 and pos_join != -1
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
