@@ -1,0 +1,176 @@
+"""Dataset-assembly operators for training pipelines: deterministic global
+shuffle order, snapshot CDC, weighted sampling.
+
+These close the gap between "a corpus exists" and "a corpus ships to a
+trainer": training order must be a reproducible global permutation (never
+``rand()``, never a single-partition sort), incremental refreshes need a
+changed-rows diff between snapshots, and length/quality-weighted sampling
+must be engine- and cluster-size-independent. All three build on the
+portable ``md5int`` primitive (operators/text.py:76) so DuckDB replays the
+exact row set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from petfinder_database_distributor_spark.operators.text import md5int
+from petfinder_database_distributor_spark.registry import register
+from petfinder_database_distributor_spark.schema import load_table
+
+_MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@register(
+    "global_shuffle_index",
+    oracle=f"""
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY ({_MD5INT.format(x="'ord:' || doc_id")}), doc_id) - 1
+             AS shuffle_pos
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+    doc="Deterministic global shuffle order for training: every document "
+    "gets a dense 0-based position in salted-hash order — a reproducible "
+    "permutation, stable across engines and cluster sizes (never rand()). "
+    "The naive plan (row_number over a global ORDER BY) funnels the whole "
+    "corpus through ONE partition; this plan is the scalable two-phase "
+    "form: range-repartition by the hash key and sort within partitions, "
+    "count rows per partition (a |partitions|-row aggregate), turn the "
+    "counts into per-partition offsets with a window over that tiny set, "
+    "broadcast the offsets back, and add the within-partition row_number. "
+    "No stage ever sees more than one partition's rows; the permutation is "
+    "identical to the single-partition form because range partitions are "
+    "ordered by the same key. NULL doc_id rows are excluded (contract: "
+    "their hash is NULL, and Spark/DuckDB disagree on NULL sort order).",
+)
+def global_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    key = md5int(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
+    laid = (
+        docs.select("doc_id", key.alias("k"))
+        .repartitionByRange(F.col("k"), F.col("doc_id"))
+        .sortWithinPartitions("k", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # counts is |partitions| rows — the single-partition window over it is a
+    # driver-sized job, not a data-sized one.
+    offsets = (
+        laid.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    local_rank = F.row_number().over(Window.partitionBy("pid").orderBy("k", "doc_id"))
+    return (
+        laid.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            (F.col("offset") + local_rank - 1).alias("shuffle_pos"),
+        )
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0
+    ), new_snap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_totalprice AS old_price,
+           n.o_totalprice AS new_price
+    FROM old_snap o
+    FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+    doc="Snapshot CDC: the changed-rows delta (insert/update/delete) "
+    "between two versions of a keyed table — the incremental-refresh "
+    "primitive for a periodically re-scraped corpus (the reference re-runs "
+    "its full pipeline; a 100 TB pipeline ships only the delta). One "
+    "full-outer shuffle join on the key classifies every row; unchanged "
+    "rows are dropped post-join. The two snapshots are simulated "
+    "deterministically from orders (key mod 97 absent from the old "
+    "snapshot → inserts; mod 89 absent from the new → deletes; mod 13 "
+    "price-bumped → updates; +1.0 on a parquet double is the identical "
+    "IEEE value in both engines). At scale both snapshots would be "
+    "bucketed on the key, making this a zero-shuffle sort-merge.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old_snap = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("old_key"), F.col("o_totalprice").alias("old_price")
+    )
+    new_snap = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("new_key"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    joined = old_snap.join(new_snap, old_snap.old_key == new_snap.new_key, "full_outer")
+    return (
+        joined.filter(
+            F.col("old_key").isNull()
+            | F.col("new_key").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            F.coalesce(F.col("old_key"), F.col("new_key")).alias("o_orderkey"),
+            F.when(F.col("old_key").isNull(), "insert")
+            .when(F.col("new_key").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("old_price"),
+            F.col("new_price"),
+        )
+    )
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE ({_MD5INT.format(x="'wsamp:' || doc_id")}) % 2000
+          < least(n_chars, 2000)
+    """,
+    doc="Length-weighted Bernoulli sampling: each document is kept with "
+    "probability min(n_chars, 2000)/2000 — longer documents proportionally "
+    "more likely, capped at 1. The coin is the salted portable hash mod "
+    "the weight scale (pure integer compare, no floats anywhere), so the "
+    "sample is reproducible across engines, runs and cluster sizes, and "
+    "the filter is a pure narrow projection — no shuffle at any scale. "
+    "NULL doc_id / n_chars rows fall out naturally (NULL comparison) in "
+    "both engines.",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    coin = md5int(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))) % 2000
+    return docs.filter(coin < F.least(F.col("n_chars"), F.lit(2000))).select(
+        "doc_id", "n_chars"
+    )

@@ -301,3 +301,45 @@ def stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hll_s_occ().alias("s_occ"),
     )
     return _hll_estimates(s)
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE)
+             AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.value IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Stream-static enrichment join (the dimension-lookup pattern every "
+    "production stream runs): the micro-batch event stream joins the static "
+    "customer table per batch — Spark re-plans the static side each "
+    "micro-batch, so the dim join is a broadcast hash join inside every "
+    "batch, never a stream-stream state store — then aggregates per market "
+    "segment in complete mode. NULL-value events are excluded up front "
+    "(contract: a NULL measure contributes neither to the count nor the "
+    "sum; Spark's sum would skip it but count(*) would not, so both "
+    "engines filter). Final state equals the batch join bit-for-bit.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.schema import load_table
+
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = (
+        read_event_stream(spark, stage, max_files=2)
+        .filter(F.col("value").isNotNull())
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(32,2)")
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return _run_to_memory(enriched, "complete")

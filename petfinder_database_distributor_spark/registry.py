@@ -168,6 +168,12 @@ PRIORITY: list[str] = [
     "q20_excess_share_suppliers",
     "q21_sole_returner",
     "q22_dormant_customers",
+    # Dataset-assembly ops (plans/dataset_ops.py, NEW mid-round-5, same
+    # tail placement + r6-head contract):
+    "global_shuffle_index",
+    "cdc_snapshot_diff",
+    "sample_weighted",
+    "stream_static_enrich",
 ]
 
 
@@ -177,6 +183,7 @@ def load_all() -> dict[str, QuerySpec]:
     query not listed keeps its registration order in the tail."""
     from petfinder_database_distributor_spark.plans import (  # noqa: F401
         advanced_relational,
+        dataset_ops,
         extraction_plans,
         flagship,
         llm_pipeline,

@@ -1,0 +1,111 @@
+"""Dataset-assembly ops (plans/dataset_ops.py): the global shuffle index
+must be a dense permutation produced by the scalable two-phase plan, CDC
+must classify all three change types, weighted sampling must be a pure
+narrow filter."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from petfinder_database_distributor_spark.registry import load_all
+from tests.conftest import SF_ORACLE, SF_SMALL
+
+SPECS = load_all()
+
+
+def _plan(spark, name: str, sf: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        SPECS[name].fn(spark, sf).explain("formatted")
+    return buf.getvalue()
+
+
+def test_shuffle_index_is_dense_permutation(spark):
+    df = SPECS["global_shuffle_index"].fn(spark, SF_SMALL)
+    n = df.count()
+    stats = df.agg(
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+        F.count_distinct("shuffle_pos").alias("nd"),
+    ).first()
+    assert (stats.lo, stats.hi, stats.nd) == (0, n - 1, n), "positions must be 0..n-1 dense"
+
+
+def test_shuffle_index_deterministic_across_layouts(spark):
+    """The permutation must not depend on the physical partitioning of the
+    input: a pre-shuffled input yields the identical doc_id→pos map."""
+    base = {
+        r.doc_id: r.shuffle_pos
+        for r in SPECS["global_shuffle_index"].fn(spark, SF_SMALL).collect()
+    }
+    from petfinder_database_distributor_spark.operators.text import md5int
+    from petfinder_database_distributor_spark.schema import load_table
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .repartition(7, "lang")  # adversarial starting layout
+    )
+    key = md5int(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
+    laid = (
+        docs.select("doc_id", key.alias("k"))
+        .repartitionByRange(F.col("k"), F.col("doc_id"))
+        .sortWithinPartitions("k", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    offsets = (
+        laid.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    rank = F.row_number().over(Window.partitionBy("pid").orderBy("k", "doc_id"))
+    other = {
+        r.doc_id: r.shuffle_pos
+        for r in laid.join(F.broadcast(offsets), "pid")
+        .select("doc_id", (F.col("offset") + rank - 1).alias("shuffle_pos"))
+        .collect()
+    }
+    laid.unpersist()
+    assert base == other
+
+
+def test_shuffle_index_plan_two_phase(spark):
+    """The data-sized path must go through range partitioning + a
+    pid-partitioned window — never a global-ORDER-BY window (which would
+    be an Exchange SinglePartition carrying every row)."""
+    p = _plan(spark, "global_shuffle_index", SF_SMALL)
+    assert "rangepartitioning" in p.lower(), "phase 1 must range-partition by the hash key"
+    assert "hashpartitioning(pid" in p, "the rank window must partition by pid"
+
+
+def test_cdc_covers_all_three_change_types(spark):
+    counts = {
+        r.change_type: r.n
+        for r in SPECS["cdc_snapshot_diff"]
+        .fn(spark, SF_ORACLE)
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(counts) == {"insert", "update", "delete"}, counts
+    assert all(v > 0 for v in counts.values())
+
+
+def test_weighted_sample_no_shuffle(spark):
+    p = _plan(spark, "sample_weighted", SF_SMALL)
+    assert "Exchange" not in p, "weighted sampling must be a narrow filter"

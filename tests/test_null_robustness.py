@@ -53,6 +53,11 @@ SWEPT = [
     # export boundary: parse_boolean tri-state / encoded '' in oracles
     "export_roundtrip_csv",
     "s8_json_rows",
+    # dataset-assembly ops (added with the family): NULL doc_id excluded
+    # from the permutation (NULL sort-order divergence), NULL doc_id /
+    # n_chars fall out of the weighted-sample coin naturally
+    "global_shuffle_index",
+    "sample_weighted",
 ]
 
 
