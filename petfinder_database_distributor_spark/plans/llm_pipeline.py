@@ -2139,3 +2139,66 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     return levenshtein_neardup_counts(part, "p_partkey", "p_name")
+
+
+_HLL_BY_GROUP_ORACLE_SQL = f"""
+    WITH h AS (
+      SELECT coalesce(event_type, '') AS grp,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    br AS (
+      SELECT grp, hv % {_HLL_M} AS bucket,
+             52 - length(bin(hv // {_HLL_M})) AS rho
+      FROM h
+    ),
+    regs AS (SELECT grp, bucket, max(rho) AS m_j FROM br GROUP BY 1, 2),
+    s AS (
+      SELECT grp, count(*) AS occupied,
+             coalesce(sum((1::BIGINT << (52 - m_j))), 0)::BIGINT AS s_occ
+      FROM regs GROUP BY 1
+    ),
+    raw AS (
+      SELECT grp, {_HLL_M}::BIGINT AS m,
+             ({_HLL_M} - occupied)::BIGINT AS zero_regs,
+             (s_occ + ({_HLL_M} - occupied) * (1::BIGINT << 52))::BIGINT AS s_scaled,
+             round(({_HLL_ALPHA_SQL}) * 1180591620717411303424.0
+                   / (s_occ + ({_HLL_M} - occupied) * (1::BIGINT << 52)), 4)
+               AS hll_raw_estimate
+      FROM s
+    )
+    SELECT grp, m, zero_regs, s_scaled, hll_raw_estimate,
+           CASE WHEN zero_regs > 0 AND hll_raw_estimate <= {_HLL_LOW_RANGE}
+                THEN round({_HLL_M} * list_extract({_HLL_LN_LUT_SQL}::DOUBLE[],
+                                                   zero_regs::INT), 4)
+                ELSE hll_raw_estimate END AS hll_corrected_estimate
+    FROM raw
+    """
+
+
+@register(
+    "sketch_hll_by_group",
+    oracle=_HLL_BY_GROUP_ORACLE_SQL,
+    doc="Per-group HyperLogLog: distinct users per event_type as bounded "
+    "register state — count(DISTINCT x) GROUP BY k shuffles every distinct "
+    "(k, x) pair; this shuffles AT MOST |groups| x 512 register rows no "
+    "matter how many users each group has, and the per-group registers "
+    "remain mergeable across shards (the same max-fold "
+    "sketch_hll_mergeable proves globally). Same integer-only register "
+    "math and portable low-range correction as the global sketch, shared "
+    "through _hll_rows/_hll_estimates so a precision retune cannot desync "
+    "the family. Contract: NULL event_type ≡ '' group (the stateful-"
+    "counter convention), NULL user_id rows excluded.",
+)
+def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.coalesce(F.col("event_type"), F.lit("")).alias("grp"), "user_id")
+    )
+    rows = _hll_rows(ev, "grp")
+    regs = rows.groupBy("grp", "bucket").agg(F.max("rho").alias("m_j"))
+    s = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("occupied"), _hll_s_occ().alias("s_occ")
+    )
+    return _hll_estimates(s, "grp")

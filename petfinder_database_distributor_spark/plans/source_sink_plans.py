@@ -244,3 +244,35 @@ def merge_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.unix_micros("ts").alias("last_ts_us"),
     )
+
+
+@register(
+    "export_roundtrip_jsonl",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+    FROM events
+    """,
+    doc="S8-format round-trip through JSON Lines as a SOURCE, not just a "
+    "sink: typed events → real .jsonl files on disk → schema'd scan back → "
+    "identical table. JSONL is the interchange format training pipelines "
+    "actually exchange (one object per line, splittable, appendable); the "
+    "check is that the full dirty-events surface survives the text "
+    "boundary — NULL ts/user/type/value (absent keys on write, NULL on "
+    "read), doubles via Jackson shortest-round-trip repr, timestamps "
+    "pre-flattened to epoch micros so no format string is involved. "
+    "Explicit read schema (never inferSchema: at 100 TB schema inference "
+    "is a full extra pass).",
+)
+def export_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    path = f"{SCRATCH_ROOT}/export_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+    ev.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, value double, ts_us long"
+    ).json(path)

@@ -174,6 +174,8 @@ PRIORITY: list[str] = [
     "cdc_snapshot_diff",
     "sample_weighted",
     "stream_static_enrich",
+    "export_roundtrip_jsonl",
+    "sketch_hll_by_group",
 ]
 
 

@@ -58,6 +58,10 @@ SWEPT = [
     # n_chars fall out of the weighted-sample coin naturally
     "global_shuffle_index",
     "sample_weighted",
+    # JSONL boundary: NULL fields are absent keys on write, NULL on read;
+    # grouped HLL: NULL event_type ≡ '' group, NULL user_id excluded
+    "export_roundtrip_jsonl",
+    "sketch_hll_by_group",
 ]
 
 
