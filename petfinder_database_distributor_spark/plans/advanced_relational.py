@@ -549,3 +549,88 @@ def transitions_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         transition_counts, "user_id long, from_type string, to_type string, n long"
     )
+
+
+@register(
+    "w3_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="The full ranking-function family in one pass: rank / dense_rank / "
+    "ntile / percent_rank / cume_dist share a single window definition, so "
+    "Catalyst evaluates all five in ONE Window operator over one shuffle on "
+    "the partition key. The ordering carries an orderkey tiebreak — ntile "
+    "and cume_dist are frame-position-dependent, so a non-total sort order "
+    "would be nondeterministic under retries. percent_rank/cume_dist are "
+    "one IEEE division of exact integers in both engines.",
+)
+def w3_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "unpivot_event_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               count(*)::DOUBLE AS n_events,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE)
+                 AS total_value,
+               max(value) AS max_value
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM m
+    UNION ALL
+    SELECT event_type, 'total_value', total_value FROM m
+    UNION ALL
+    SELECT event_type, 'max_value', max_value FROM m
+    """,
+    doc="UNPIVOT (wide → long), the inverse of pivot_event_types: per-type "
+    "metric columns melt into (type, metric, value) rows via Spark's native "
+    "unpivot/melt — an Expand node emitting 3 rows per input, NOT a 3-way "
+    "self-union (which would run the aggregation three times; the oracle "
+    "states it as UNION ALL over a CTE because DuckDB materializes the "
+    "CTE once). Counts ride as exact-integer-valued doubles. Contract: "
+    "NULL event_type rows excluded; a NULL metric value survives the melt "
+    "(unpivot drops all-NULL rows only when told to).",
+)
+def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(32,2)")
+        .cast("double")
+        .alias("total_value"),
+        F.max("value").alias("max_value"),
+    )
+    return m.unpivot(
+        ["event_type"],
+        ["n_events", "total_value", "max_value"],
+        "metric",
+        "metric_value",
+    )

@@ -176,6 +176,8 @@ PRIORITY: list[str] = [
     "stream_static_enrich",
     "export_roundtrip_jsonl",
     "sketch_hll_by_group",
+    "w3_rank_family",
+    "unpivot_event_metrics",
 ]
 
 
