@@ -105,7 +105,7 @@ def decode_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
                 hist2d = _np.zeros((len(payloads), 16), dtype=_np.int64)
             yield _pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "doc_id": pdf[id_col].astype("Int64"),
                     "width": (64 + lengths % 577).astype("int32"),
                     "height": (64 + lengths % 433).astype("int32"),
                     "n_frames": (1 + lengths % 30).astype("int32"),
@@ -158,7 +158,7 @@ def resize_payloads(
                 hists.append(_np.bincount(arr, minlength=16).tolist())
             yield _pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "doc_id": pdf[id_col].astype("Int64"),
                     "out_width": _np.minimum(64 + lengths % 577, target).astype(
                         "int32"
                     ),
@@ -203,8 +203,9 @@ def sample_frames(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 n = len(bytes(payload))
                 n_frames = min(1 + n % 30, max_frames)
+                did = None if _pd.isna(doc_id) else int(doc_id)
                 for idx in range(n_frames):
-                    out.append((int(doc_id), idx, (n * 31 + idx) % 997))
+                    out.append((did, idx, (n * 31 + idx) % 997))
             yield _pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_feature"])
 
     return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(

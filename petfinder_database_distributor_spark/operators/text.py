@@ -78,6 +78,12 @@ def md5int(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+# The DuckDB-side twin of md5int() — oracle SQL templates substitute {x}.
+# Keep the recipe (md5, 15 hex chars = 60 bits) in lockstep with md5int
+# above; every oracle module imports THIS constant rather than restating it.
+MD5INT_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
 def punct_ratio(c: Column) -> Column:
     """Fraction of characters that are punctuation."""
     stripped = F.regexp_replace(c, r"[.,!?;:'\"()\[\]{}-]", "")

@@ -17,11 +17,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
-from petfinder_database_distributor_spark.operators.text import md5int
+from petfinder_database_distributor_spark.operators.text import MD5INT_SQL, md5int
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
 
-_MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_MD5INT = MD5INT_SQL
 
 
 @register(
@@ -49,11 +49,21 @@ _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 )
 def global_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    return shuffle_index(docs)
+
+
+def shuffle_index(docs: DataFrame) -> DataFrame:
+    """Two-phase global permutation over ``docs`` (needs non-null doc_id).
+
+    Shared by the registered query and the adversarial-layout test so the
+    plan exists exactly once. No sortWithinPartitions after the range
+    exchange: the pid-partitioned rank window performs its own sort, so a
+    pre-sort would be paid and then thrown away by the window's Exchange.
+    """
     key = md5int(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
     laid = (
         docs.select("doc_id", key.alias("k"))
         .repartitionByRange(F.col("k"), F.col("doc_id"))
-        .sortWithinPartitions("k", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -156,7 +166,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, n_chars
     FROM documents
-    WHERE ({_MD5INT.format(x="'wsamp:' || doc_id")}) % 2000
+    WHERE n_chars IS NOT NULL
+      AND ({_MD5INT.format(x="'wsamp:' || doc_id")}) % 2000
           < least(n_chars, 2000)
     """,
     doc="Length-weighted Bernoulli sampling: each document is kept with "
@@ -165,12 +176,15 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the weight scale (pure integer compare, no floats anywhere), so the "
     "sample is reproducible across engines, runs and cluster sizes, and "
     "the filter is a pure narrow projection — no shuffle at any scale. "
-    "NULL doc_id / n_chars rows fall out naturally (NULL comparison) in "
-    "both engines.",
+    "NULL doc_id rows fall out naturally (NULL hash coin); NULL n_chars "
+    "is excluded EXPLICITLY — least() skips NULLs in both engines, so "
+    "without the guard an unknown-length row would be kept with "
+    "probability 1, the opposite of a sane weighting contract.",
 )
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     coin = md5int(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))) % 2000
-    return docs.filter(coin < F.least(F.col("n_chars"), F.lit(2000))).select(
-        "doc_id", "n_chars"
-    )
+    return docs.filter(
+        F.col("n_chars").isNotNull()
+        & (coin < F.least(F.col("n_chars"), F.lit(2000)))
+    ).select("doc_id", "n_chars")

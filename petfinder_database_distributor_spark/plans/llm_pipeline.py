@@ -33,6 +33,7 @@ from petfinder_database_distributor_spark.operators.similarity import (
     srp_plane_matrix,
 )
 from petfinder_database_distributor_spark.operators.text import (
+    MD5INT_SQL,
     bag_of_words_fingerprint,
     bpe_ish_token_count,
     lang_id_from_tokens,
@@ -65,7 +66,7 @@ _TOKS_SQL = """
   FROM documents
 """
 
-_MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_MD5INT = MD5INT_SQL
 
 # Blocking for the simhash oracle — generated from the SAME (shift, width)
 # split the Spark operator uses (max_hamming=2 → 3 blocks of 20-bit keys
@@ -385,14 +386,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN (1::BIGINT << r.j) ELSE 0 END AS b
              FROM hx, range(0, {SIMHASH_BITS}) r(j) GROUP BY doc_id, r.j)
     SELECT t.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
-    FROM (SELECT DISTINCT doc_id FROM toks) t
+    FROM (SELECT DISTINCT doc_id FROM toks WHERE doc_id IS NOT NULL) t
     LEFT JOIN (SELECT doc_id, sum(b)::BIGINT AS simhash FROM bits
                GROUP BY doc_id) s ON t.doc_id = s.doc_id
     """,
-    doc="60-bit SimHash signatures over distinct tokens (portable md5int hash)",
+    doc="60-bit SimHash signatures over distinct tokens (portable md5int hash). "
+    "NULL doc_id rows are excluded EXPLICITLY: a signature without an id can "
+    "never join into a candidate pair, and the oracle's id-equality join "
+    "would silently pin such rows to 0 while Spark computed a real signature.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     return simhash_signatures(docs, "doc_id", "text")
 
 

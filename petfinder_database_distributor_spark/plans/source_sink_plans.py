@@ -149,12 +149,17 @@ def export_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
                                OR contains(lang, 'y') THEN 'True'
                           ELSE 'True' END))::VARCHAR AS payload
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
     doc="S8 JSON serving projection: one compact JSON object per row over the "
-    "export-encoded columns (server.py:463-490)",
+    "export-encoded columns (server.py:463-490). NULL doc_id rows are "
+    "excluded: a serving row without a key has no link, and the two engines "
+    "render the keyless object differently ('' vs null).",
 )
 def s8_json_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    typed = _typed_pets_ish(spark, sf_dir).drop("about_me")
+    typed = _typed_pets_ish(spark, sf_dir).drop("about_me").filter(
+        F.col("link").isNotNull()
+    )
     encoded = encode_for_export(
         typed, string_cols=["link", "name"], bool_cols=["flag"]
     )

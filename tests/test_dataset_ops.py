@@ -5,22 +5,13 @@ narrow filter."""
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
 from pyspark.sql import functions as F
 
 from petfinder_database_distributor_spark.registry import load_all
 from tests.conftest import SF_ORACLE, SF_SMALL
+from tests.test_plan_quality import plan_of
 
 SPECS = load_all()
-
-
-def _plan(spark, name: str, sf: str) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        SPECS[name].fn(spark, sf).explain("formatted")
-    return buf.getvalue()
 
 
 def test_shuffle_index_is_dense_permutation(spark):
@@ -36,51 +27,22 @@ def test_shuffle_index_is_dense_permutation(spark):
 
 def test_shuffle_index_deterministic_across_layouts(spark):
     """The permutation must not depend on the physical partitioning of the
-    input: a pre-shuffled input yields the identical doc_id→pos map."""
+    input: a pre-shuffled input yields the identical doc_id→pos map.
+    Both sides run the SAME shuffle_index() plan — only the input layout
+    differs — so a plan retune can't silently diverge from this test."""
+    from petfinder_database_distributor_spark.plans.dataset_ops import shuffle_index
+    from petfinder_database_distributor_spark.schema import load_table
+
     base = {
         r.doc_id: r.shuffle_pos
         for r in SPECS["global_shuffle_index"].fn(spark, SF_SMALL).collect()
     }
-    from petfinder_database_distributor_spark.operators.text import md5int
-    from petfinder_database_distributor_spark.schema import load_table
-    from pyspark.sql.window import Window
-    from pyspark.storagelevel import StorageLevel
-
     docs = (
         load_table(spark, SF_SMALL, "documents")
         .filter(F.col("doc_id").isNotNull())
         .repartition(7, "lang")  # adversarial starting layout
     )
-    key = md5int(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
-    laid = (
-        docs.select("doc_id", key.alias("k"))
-        .repartitionByRange(F.col("k"), F.col("doc_id"))
-        .sortWithinPartitions("k", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    offsets = (
-        laid.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("cnt").over(
-                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pid", "offset")
-    )
-    rank = F.row_number().over(Window.partitionBy("pid").orderBy("k", "doc_id"))
-    other = {
-        r.doc_id: r.shuffle_pos
-        for r in laid.join(F.broadcast(offsets), "pid")
-        .select("doc_id", (F.col("offset") + rank - 1).alias("shuffle_pos"))
-        .collect()
-    }
-    laid.unpersist()
+    other = {r.doc_id: r.shuffle_pos for r in shuffle_index(docs).collect()}
     assert base == other
 
 
@@ -88,7 +50,7 @@ def test_shuffle_index_plan_two_phase(spark):
     """The data-sized path must go through range partitioning + a
     pid-partitioned window — never a global-ORDER-BY window (which would
     be an Exchange SinglePartition carrying every row)."""
-    p = _plan(spark, "global_shuffle_index", SF_SMALL)
+    p = plan_of(spark, "global_shuffle_index")
     assert "rangepartitioning" in p.lower(), "phase 1 must range-partition by the hash key"
     assert "hashpartitioning(pid" in p, "the rank window must partition by pid"
 
@@ -107,5 +69,5 @@ def test_cdc_covers_all_three_change_types(spark):
 
 
 def test_weighted_sample_no_shuffle(spark):
-    p = _plan(spark, "sample_weighted", SF_SMALL)
+    p = plan_of(spark, "sample_weighted")
     assert "Exchange" not in p, "weighted sampling must be a narrow filter"

@@ -31,7 +31,9 @@ SWEPT = [
     "text_fingerprint",
     "dedup_exact",
     "pack_sequences_greedy",
-    # simhash: token-less docs pin to signature 0 on BOTH engines
+    # simhash: token-less docs pin to signature 0 on BOTH engines; NULL
+    # doc_id rows excluded (the oracle's id-join would pin them to 0 while
+    # Spark computed a real signature)
     "dedup_simhash",
     "dedup_simhash_pairs",
     # vector family: NULL id/vector rows excluded
@@ -39,7 +41,8 @@ SWEPT = [
     "ann_lsh_topk",
     "embedding_quantize_int8",
     "embedding_dim_stats",
-    # media: NULL text ≡ zero-byte payload
+    # media: NULL text ≡ zero-byte payload; NULL doc_id flows through the
+    # Arrow batch as a null (nullable Int64 — a plain int64 astype raises)
     "mm_decode_features",
     "mm_frame_sample",
     "mm_resize",
@@ -54,8 +57,10 @@ SWEPT = [
     "export_roundtrip_csv",
     "s8_json_rows",
     # dataset-assembly ops (added with the family): NULL doc_id excluded
-    # from the permutation (NULL sort-order divergence), NULL doc_id /
-    # n_chars fall out of the weighted-sample coin naturally
+    # from the permutation (NULL sort-order divergence); the weighted
+    # sample drops NULL doc_id via the NULL hash coin and NULL n_chars via
+    # an EXPLICIT guard (least() skips NULLs, so the "natural" behavior
+    # would keep unknown-length rows with probability 1)
     "global_shuffle_index",
     "sample_weighted",
     # JSONL boundary: NULL fields are absent keys on write, NULL on read;
@@ -74,6 +79,8 @@ def null_sf_dir(tmp_path_factory):
       UNION ALL SELECT 99990, NULL, 'en', 'nullsrc', 0
       UNION ALL SELECT 99991, 'some text here', NULL, NULL, 14
       UNION ALL SELECT 99992, '', 'en', 'nullsrc', 0
+      UNION ALL SELECT NULL, 'orphan row no id', 'en', 'nullsrc', 16
+      UNION ALL SELECT 99993, 'row with null length', 'en', 'nullsrc', NULL
     ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
     con.execute(f"""COPY (
       SELECT * FROM read_parquet('{SF_SMALL}/embeddings.parquet')

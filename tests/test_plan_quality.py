@@ -444,9 +444,30 @@ def test_q21_topk_uses_bounded_sort(spark):
 
 def test_q18_reduces_before_join(spark):
     """Q18's per-order quantity agg must run below the joins (reduce-then-
-    join): the HAVING filter sits on the aggregate, not after the joins."""
+    join): the HAVING filter sits on the aggregate, not after the joins.
+    Formatted-plan node numbers are assigned children-first, so 'below the
+    join' means the per-order aggregate's node number is SMALLER than every
+    join's — comparing raw string positions would test nothing (the tree
+    header prints root-first)."""
+    import re
+
     p = plan_of(spark, "q18_large_orders")
-    pos_agg = p.find("HashAggregate")
-    pos_join = p.find("Join")
-    assert pos_agg != -1 and pos_join != -1
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    agg_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) HashAggregate\nInput.*\nKeys \[1\]: \[l_orderkey", p)
+    ]
+    join_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)
+    ]
+    assert agg_ids and join_ids, "plan must contain the per-order agg and the joins"
+    assert max(agg_ids) < min(join_ids), (
+        f"per-order aggregate (nodes {agg_ids}) must sit below every join "
+        f"(nodes {join_ids}) — lineitem must be reduced before joining"
+    )
+    # and the HAVING filter applies to the aggregate output, below the joins
+    having_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Filter\nInput.*\nCondition :.*sum_qty", p)
+    ]
+    assert having_ids and max(having_ids) < min(join_ids), "HAVING must filter pre-join"
