@@ -38,7 +38,7 @@ _MD5INT = MD5INT_SQL
     "permutation, stable across engines and cluster sizes (never rand()). "
     "The naive plan (row_number over a global ORDER BY) funnels the whole "
     "corpus through ONE partition; this plan is the scalable two-phase "
-    "form: range-repartition by the hash key and sort within partitions, "
+    "form: range-repartition by the hash key, "
     "count rows per partition (a |partitions|-row aggregate), turn the "
     "counts into per-partition offsets with a window over that tiny set, "
     "broadcast the offsets back, and add the within-partition row_number. "
@@ -188,3 +188,58 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").isNotNull()
         & (coin < F.least(F.col("n_chars"), F.lit(2000)))
     ).select("doc_id", "n_chars")
+
+
+@register(
+    "compaction_bin_pack",
+    oracle="""
+    WITH f AS (SELECT coalesce(source, '') AS source, coalesce(lang, '') AS lang,
+                      count(*)::BIGINT AS n_docs,
+                      coalesce(sum(n_chars), 0)::BIGINT AS size_chars
+               FROM documents GROUP BY 1, 2)
+    SELECT source, lang, n_docs, size_chars,
+           (coalesce(sum(size_chars) OVER (
+                ORDER BY source, lang
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 5000)::BIGINT AS bin_id
+    FROM f
+    """,
+    doc="Small-files compaction planning: roll the per-(source, lang) "
+    "partition sizes up, lay the partitions out in deterministic key order, "
+    "and assign each to an output bin by cumulative size (target 5000 "
+    "chars per bin — stand-in for the 256 MB parquet target). This is the "
+    "planner a 100 TB pipeline runs before rewriting a fragmented layout: "
+    "the data-sized work is ONE partial-aggregated shuffle down to "
+    "|sources|x|langs| metadata rows; the sequential cumulative-sum window "
+    "then runs over that LISTING-SCALE table, where a single partition is "
+    "the correct plan, not a compromise (same metadata-vs-data argument as "
+    "global_shuffle_index's offsets table). NULL source/lang map to the '' "
+    "file group on both engines (ORDER BY NULL is engine-dependent; "
+    "coalescing before grouping removes the divergence); NULL n_chars "
+    "contributes 0 bytes (sum skips NULLs in both engines, coalesced for "
+    "the all-NULL group).",
+)
+def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.groupBy(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("size_chars"),
+    )
+    cum = F.coalesce(
+        F.sum("size_chars").over(
+            Window.orderBy("source", "lang").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0),
+    )
+    return files.select(
+        "source",
+        "lang",
+        "n_docs",
+        "size_chars",
+        F.floor(cum / F.lit(5000)).cast("long").alias("bin_id"),
+    )

@@ -2206,3 +2206,140 @@ def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("occupied"), _hll_s_occ().alias("s_occ")
     )
     return _hll_estimates(s, "grp")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation pair (round 5, late): cross-document boilerplate chunk
+# suppression (the CCNet-style shape — shared headers/footers/navigation
+# repeat VERBATIM across many pages; removing repeated spans, not repeated
+# documents, is what exact dedup can't do) and per-language RELATIVE quality
+# filtering (Gopher/FineWeb-style: an absolute quality cutoff tuned for
+# English silently guts low-resource languages; keeping everything above a
+# per-language percentile is the standard fix).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_boilerplate_strip",
+    oracle=f"""
+    WITH toks AS ({{toks}}),
+    idx AS (SELECT doc_id, t, unnest(range(0, cast(ceil(len(t) / 8.0) AS BIGINT))) AS i
+            FROM toks WHERE len(t) > 0 AND doc_id IS NOT NULL),
+    ch AS (SELECT doc_id,
+                  ({{h}}) AS h,
+                  len(t[i*8+1 : i*8+8]) AS plen
+           FROM idx),
+    common AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 3)
+    SELECT ch.doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN common.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_common,
+           sum(CASE WHEN common.h IS NULL THEN plen ELSE 0 END)::BIGINT AS kept_tokens
+    FROM ch LEFT JOIN common ON ch.h = common.h
+    GROUP BY ch.doc_id
+    """.format(
+        toks=_TOKS_SQL,
+        h=_MD5INT.format(x="array_to_string(t[i*8+1 : i*8+8], ' ')"),
+    ),
+    doc="Cross-document boilerplate suppression (CCNet-shape): split every "
+    "document into non-overlapping 8-token chunks, hash each chunk "
+    "(portable md5int), and mark chunks that appear VERBATIM in >= 3 "
+    "distinct documents as boilerplate; per document, report total chunks, "
+    "boilerplate chunks, and the token count that survives stripping. "
+    "Scale shape: the chunk explode is narrow; ONE corpus-sized shuffle "
+    "builds the per-hash distinct-doc counts with map-side partial "
+    "aggregation; the surviving common set is tiny BY CONSTRUCTION "
+    "(a hash must repeat across >= 3 documents to qualify — verbatim "
+    "repeats are rare outside real boilerplate), so it broadcasts back onto "
+    "the chunk stream and the final per-doc rollup shuffles only "
+    "(doc_id, flag, len) triples. NULL doc_id rows excluded (chunks "
+    "without a home document can't be attributed).",
+)
+def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    W = 8
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    )
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    n_chunks = F.ceil(F.size("t") / F.lit(float(W))).cast("int")
+    piece = F.slice(F.col("t"), F.col("i") * W + 1, W)
+    chunks = toked.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"), "t"
+    ).select(
+        "doc_id",
+        md5int(F.concat_ws(" ", piece)).alias("h"),
+        F.size(piece).alias("plen"),
+    )
+    common = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("h", F.lit(True).alias("is_common"))
+    )
+    return (
+        chunks.join(F.broadcast(common), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("is_common"), 1).otherwise(0)).alias("n_common"),
+            F.sum(
+                F.when(F.col("is_common").isNull(), F.col("plen")).otherwise(0)
+            ).alias("kept_tokens"),
+        )
+    )
+
+
+@register(
+    "quality_percentile_filter",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    m AS ({_QUALITY_M_SQL}),
+    q AS (SELECT m.doc_id, tk.lang, {_QUALITY_EXPR_SQL} AS quality
+          FROM m JOIN toks tk ON m.doc_id = tk.doc_id
+          WHERE m.doc_id IS NOT NULL),
+    r AS (SELECT doc_id, lang, quality,
+                 round(percent_rank() OVER (
+                     PARTITION BY lang ORDER BY quality, doc_id), 6) AS pct_rank
+          FROM q)
+    SELECT doc_id, lang, quality, pct_rank FROM r WHERE pct_rank >= 0.25
+    """,
+    doc="Per-language RELATIVE quality filter (Gopher/FineWeb-shape): keep "
+    "every document at or above the 25th quality percentile WITHIN ITS "
+    "LANGUAGE — an absolute cutoff tuned on the dominant language would "
+    "discard low-resource languages wholesale. The rank is made unique by "
+    "the (quality, doc_id) tiebreak so percent_rank is deterministic and "
+    "bit-identical cross-engine ((rank-1)/(n-1), one IEEE division of "
+    "exact integers). NULL lang forms its own group in both engines; NULL "
+    "doc_id rows excluded (the tiebreak ordering would be engine-"
+    "dependent). Scale: ONE shuffle on lang; per-language partitions are "
+    "skewed at corpus scale, so the 100 TB path replaces the exact window "
+    "with either the two-phase range-partition rank (the "
+    "global_shuffle_index machinery keyed by (lang, quality)) or a "
+    "per-language quantile threshold from sketch_histogram_quantiles.",
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from petfinder_database_distributor_spark.operators.text import (
+        quality_score_from_tokens,
+        tokens,
+    )
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    )
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score_from_tokens(t, tokens(t)), 6).alias("quality"),
+    )
+    win = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return scored.withColumn(
+        "pct_rank", F.round(F.percent_rank().over(win), 6)
+    ).filter(F.col("pct_rank") >= 0.25)

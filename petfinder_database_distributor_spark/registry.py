@@ -178,6 +178,13 @@ PRIORITY: list[str] = [
     "sketch_hll_by_group",
     "w3_rank_family",
     "unpivot_event_metrics",
+    # Corpus-curation + layout planning (NEW round-5 final session, same
+    # r6-head contract as the tail blocks above): cross-doc boilerplate
+    # chunk suppression, per-language percentile quality filter, and the
+    # small-files compaction planner.
+    "corpus_boilerplate_strip",
+    "quality_percentile_filter",
+    "compaction_bin_pack",
 ]
 
 

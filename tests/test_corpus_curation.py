@@ -1,0 +1,82 @@
+"""Corpus-curation + layout-planning ops: boilerplate suppression must
+broadcast its (tiny by construction) common-chunk set, the percentile
+filter must keep ~75% of every language, and the compaction planner's
+bins must be contiguous runs of the key order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from petfinder_database_distributor_spark.registry import load_all
+from tests.conftest import SF_ORACLE, SF_SMALL
+from tests.test_plan_quality import plan_of
+
+SPECS = load_all()
+
+
+def test_boilerplate_common_set_is_broadcast(spark):
+    """The common-chunk set joins back onto the corpus-sized chunk stream
+    via broadcast — a shuffled join here would re-shuffle every chunk a
+    second time for a dimension that is tiny by construction."""
+    p = plan_of(spark, "corpus_boilerplate_strip")
+    assert "BroadcastHashJoin" in p, "common-set join must broadcast"
+
+
+def test_boilerplate_accounting(spark):
+    """Per-doc chunk accounting: boilerplate never exceeds total chunks,
+    and a full-token doc (no boilerplate) keeps every token. The planted
+    near-duplicate docs guarantee a non-empty common set."""
+    rows = SPECS["corpus_boilerplate_strip"].fn(spark, SF_SMALL).collect()
+    assert rows, "non-empty corpus must produce rows"
+    assert any(r.n_common > 0 for r in rows), (
+        "the planted duplicate documents must surface boilerplate chunks"
+    )
+    for r in rows:
+        assert 0 <= r.n_common <= r.n_chunks
+        # kept_tokens counts only non-common chunks: bounded by 8/chunk
+        assert r.kept_tokens <= (r.n_chunks - r.n_common) * 8
+
+
+def test_percentile_filter_keeps_three_quarters_per_lang(spark):
+    """Relative filtering is per-language: every language with n docs
+    keeps exactly the docs whose unique (quality, doc_id) rank is at or
+    above the 25th percentile — n - ceil((n-1)/4) of them."""
+    kept = (
+        SPECS["quality_percentile_filter"]
+        .fn(spark, SF_ORACLE)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    from petfinder_database_distributor_spark.schema import load_table
+
+    totals = (
+        load_table(spark, SF_ORACLE, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    for r in totals.join(kept, "lang", "left").collect():
+        n, k = r.n, r.k or 0
+        # percent_rank >= 0.25 over unique ranks keeps rows with
+        # rank-1 >= 0.25*(n-1): n - ceil(0.25*(n-1)) rows
+        import math
+
+        expect = n - math.ceil(0.25 * (n - 1)) if n > 1 else n
+        assert k == expect, f"lang {r.lang}: kept {k}, expected {expect} of {n}"
+
+
+def test_compaction_bins_are_contiguous_and_sized(spark):
+    """bin_id must be non-decreasing in (source, lang) order (each bin is
+    a contiguous run of the layout order) and reproduce the greedy
+    cumulative-size assignment exactly."""
+    rows = sorted(
+        SPECS["compaction_bin_pack"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: (r.source, r.lang),
+    )
+    cum, prev_bin = 0, 0
+    for r in rows:
+        assert r.bin_id == cum // 5000, f"{r.source}/{r.lang}: wrong bin"
+        assert r.bin_id >= prev_bin, "bins must be contiguous in key order"
+        prev_bin = r.bin_id
+        cum += r.size_chars
+    assert prev_bin > 0, "fixture must span multiple bins"

@@ -67,6 +67,12 @@ SWEPT = [
     # grouped HLL: NULL event_type ≡ '' group, NULL user_id excluded
     "export_roundtrip_jsonl",
     "sketch_hll_by_group",
+    # corpus curation + layout planning: NULL doc_id rows excluded (chunk
+    # attribution / deterministic tiebreak); NULL lang its own percentile
+    # group; NULL source/lang ≡ '' file group, NULL n_chars ≡ 0 bytes
+    "corpus_boilerplate_strip",
+    "quality_percentile_filter",
+    "compaction_bin_pack",
 ]
 
 
