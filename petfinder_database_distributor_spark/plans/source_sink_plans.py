@@ -281,3 +281,34 @@ def export_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id long, user_id long, event_type string, value double, ts_us long"
     ).json(path)
+
+
+@register(
+    "export_roundtrip_orc",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE event_type = 'click'
+    """,
+    doc="Columnar round-trip through ORC — the second columnar format a "
+    "Spark lakehouse actually meets (Hive-era tables): typed events → ORC "
+    "files → scan back with a predicate. Unlike the JSONL boundary, the "
+    "interesting property is PUSHDOWN: the event_type filter reaches the "
+    "ORC reader (PushedFilters, asserted in tests/test_plan_quality.py), "
+    "so at 100 TB the scan skips entire stripes via ORC's min/max stripe "
+    "statistics instead of decoding every row. Timestamps pre-flattened "
+    "to epoch micros (the TZ-fragility contract every export query "
+    "follows); NULL event_type rows fall out of the predicate in both "
+    "engines.",
+)
+def export_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    path = f"{SCRATCH_ROOT}/export_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    ev.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).filter(F.col("event_type") == "click")

@@ -185,6 +185,7 @@ PRIORITY: list[str] = [
     "corpus_boilerplate_strip",
     "quality_percentile_filter",
     "compaction_bin_pack",
+    "export_roundtrip_orc",
 ]
 
 

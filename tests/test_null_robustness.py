@@ -73,6 +73,10 @@ SWEPT = [
     "corpus_boilerplate_strip",
     "quality_percentile_filter",
     "compaction_bin_pack",
+    # ORC boundary: full dirty-events surface (NULL ts/user/type/value)
+    # survives the columnar round-trip; NULL event_type falls out of the
+    # read-back predicate in both engines
+    "export_roundtrip_orc",
 ]
 
 

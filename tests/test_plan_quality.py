@@ -471,3 +471,17 @@ def test_q18_reduces_before_join(spark):
         for m in re.finditer(r"\((\d+)\) Filter\nInput.*\nCondition :.*sum_qty", p)
     ]
     assert having_ids and max(having_ids) < min(join_ids), "HAVING must filter pre-join"
+
+
+def test_orc_roundtrip_predicate_pushdown(spark):
+    """The read-back filter must reach the ORC scan (PushedFilters), so at
+    scale stripe min/max statistics skip whole stripes — a post-scan
+    Filter-only plan would decode every row first."""
+    import re
+
+    p = plan_of(spark, "export_roundtrip_orc")
+    assert "Scan orc" in p, "read side must be a native ORC scan"
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "EqualTo(event_type,click)" in m.group(1), (
+        f"event_type predicate must be pushed to the ORC reader: {m and m.group(1)}"
+    )
