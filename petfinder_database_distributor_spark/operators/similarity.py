@@ -373,7 +373,14 @@ def ivf_topk(
     ~nprobe/n_clusters of it per query. Centroid math is exact (integer
     sums, see quantize), so results are deterministic and oracle-checked.
     """
-    qcorpus = corpus.select(F.col(cid), quantize(F.col(cvec), scale).alias("qe"))
+    from pyspark.storagelevel import StorageLevel
+
+    # The quantized corpus is scanned iters+1 times (one assign per Lloyd
+    # round plus the final inverted file). Persist it once: without this,
+    # every round re-reads the parquet AND re-runs the array quantization.
+    qcorpus = corpus.select(
+        F.col(cid), quantize(F.col(cvec), scale).alias("qe")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     centroids = qcorpus.filter(F.col(cid) < n_clusters).select(
         F.col(cid).cast("int").alias("centroid_id"), _qd(F.col("qe")).alias("cvec")
     )
