@@ -391,7 +391,13 @@ def ivf_topk(
         # nested subtree, re-scanning the corpus once per round and paying
         # Catalyst analysis on an exponentially nested tree.
         centroids = _update(assigned, scale).localCheckpoint(eager=True)
-    ivf = _assign(qcorpus, centroids, cid)  # the inverted file
+    # Materialize the inverted file and release the cached corpus: ivf_topk
+    # is a library function over caller-supplied DataFrames, so leaving the
+    # persist pinned would accumulate one corpus-sized cache entry per
+    # distinct input for the session's lifetime. The checkpointed ivf is
+    # the only corpus-sized state the search phase needs.
+    ivf = _assign(qcorpus, centroids, cid).localCheckpoint(eager=True)
+    qcorpus.unpersist()
 
     qq = queries.select(F.col(qid), quantize(F.col(qvec), scale).alias("qe"))
     probe_scored = qq.crossJoin(F.broadcast(centroids)).select(

@@ -2267,12 +2267,21 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_chunks = F.ceil(F.size("t") / F.lit(float(W))).cast("int")
     piece = F.slice(F.col("t"), F.col("i") * W + 1, W)
-    chunks = toked.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"), "t"
-    ).select(
-        "doc_id",
-        md5int(F.concat_ws(" ", piece)).alias("h"),
-        F.size(piece).alias("plen"),
+    # The (doc_id, h, plen) triples feed BOTH the common-set build and the
+    # probe side of the broadcast join; persist the compact triples so the
+    # scan + tokenize + explode + hash pipeline runs once, not twice.
+    from pyspark.storagelevel import StorageLevel
+
+    chunks = (
+        toked.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"), "t"
+        )
+        .select(
+            "doc_id",
+            md5int(F.concat_ws(" ", piece)).alias("h"),
+            F.size(piece).alias("plen"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     common = (
         chunks.groupBy("h")
@@ -2303,9 +2312,11 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE m.doc_id IS NOT NULL),
     r AS (SELECT doc_id, lang, quality,
                  round(percent_rank() OVER (
-                     PARTITION BY lang ORDER BY quality, doc_id), 6) AS pct_rank
+                     PARTITION BY lang ORDER BY quality, doc_id), 6) AS pct_rank,
+                 count(*) OVER (PARTITION BY lang) AS n_lang
           FROM q)
-    SELECT doc_id, lang, quality, pct_rank FROM r WHERE pct_rank >= 0.25
+    SELECT doc_id, lang, quality, pct_rank FROM r
+    WHERE pct_rank >= 0.25 OR n_lang = 1
     """,
     doc="Per-language RELATIVE quality filter (Gopher/FineWeb-shape): keep "
     "every document at or above the 25th quality percentile WITHIN ITS "
@@ -2315,7 +2326,10 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical cross-engine ((rank-1)/(n-1), one IEEE division of "
     "exact integers). NULL lang forms its own group in both engines; NULL "
     "doc_id rows excluded (the tiebreak ordering would be engine-"
-    "dependent). Scale: ONE shuffle on lang; per-language partitions are "
+    "dependent). A single-document language is KEPT (percent_rank is 0 "
+    "for a 1-row partition in both engines, which would silently discard "
+    "exactly the language the relative cut exists to protect). Scale: ONE "
+    "shuffle on lang; per-language partitions are "
     "skewed at corpus scale, so the 100 TB path replaces the exact window "
     "with either the two-phase range-partition rank (the "
     "global_shuffle_index machinery keyed by (lang, quality)) or a "
@@ -2340,6 +2354,10 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality_score_from_tokens(t, tokens(t)), 6).alias("quality"),
     )
     win = Window.partitionBy("lang").orderBy("quality", "doc_id")
-    return scored.withColumn(
-        "pct_rank", F.round(F.percent_rank().over(win), 6)
-    ).filter(F.col("pct_rank") >= 0.25)
+    n_lang = F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    return (
+        scored.withColumn("pct_rank", F.round(F.percent_rank().over(win), 6))
+        .withColumn("n_lang", n_lang)
+        .filter((F.col("pct_rank") >= 0.25) | (F.col("n_lang") == 1))
+        .drop("n_lang")
+    )

@@ -80,3 +80,35 @@ def test_compaction_bins_are_contiguous_and_sized(spark):
         prev_bin = r.bin_id
         cum += r.size_chars
     assert prev_bin > 0, "fixture must span multiple bins"
+
+
+def test_percentile_filter_keeps_singleton_language(spark, tmp_path):
+    """A language with exactly ONE document must be kept: percent_rank is
+    0 for a 1-row partition in both engines, so without the explicit
+    n_lang guard the relative cut would discard exactly the low-resource
+    language it exists to protect. Verified against the oracle on a
+    fixture with an injected singleton language."""
+    import shutil
+
+    import duckdb
+
+    tmp = str(tmp_path / "singleton")
+    import os
+
+    os.makedirs(tmp)
+    con = duckdb.connect()
+    con.execute(f"""COPY (
+      SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')
+      UNION ALL SELECT 77777, 'lone document of its language', 'xx', 'src0', 29
+    ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{tmp}/{t}.parquet")
+
+    from tests.oracle_compare import assert_parity, run_oracle
+
+    spec = SPECS["quality_percentile_filter"]
+    df = spec.fn(spark, tmp)
+    assert_parity(df, run_oracle(spec.oracle, tmp), "quality_percentile_filter")
+    kept_xx = df.filter(F.col("lang") == "xx").collect()
+    assert len(kept_xx) == 1 and kept_xx[0].doc_id == 77777
