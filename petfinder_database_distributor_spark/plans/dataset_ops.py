@@ -243,3 +243,121 @@ def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size_chars",
         F.floor(cum / F.lit(5000)).cast("long").alias("bin_id"),
     )
+
+
+@register(
+    "validate_constraints",
+    oracle="""
+    SELECT 'event_id_complete' AS rule,
+           count(*)::BIGINT AS n_checked,
+           (count(*) - count(event_id))::BIGINT AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'event_id_unique',
+           count(event_id)::BIGINT,
+           (count(event_id) - count(DISTINCT event_id))::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'user_id_complete', count(*)::BIGINT,
+           (count(*) - count(user_id))::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'value_non_negative', count(value)::BIGINT,
+           sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'event_type_in_domain', count(event_type)::BIGINT,
+           sum(CASE WHEN event_type NOT IN
+                    ('view', 'click', 'purchase', 'signup') THEN 1 ELSE 0 END)::BIGINT
+    FROM events
+    """,
+    doc="Declarative data-validation audit (the Deequ/expectations shape a "
+    "pipeline runs BEFORE shipping a snapshot to training): completeness, "
+    "key uniqueness, range, and domain-membership rules evaluated over "
+    "events in ONE pass — every rule is a conditional aggregate over the "
+    "same scan (map-side partials; the single genuinely expensive rule, "
+    "key uniqueness, is the one count(DISTINCT) shuffle), then the scalar "
+    "results unpivot to one row per rule. At 100 TB this is the cheapest "
+    "full-corpus integrity gate there is: one pass, fixed-size output.",
+)
+def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("event_id").alias("n_id"),
+        F.count_distinct("event_id").alias("n_id_distinct"),
+        F.count("user_id").alias("n_user"),
+        F.count("value").alias("n_value"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_value"),
+        F.count("event_type").alias("n_type"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin("view", "click", "purchase", "signup"), 1
+            ).otherwise(0)
+        ).alias("bad_type"),
+    )
+    rules = F.array(
+        F.struct(
+            F.lit("event_id_complete").alias("rule"),
+            F.col("n_rows").alias("n_checked"),
+            (F.col("n_rows") - F.col("n_id")).alias("n_violations"),
+        ),
+        F.struct(
+            F.lit("event_id_unique").alias("rule"),
+            F.col("n_id").alias("n_checked"),
+            (F.col("n_id") - F.col("n_id_distinct")).alias("n_violations"),
+        ),
+        F.struct(
+            F.lit("user_id_complete").alias("rule"),
+            F.col("n_rows").alias("n_checked"),
+            (F.col("n_rows") - F.col("n_user")).alias("n_violations"),
+        ),
+        F.struct(
+            F.lit("value_non_negative").alias("rule"),
+            F.col("n_value").alias("n_checked"),
+            F.coalesce(F.col("neg_value"), F.lit(0)).alias("n_violations"),
+        ),
+        F.struct(
+            F.lit("event_type_in_domain").alias("rule"),
+            F.col("n_type").alias("n_checked"),
+            F.coalesce(F.col("bad_type"), F.lit(0)).alias("n_violations"),
+        ),
+    )
+    return agg.select(F.explode(rules).alias("r")).select(
+        "r.rule", "r.n_checked", "r.n_violations"
+    )
+
+
+@register(
+    "kanonymity_check",
+    oracle="""
+    SELECT coalesce(source, '') AS source, coalesce(lang, '') AS lang,
+           n_chars // 200 AS len_bucket,
+           count(*)::BIGINT AS group_size
+    FROM documents
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    """,
+    doc="k-anonymity audit over the (source, lang, length-bucket) "
+    "quasi-identifier triple: every combination carried by FEWER than k=5 "
+    "documents is a re-identification risk the privacy review must see "
+    "before release (the 200-char length bucket stands in for the "
+    "continuous quasi-identifiers — age, ZIP — that real audits "
+    "coarsen). One partial-aggregated shuffle down to |quasi-groups| "
+    "rows, then the HAVING keeps only risky groups — output is bounded "
+    "by the violation count, not the corpus. NULL source/lang map to the "
+    "'' group (coalesce-before-group, as compaction_bin_pack); an "
+    "unknown length is its own NULL bucket in both engines (GROUP BY "
+    "treats NULLs as equal).",
+)
+def kanonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.coalesce(F.col("source"), F.lit("")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+            F.floor(F.col("n_chars") / 200).alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )

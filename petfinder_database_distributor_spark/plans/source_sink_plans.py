@@ -312,3 +312,38 @@ def export_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{SCRATCH_ROOT}/export_orc_{os.path.basename(sf_dir.rstrip('/'))}"
     ev.write.mode("overwrite").orc(path)
     return spark.read.orc(path).filter(F.col("event_type") == "click")
+
+
+@register(
+    "parquet_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, NULL::BIGINT AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, NULL, n_chars
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    doc="Schema evolution at the parquet boundary: two generations of the "
+    "same dataset land with DIFFERENT schemas (an early batch carrying "
+    "(doc_id, lang), a later one carrying (doc_id, n_chars) — the normal "
+    "drift of a long-lived ingest), and ONE mergeSchema read reconstructs "
+    "the union schema with NULLs for each generation's missing columns. "
+    "At 100 TB this is how a pipeline reads years of accumulated "
+    "snapshots without rewriting old files; mergeSchema's footer "
+    "reconciliation is a metadata operation, the data pages are never "
+    "touched. NULL doc_id rows fall out of both generation predicates "
+    "(NULL % 2 matches neither) in both engines.",
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"{SCRATCH_ROOT}/schema_evo_{os.path.basename(sf_dir.rstrip('/'))}"
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return merged.select("doc_id", "lang", F.col("n_chars").cast("long"))

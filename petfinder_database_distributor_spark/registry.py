@@ -186,6 +186,9 @@ PRIORITY: list[str] = [
     "quality_percentile_filter",
     "compaction_bin_pack",
     "export_roundtrip_orc",
+    "validate_constraints",
+    "kanonymity_check",
+    "parquet_schema_evolution",
 ]
 
 

@@ -112,3 +112,40 @@ def test_percentile_filter_keeps_singleton_language(spark, tmp_path):
     assert_parity(df, run_oracle(spec.oracle, tmp), "quality_percentile_filter")
     kept_xx = df.filter(F.col("lang") == "xx").collect()
     assert len(kept_xx) == 1 and kept_xx[0].doc_id == 77777
+
+
+def test_validate_constraints_single_scan(spark):
+    """All five rules must evaluate over ONE scan of events — a per-rule
+    scan (the naive UNION the oracle states) would read the corpus five
+    times."""
+    p = plan_of(spark, "validate_constraints")
+    assert p.count("events.parquet") == 1, "rules must share one scan"
+
+
+def test_validate_constraints_rule_values(spark):
+    rows = {r.rule: r for r in SPECS["validate_constraints"].fn(spark, SF_SMALL).collect()}
+    assert set(rows) == {
+        "event_id_complete", "event_id_unique", "user_id_complete",
+        "value_non_negative", "event_type_in_domain",
+    }
+    # the shipped fixture is clean on these rules; the null-fixture parity
+    # run (tests/test_null_robustness.py) exercises the violation paths
+    assert rows["event_id_complete"].n_violations == 0
+    assert rows["event_id_unique"].n_violations == 0
+    assert all(r.n_checked > 0 for r in rows.values())
+
+
+def test_kanonymity_flags_only_small_groups(spark):
+    rows = SPECS["kanonymity_check"].fn(spark, SF_SMALL).collect()
+    assert rows, "fixture must contain risky quasi-groups"
+    assert all(0 < r.group_size < 5 for r in rows)
+
+
+def test_schema_evolution_union_schema(spark):
+    df = SPECS["parquet_schema_evolution"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    gen1 = [r for r in rows if r.lang is not None]
+    gen2 = [r for r in rows if r.n_chars is not None]
+    assert gen1 and gen2, "both generations must survive the merged read"
+    assert all(r.n_chars is None for r in gen1), "gen-1 rows lack the late column"
+    assert all(r.lang is None for r in gen2), "gen-2 rows lack the early column"

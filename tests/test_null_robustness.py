@@ -77,6 +77,13 @@ SWEPT = [
     # survives the columnar round-trip; NULL event_type falls out of the
     # read-back predicate in both engines
     "export_roundtrip_orc",
+    # governance ops: validation rules count NULLs as completeness
+    # violations (count(col) semantics agree); k-anonymity coalesces
+    # source/lang, NULL length is its own bucket; schema evolution drops
+    # NULL doc_id rows (NULL % 2 matches neither generation)
+    "validate_constraints",
+    "kanonymity_check",
+    "parquet_schema_evolution",
 ]
 
 
