@@ -197,3 +197,75 @@ def dpp_events_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fact = spark.read.parquet(path)
     return fact.join(F.broadcast(dim), fact.event_date == dim.d)
+
+
+@register(
+    "j7_runtime_bloom_join",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_lineitems,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,6))))
+                     AS DECIMAL(32,4)) AS DOUBLE) AS urgent_revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+    doc="AQE runtime Bloom filter — the fourth pillar of the 100 TB join "
+    "story next to broadcast, bucketing (j5) and DPP (j6): when a "
+    "selective dim is too big to broadcast but its key set fits a Bloom "
+    "filter, Spark builds the filter from the dim side at runtime and "
+    "injects bloom_filter_might_contain onto the fact scan, discarding "
+    "most fact rows BEFORE the join shuffle. The semantics are a plain "
+    "equi-join (this query is correct with or without injection); the "
+    "injection itself fires above size thresholds a test-scale corpus "
+    "never meets, so tests/test_plan_quality.py pins the plan shape "
+    "under lowered thresholds via runtime_bloom_join_plan().",
+)
+def j7_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # decimal-exact revenue: cast each factor BEFORE multiplying (the
+    # repo-wide float discipline — a double product rounded to decimal
+    # differs in the last cent between engines)
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount").cast("decimal(8,6)")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(rev).cast("decimal(32,4)").cast("double").alias("urgent_revenue"),
+    )
+
+
+def runtime_bloom_join_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Build the j7 join under thresholds that let the runtime Bloom filter
+    fire at test scale (application-side floor dropped to 0, broadcast
+    disabled so the join keeps the shuffle shape the filter exists for)
+    and return the formatted plan. Confs are restored afterwards."""
+    import io
+    from contextlib import redirect_stdout
+
+    saved = {}
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in overrides.items():
+        saved[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        return buf.getvalue()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

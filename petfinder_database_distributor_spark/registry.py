@@ -189,6 +189,7 @@ PRIORITY: list[str] = [
     "validate_constraints",
     "kanonymity_check",
     "parquet_schema_evolution",
+    "j7_runtime_bloom_join",
 ]
 
 

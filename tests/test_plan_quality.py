@@ -485,3 +485,23 @@ def test_orc_roundtrip_predicate_pushdown(spark):
     assert m and "EqualTo(event_type,click)" in m.group(1), (
         f"event_type predicate must be pushed to the ORC reader: {m and m.group(1)}"
     )
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """AQE runtime Bloom filter (j7): under thresholds a test-scale corpus
+    can meet, Spark must build a Bloom filter from the selective dim side
+    (bloom_filter_agg over o_orderkey) and probe it on the fact scan
+    (might_contain on l_orderkey) BEFORE the join shuffle. At real scale
+    the default thresholds fire on their own; this pins that the join
+    SHAPE is injectable at all — a join written against misaligned key
+    expressions would silently lose the filter."""
+    from petfinder_database_distributor_spark.plans.physical import (
+        runtime_bloom_join_plan,
+    )
+
+    p = runtime_bloom_join_plan(spark, SF_SMALL)
+    assert "bloom_filter_agg" in p, "dim side must build the Bloom filter"
+    assert "might_contain" in p, "fact scan must probe the Bloom filter"
+    assert "l_orderkey" in p.split("might_contain", 1)[1][:200], (
+        "the probe must sit on the fact join key"
+    )
