@@ -343,3 +343,61 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(enriched, "complete")
+
+
+@register(
+    "stream_late_data_drop",
+    oracle="""
+    WITH per AS (SELECT (count(*) + 3) // 4 AS p FROM events)
+    SELECT epoch_us(ts) // 86400000000 AS day_idx,
+           count(*)::BIGINT AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
+                AS DOUBLE) AS total_value
+    FROM events, per
+    WHERE event_id >= per.p
+    GROUP BY 1
+    """,
+    doc="Watermark late-data semantics, actually exercised: the staged "
+    "chunks arrive OUT OF ORDER (the earliest-time quarter of the stream "
+    "arrives last), so by the time it shows up the 1-hour watermark has "
+    "advanced past its entire time range and every row in it is dropped "
+    "before the day-window aggregation — the bounded-state guarantee a "
+    "100 TB stream depends on (without the watermark, state for every day "
+    "ever seen stays resident forever waiting for stragglers). The other "
+    "streaming queries deliver in order, so this is the only query where "
+    "the drop path fires. Append mode + the far-future sentinel flush; "
+    "the oracle restates the dropped set exactly: the first "
+    "ceil(n/4) event_ids (chunk 0 of the contiguous staging — event_id "
+    "is ts-monotone in the testdata, verified 0 inversions).",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, contiguous=True, sentinel=True, late=True
+    )
+    # The sentinel must reach the aggregation: a pre-agg filter on
+    # event_type gets PUSHED BELOW the EventTimeWatermark node by Catalyst
+    # (it doesn't reference ts), so the sentinel would never advance the
+    # watermark and the final real window would never flush. Instead the
+    # sentinel rides through as its own (window, is_sentinel=true) group
+    # and is dropped POST-agg — the session-window query's pattern.
+    is_sentinel = F.coalesce(F.col("event_type"), F.lit("")) == "__sentinel__"
+    agg = (
+        read_event_stream(spark, stage, max_files=1)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"), is_sentinel.alias("is_sentinel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(32,2)")
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    emitted = _run_to_memory(agg, "append")
+    return emitted.filter(~F.col("is_sentinel")).select(
+        (F.unix_micros(F.col("w.start")) / 86400000000).cast("long").alias("day_idx"),
+        "n_events",
+        "total_value",
+    )

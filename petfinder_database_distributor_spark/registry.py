@@ -190,6 +190,7 @@ PRIORITY: list[str] = [
     "kanonymity_check",
     "parquet_schema_evolution",
     "j7_runtime_bloom_join",
+    "stream_late_data_drop",
 ]
 
 

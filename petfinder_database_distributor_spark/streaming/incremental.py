@@ -99,6 +99,7 @@ def stage_event_chunks(
     subset: int | None = None,
     contiguous: bool = False,
     sentinel: bool = False,
+    late: bool = False,
 ) -> str:
     """Stage the events table as ``n_chunks`` single parquet files (one
     micro-batch each, T1's unit of work). ``duplicate_overlap`` writes every
@@ -106,7 +107,11 @@ def stage_event_chunks(
     reference defends against with its dup-check (T3). ``subset`` stages
     only the first ``subset`` chunks (the crash-then-resume scenario, T2).
     ``sentinel`` appends the far-future watermark-flush chunk (see
-    :func:`add_sentinel_chunk`).
+    :func:`add_sentinel_chunk`). ``late`` (with ``contiguous``) rotates the
+    ARRIVAL order so the earliest-time chunk arrives last — the late-data
+    scenario a watermark exists to bound: by the time chunk 0 shows up the
+    watermark has passed its whole time range and every row in it is
+    dropped.
 
     Files are committed with the reference's own atomic protocol (write
     elsewhere, then ``os.replace``) so a concurrently-starting reader never
@@ -117,6 +122,7 @@ def stage_event_chunks(
         + ([f"sub{subset}"] if subset is not None else [])
         + (["contig"] if contiguous else [])
         + (["sent"] if sentinel else [])
+        + (["late"] if late else [])
     )
     stage = f"{SCRATCH_ROOT}/stage_{tag}"
     marker = f"{stage}._ok"
@@ -160,10 +166,12 @@ def stage_event_chunks(
     base_t = os.stat(tmp).st_mtime
     for i in range(n_stage):
         parts = glob.glob(f"{tmp}/__chunk={i}/part-*.parquet")
+        # `late` rotates arrival order: chunks 1..n-1 first, chunk 0 last
+        pos = (i - 1) % n_stage if late else i
         for j, part in enumerate(sorted(parts)):
             dest = f"{stage}/chunk_{i}_{j}.parquet"
             os.replace(part, dest)
-            os.utime(dest, (base_t + i, base_t + i))
+            os.utime(dest, (base_t + pos, base_t + pos))
     shutil.rmtree(tmp)
     if sentinel:
         add_sentinel_chunk(spark, stage, sf_dir)

@@ -197,3 +197,22 @@ def test_graceful_stop_between_batches(spark):
     assert _pairs(final.select("user_id", "event_id")) == _pairs(
         _expected_upsert(events)
     )
+
+
+def test_late_data_drop_actually_drops(spark):
+    """The late-arriving quarter must be DROPPED, not merely reordered: the
+    emitted per-day totals cover exactly the events outside chunk 0
+    (first ceil(n/4) event_ids), strictly fewer than the full table. If the
+    staging ever regressed to in-order arrival the query would silently
+    emit everything and the oracle gate alone couldn't tell why."""
+    from petfinder_database_distributor_spark.registry import load_all
+
+    out = load_all()["stream_late_data_drop"].fn(spark, SF_SMALL)
+    emitted = out.agg(F.sum("n_events")).collect()[0][0]
+    events = load_table(spark, SF_SMALL, "events")
+    total = events.count()
+    chunk0 = -(-total // 4)
+    assert emitted == total - chunk0, (
+        f"emitted {emitted}, expected {total} - {chunk0} late-dropped"
+    )
+    assert emitted < total, "the drop path must actually fire"
