@@ -361,3 +361,76 @@ def kanonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < 5)
     )
+
+
+@register(
+    "timeseries_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
+                  AS DOUBLE) AS day_value
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    mx AS (SELECT max(day) AS dmax FROM daily),
+    spine AS (
+      SELECT u.user_id, unnest(range(u.d0, mx.dmax + 1)) AS day
+      FROM (SELECT user_id, min(day) AS d0 FROM daily GROUP BY 1) u, mx),
+    j AS (SELECT s.user_id, s.day, d.day_value
+          FROM spine s LEFT JOIN daily d USING (user_id, day))
+    SELECT user_id, day,
+           last_value(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           (day_value IS NOT NULL) AS is_observed
+    FROM j
+    """,
+    doc="Time-series gap filling with last-observation-carried-forward — "
+    "the hypertable/continuous-aggregate shape: per-user daily rollup "
+    "(decimal-exact sums), a dense date spine from each user's first "
+    "observed day to the corpus's last day (explode(sequence), narrow "
+    "after a broadcast of the single global-max row), left join the "
+    "observations back onto the spine, and fill gaps with "
+    "last(ignorenulls) over the per-user ordered window. Spine size is "
+    "|users| x |days| — the join and window shuffle ONCE on user_id. "
+    "Contract: NULL user_id / ts / value rows are not observations (a "
+    "day whose only events carry NULL values is a gap); the first spine "
+    "day is observed by construction, so value_filled is never NULL.",
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "user_id", (F.unix_micros("ts") / 86400000000).cast("long").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(32,2)")
+        .cast("double")
+        .alias("day_value")
+    )
+    dmax = daily.agg(F.max("day").alias("dmax"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"))
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("dmax"))).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("day_value").isNotNull().alias("is_observed"),
+    )

@@ -84,6 +84,9 @@ SWEPT = [
     "validate_constraints",
     "kanonymity_check",
     "parquet_schema_evolution",
+    # time series: NULL user_id/ts/value rows are not observations — a day
+    # whose only events carry NULLs is a gap, filled by LOCF
+    "timeseries_gapfill_locf",
 ]
 
 
