@@ -263,12 +263,12 @@ def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     UNION ALL
     SELECT 'value_non_negative', count(value)::BIGINT,
-           sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT
+           coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0)::BIGINT
     FROM events
     UNION ALL
     SELECT 'event_type_in_domain', count(event_type)::BIGINT,
-           sum(CASE WHEN event_type NOT IN
-                    ('view', 'click', 'purchase', 'signup') THEN 1 ELSE 0 END)::BIGINT
+           coalesce(sum(CASE WHEN event_type NOT IN
+                    ('view', 'click', 'purchase', 'signup') THEN 1 ELSE 0 END), 0)::BIGINT
     FROM events
     """,
     doc="Declarative data-validation audit (the Deequ/expectations shape a "
@@ -404,13 +404,19 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("ts").isNotNull()
         & F.col("value").isNotNull()
     )
-    daily = ev.groupBy(
-        "user_id", (F.unix_micros("ts") / 86400000000).cast("long").alias("day")
-    ).agg(
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(32,2)")
-        .cast("double")
-        .alias("day_value")
+    # `daily` feeds THREE consumers (global max, per-user spine starts, and
+    # the join probe side) — persist it or the scan+shuffle runs three times.
+    daily = (
+        ev.groupBy(
+            "user_id", (F.unix_micros("ts") / 86400000000).cast("long").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(32,2)")
+            .cast("double")
+            .alias("day_value")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dmax = daily.agg(F.max("day").alias("dmax"))
     spine = (

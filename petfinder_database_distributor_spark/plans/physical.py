@@ -246,15 +246,15 @@ def runtime_bloom_join_plan(spark: SparkSession, sf_dir: str) -> str:
     import io
     from contextlib import redirect_stdout
 
-    saved = {}
-    overrides = {
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    for k, v in overrides.items():
-        saved[k] = spark.conf.get(k)
-        spark.conf.set(k, v)
-    try:
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        scoped_conf,
+    )
+
+    with scoped_conf(
+        spark,
+        spark__sql__optimizer__runtime__bloomFilter__applicationSideScanSizeThreshold="0",
+        spark__sql__autoBroadcastJoinThreshold="-1",
+    ):
         li = load_table(spark, sf_dir, "lineitem")
         orders = load_table(spark, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
@@ -266,6 +266,3 @@ def runtime_bloom_join_plan(spark: SparkSession, sf_dir: str) -> str:
         with redirect_stdout(buf):
             joined.explain("formatted")
         return buf.getvalue()
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
