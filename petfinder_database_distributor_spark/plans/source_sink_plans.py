@@ -347,3 +347,59 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{path}/gen=1", f"{path}/gen=2"
     )
     return merged.select("doc_id", "lang", F.col("n_chars").cast("long"))
+
+
+@register(
+    "text_log_parse",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n_lines,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
+                AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      AND value IS NOT NULL AND ts IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Raw-log text source: events rendered as classic log lines "
+    "('<epoch_us> user=<id> type=<type> value=<v>'), written as real .txt "
+    "files, read back with spark.read.text and parsed with ONE compiled "
+    "regexp via regexp_extract — the shape of every 100 TB raw-log ingest "
+    "(text scan is splittable by line; the regex runs inside whole-stage "
+    "codegen, never a Python UDF). Values survive the text boundary via "
+    "Java's shortest-round-trip double repr (%s), so the post-parse "
+    "aggregate matches the source table bit-for-bit. Rows with NULL "
+    "key fields are not rendered (a log line has no representation for "
+    "them) — the oracle states the same predicate.",
+)
+def text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    lines = ev.select(
+        F.concat(
+            F.unix_micros("ts").cast("string"),
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" type="), F.col("event_type"),
+            F.lit(" value="), F.col("value").cast("string"),
+        ).alias("value")
+    )
+    path = f"{SCRATCH_ROOT}/logtext_{os.path.basename(sf_dir.rstrip('/'))}"
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    pat = r"^(\d+) user=(-?\d+) type=(\S+) value=(\S+)$"
+    parsed = raw.select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("ts_us"),
+        F.regexp_extract("value", pat, 2).cast("long").alias("user_id"),
+        F.regexp_extract("value", pat, 3).alias("event_type"),
+        F.regexp_extract("value", pat, 4).cast("double").alias("value"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(32,2)")
+        .cast("double")
+        .alias("total_value"),
+    )

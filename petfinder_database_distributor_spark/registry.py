@@ -192,8 +192,9 @@ PRIORITY: list[str] = [
     "j7_runtime_bloom_join",
     "stream_late_data_drop",
     "timeseries_gapfill_locf",
+    "text_log_parse",
     # r6-head contract covers EVERYTHING from sketch_bloom_membership down
-    # to timeseries_gapfill_locf: the r6 driver window head is this whole
+    # to text_log_parse: the r6 driver window head is this whole
     # tail (98 entries queue behind the 50-slot window; rotate oldest-first
     # over r6/r7 per the cadence rule).
 ]

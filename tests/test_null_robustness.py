@@ -87,6 +87,9 @@ SWEPT = [
     # time series: NULL user_id/ts/value rows are not observations — a day
     # whose only events carry NULLs is a gap, filled by LOCF
     "timeseries_gapfill_locf",
+    # raw-log boundary: rows with NULL key fields have no log-line
+    # representation and are not rendered (oracle states the predicate)
+    "text_log_parse",
 ]
 
 
