@@ -193,8 +193,9 @@ PRIORITY: list[str] = [
     "stream_late_data_drop",
     "timeseries_gapfill_locf",
     "text_log_parse",
+    "rollup_incremental_merge",
     # r6-head contract covers EVERYTHING from sketch_bloom_membership down
-    # to text_log_parse: the r6 driver window head is this whole
+    # to rollup_incremental_merge: the r6 driver window head is this whole
     # tail (98 entries queue behind the 50-slot window; rotate oldest-first
     # over r6/r7 per the cadence rule).
 ]

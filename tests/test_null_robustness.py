@@ -90,6 +90,9 @@ SWEPT = [
     # raw-log boundary: rows with NULL key fields have no log-line
     # representation and are not rendered (oracle states the predicate)
     "text_log_parse",
+    # continuous aggregate: NULL ts/type/value rows contribute to neither
+    # the materialized rollup nor the open-day path
+    "rollup_incremental_merge",
 ]
 
 
