@@ -469,6 +469,7 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
 
     from petfinder_database_distributor_spark.streaming.incremental import (
         SCRATCH_ROOT,
@@ -480,7 +481,6 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("value").isNotNull()
     )
     day = (F.unix_micros("ts") / 86400000000).cast("long")
-    last_day = ev.agg(F.max(day).alias("d")).collect()[0].d
 
     def daily(df):
         return df.groupBy(day.alias("day"), "event_type").agg(
@@ -491,17 +491,31 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
 
-    # nightly refresh: materialize every CLOSED day once
-    path = f"{SCRATCH_ROOT}/rollup_{os.path.basename(sf_dir.rstrip('/'))}"
+    # Cache keyed on the FULL sf_dir path (the staging precedent —
+    # basename alone would let /a/sf0.1 serve /b/sf0.1's history), guarded
+    # by source existence + mtime; the marker records last_day so cached
+    # calls never re-scan raw history just to find the open day.
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    path = f"{SCRATCH_ROOT}/rollup_{tag}"
     marker = f"{path}._ok"
     src = f"{sf_dir.rstrip('/')}/events.parquet"
-    if not (
+    if (
         os.path.exists(marker)
+        and os.path.exists(src)
         and os.stat(marker).st_mtime > os.stat(src).st_mtime
     ):
-        daily(ev.filter(day < last_day)).write.mode("overwrite").parquet(path)
-        with open(marker, "w"):
-            pass
+        with open(marker) as fh:
+            last_day = int(fh.read().strip())
+    else:
+        last_day = ev.agg(F.max(day).alias("d")).collect()[0].d
+        # atomic commit protocol (write elsewhere, then os.replace) —
+        # a concurrent reader never sees a half-written rollup
+        tmp = f"{path}._tmp"
+        daily(ev.filter(day < last_day)).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+        with open(marker, "w") as fh:
+            fh.write(str(last_day))  # marker last: a crash restages
     closed = spark.read.parquet(path)
     # query time: only the open day touches raw events
     fresh = daily(ev.filter(day == last_day))

@@ -389,7 +389,12 @@ def text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{SCRATCH_ROOT}/logtext_{os.path.basename(sf_dir.rstrip('/'))}"
     lines.write.mode("overwrite").text(path)
     raw = spark.read.text(path)
-    pat = r"^(\d+) user=(-?\d+) type=(\S+) value=(\S+)$"
+    # Total over the rendered domain: ts may be negative (pre-1970),
+    # event_type may contain spaces (greedy .* backtracks to the LAST
+    # ' value=' — safe because the value field itself never has spaces),
+    # so no rendered line can silently fail the match into a phantom
+    # empty-string group.
+    pat = r"^(-?\d+) user=(-?\d+) type=(.*) value=(\S+)$"
     parsed = raw.select(
         F.regexp_extract("value", pat, 1).cast("long").alias("ts_us"),
         F.regexp_extract("value", pat, 2).cast("long").alias("user_id"),

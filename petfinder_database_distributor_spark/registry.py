@@ -196,7 +196,7 @@ PRIORITY: list[str] = [
     "rollup_incremental_merge",
     # r6-head contract covers EVERYTHING from sketch_bloom_membership down
     # to rollup_incremental_merge: the r6 driver window head is this whole
-    # tail (98 entries queue behind the 50-slot window; rotate oldest-first
+    # tail (101 entries queue behind the 50-slot window; rotate oldest-first
     # over r6/r7 per the cadence rule).
 ]
 
