@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 from petfinder_database_distributor_spark.operators.text import (
     MERSENNE_P,
     bag_of_words_fingerprint,
+    md5int,
     shingles,
     tokens,
 )
@@ -241,61 +242,55 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_band_hashes_udf(k: int = 32, bands: int = 16):
-    """Pandas UDF: shingle array → array of ``bands`` band-bucket hashes.
+def minhash_band_buckets(
+    sh: DataFrame, id_col: str, k: int = 32, bands: int = 16
+) -> DataFrame:
+    """(id, band, bucket-hash) rows from a shingle-array frame, fully in
+    native expressions — zero Python in the signature path.
 
-    Per Arrow batch: md5 every shingle (hashlib — bit-identical to the
-    engines' md5), take the first 15 hex chars as a 60-bit int mod the
-    Mersenne prime, run all k permutations as ONE integer matmul-style
-    broadcastized min ((2i+1)·h + (17i+3) mod P; products < 2^37, exact in
-    int64 and in DuckDB's arithmetic), then md5 the comma-joined decimal
-    signature slice per band — byte-identical to the previous
-    ``md5(concat_ws(',', …))`` expression, so the DuckDB oracle is
-    untouched.
+    Shape mirrors the DuckDB oracle stage-for-stage: explode shingles →
+    portable md5int mod the Mersenne prime → ONE hash-aggregate by id with
+    k ``min((2i+1)·h + (17i+3) mod P)`` expressions (map-side partial min,
+    so the shuffle carries one k-wide row per id per map partition, not
+    postings) → md5 of the comma-joined decimal signature slice per band.
+    Products < 2^37, exact in int64 on both engines; ``cast(long as
+    string)`` is plain decimal digits in Spark, DuckDB's ``::VARCHAR`` and
+    Python's ``str()`` alike, so band hashes stay byte-identical to both
+    the oracle and the retired pandas-UDF implementation.
 
-    This replaces a k=32-unrolled ``array_min(transform(...))`` expression
-    tree that cost ~3.3s of Catalyst analysis + ~4s of Janino codegen PER
-    QUERY before a single row moved (three registered queries embed it),
-    with interpreted HOF execution on top. Same deliberate-UDF rationale as
-    srp_band_keys_udf: Arrow-batched C/hashlib beats uncompilable
-    expression forests, and the exact-integer construction keeps oracle
-    parity bit-for-bit."""
+    History (why expressions, and why THESE expressions): a k=32-unrolled
+    per-row ``array_min(transform(...))`` HOF forest cost ~3.3s Catalyst
+    analysis + ~4s Janino codegen per embedding query and was replaced by
+    an Arrow/hashlib pandas UDF (round 3); the UDF then became the dedup
+    family's hot spot (round-5 verdict #1: per-shingle Python-loop md5).
+    The explode+groupBy form has neither problem: k flat arithmetic
+    aggregates compile in milliseconds and the md5 runs JVM-side inside
+    whole-stage codegen."""
     r = k // bands
-    mersenne_p = MERSENNE_P  # closure-local so the UDF pickles by value
-
-    def band_hashes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        import hashlib as _hashlib
-
-        import numpy as _np
-
-        coeff_a = (2 * _np.arange(k, dtype=_np.int64) + 1)[:, None]
-        coeff_b = (17 * _np.arange(k, dtype=_np.int64) + 3)[:, None]
-        for s in batches:
-            if s.empty:
-                yield s
-                continue
-            out = []
-            for shingles_list in s:
-                h = _np.array(
-                    [
-                        int(_hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16)
-                        % mersenne_p
-                        for x in shingles_list
-                    ],
-                    dtype=_np.int64,
+    hx = sh.select(F.col(id_col), F.explode("sh").alias("__x")).select(
+        F.col(id_col), (md5int(F.col("__x")) % MERSENNE_P).alias("h")
+    )
+    sig = hx.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(2 * i + 1) * F.col("h") + F.lit(17 * i + 3)) % MERSENNE_P
+            ).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"m{j * r + i}").cast("string") for i in range(r)]
                 )
-                sig = ((coeff_a * h[None, :] + coeff_b) % mersenne_p).min(axis=1)
-                out.append(
-                    [
-                        _hashlib.md5(
-                            ",".join(str(v) for v in sig[j * r : (j + 1) * r]).encode()
-                        ).hexdigest()
-                        for j in range(bands)
-                    ]
-                )
-            yield pd.Series(out)
-
-    return F.pandas_udf(band_hashes, T.ArrayType(T.StringType()))
+            )
+            for j in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
+    )
 
 
 def minhash_lsh_pairs(
@@ -315,12 +310,7 @@ def minhash_lsh_pairs(
     candidate set — at 100 TB this is the only scalable shape for
     unknown-similarity dedup (no all-pairs stage exists anywhere)."""
     sh = with_shingles(df, id_col, text_col, n)
-    buckets = sh.select(
-        F.col(id_col),
-        F.posexplode(minhash_band_hashes_udf(k, bands)(F.col("sh"))).alias(
-            "band", "bh"
-        ),
-    )
+    buckets = minhash_band_buckets(sh, id_col, k, bands)
 
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
