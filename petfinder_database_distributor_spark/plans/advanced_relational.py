@@ -371,6 +371,57 @@ def j4_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j8_aqe_skew_join",
+    oracle="""
+    SELECT CAST(CASE WHEN l.l_suppkey % 10 <> 0 THEN 1 ELSE l.l_suppkey END AS BIGINT) AS k,
+           count(*) AS n,
+           CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem l
+    JOIN supplier s
+      ON s.s_suppkey = (CASE WHEN l.l_suppkey % 10 <> 0 THEN 1 ELSE l.l_suppkey END)
+    GROUP BY 1
+    """,
+    doc="AQE skew-join demonstration (round-5 verdict #5), the runtime "
+    "complement to the manual j4_salted_join: ~90% of lineitem rows are "
+    "remapped onto ONE supplier key before the join, so the shuffle "
+    "partition for that key dwarfs the rest. Under adaptive execution "
+    "(spark.sql.adaptive.skewJoin, on by default) Spark splits the fat "
+    "partition into multiple tasks at runtime — no salt column, no plan "
+    "rewrite, results unchanged; tests/test_plan_quality.py executes this "
+    "exact query with SMJ forced and asserts the executed plan marks "
+    "skew=true. At bench scale the optimizer rightly broadcasts the small "
+    "supplier side instead; at 100 TB both sides shuffle and the AQE path "
+    "is the one that runs.",
+)
+def j8_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    hot_k = (
+        F.when(F.col("l_suppkey") % 10 != 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .cast("long")
+    )
+    # ensure_parallelism matters beyond throughput here: AQE splits a
+    # skewed REDUCE partition along map-output-block boundaries, so a
+    # single-map-task scan (one small parquet file) leaves nothing to
+    # split — exactly the local-fixture artifact a 100 TB scan never has.
+    left = ensure_parallelism(li.select(hot_k.alias("k"), "l_quantity"))
+    right = sup.select(F.col("s_suppkey").cast("long").alias("k"))
+    return (
+        left.join(right, "k")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .cast("long")
+            .alias("qty_cents"),
+        )
+    )
+
+
 _Q17_SQL = """
     SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) / 7.0
              AS avg_yearly

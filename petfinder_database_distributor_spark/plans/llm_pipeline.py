@@ -17,6 +17,7 @@ from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_auto,
     simhash_blocks,
     simhash_signatures,
     simhash_neardup_pairs,
@@ -263,6 +264,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    # Posture-independent oracle: direct and salted are both EXACT, so the
+    # chooser never changes results — only the shuffle layout.
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -272,9 +275,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len(list_intersect(a.s, b.s))::DOUBLE
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
     """,
-    doc="EXACT near-dup pairs by 3-gram Jaccard (inverted-index join, count-based intersection — never all-pairs)",
+    doc="EXACT near-dup pairs by 3-gram Jaccard; the unqualified name is the "
+    "deployable chooser (round-5 verdict #3): it measures Σdf² and picks the "
+    "direct postings join when small, the salted two-phase join when "
+    "duplication would skew-bind a reducer — never the unguarded baseline",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_auto(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard_baseline",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+    doc="The raw direct-join exact form, Σdf²-guarded (refuses above "
+    "max_join_rows instead of launching a skewed shuffle) — kept as the "
+    "mutual-witness parity baseline; deploy dedup_ngram_jaccard instead",
+)
+def dedup_ngram_jaccard_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
@@ -1267,7 +1293,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
     # candidate-pair scale: a small per-round shuffle beats scan-scale task overhead
-    comp = connected_components(pairs, shuffle_partitions=8)
+    comp = connected_components(pairs, shuffle_partitions="auto")
     return comp.select(
         F.col("id").alias("doc_id"),
         "component",
@@ -1309,7 +1335,7 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
     # candidate-pair scale: a small per-round shuffle beats scan-scale task overhead
-    comp = connected_components_star(pairs, shuffle_partitions=8)
+    comp = connected_components_star(pairs, shuffle_partitions="auto")
     return comp.select(
         F.col("id").alias("doc_id"),
         "component",
@@ -1399,7 +1425,7 @@ def dedup_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
-    comp = resolve_components(pairs, shuffle_partitions=8)
+    comp = resolve_components(pairs, shuffle_partitions="auto")
     drops = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )

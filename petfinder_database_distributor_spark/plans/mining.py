@@ -628,7 +628,7 @@ def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
-    comp = connected_components_star(pairs, shuffle_partitions=8)
+    comp = connected_components_star(pairs, shuffle_partitions="auto")
     t = F.col("text")
     q = docs.select(
         "doc_id", t, tokens(t).alias("toks")

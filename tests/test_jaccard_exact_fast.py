@@ -81,3 +81,41 @@ def test_df_cap_and_hot_cap_mutually_exclusive(spark):
     docs = make_docs(spark, BASE_TEXTS)
     with pytest.raises(ValueError, match="mutually exclusive"):
         ngram_jaccard_pairs(docs, "doc_id", "text", df_cap=8, hot_cap=8)
+
+
+def test_choose_jaccard_posture_decision_rule():
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        JACCARD_DIRECT_MAX_POSTINGS_SQ,
+        choose_jaccard_posture,
+    )
+
+    assert choose_jaccard_posture(None) == "direct"  # empty corpus
+    assert choose_jaccard_posture(0) == "direct"
+    assert choose_jaccard_posture(JACCARD_DIRECT_MAX_POSTINGS_SQ) == "direct"
+    assert choose_jaccard_posture(JACCARD_DIRECT_MAX_POSTINGS_SQ + 1) == "salted"
+    assert choose_jaccard_posture(100, direct_max=99) == "salted"
+    assert choose_jaccard_posture(100, direct_max=100) == "direct"
+
+
+@pytest.mark.parametrize("direct_max", [0, 10**9])
+def test_auto_posture_exact_at_both_postures(spark, direct_max):
+    # direct_max=0 forces the salted leg, direct_max=1e9 the direct leg;
+    # the chooser must be invisible in the results either way.
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        ngram_jaccard_pairs_auto,
+    )
+
+    texts = [t for t in BASE_TEXTS for _ in range(4)]
+    docs = make_docs(spark, texts)
+    raw = pairs_of(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, max_join_rows=None
+        )
+    )
+    auto = pairs_of(
+        ngram_jaccard_pairs_auto(
+            docs, "doc_id", "text", n=3, threshold=0.5, direct_max=direct_max
+        )
+    )
+    assert auto == raw
+    assert raw

@@ -303,40 +303,41 @@ def test_aqe_splits_skewed_join_partitions(spark):
     behind the manual salting operators (j4_salted_join,
     dedup_ngram_jaccard_salted): when one join key dominates, AQE splits
     the oversized shuffle partition into multiple tasks instead of
-    serializing on one reducer. Thresholds are scoped down so the sf0.001
-    fixture's skew (~90% of rows on one key) crosses them; the executed
-    adaptive plan must mark the sort-merge join's skewed side and results
-    must be unchanged."""
-    from pyspark.sql import functions as F
-
+    serializing on one reducer. Drives the REGISTERED j8_aqe_skew_join
+    query (whose fixture remaps ~90% of lineitem rows onto one supplier
+    key) with SMJ forced and thresholds scoped down so the sf0.001 volume
+    crosses them; the executed adaptive plan must mark the sort-merge
+    join's skewed side and results must be unchanged."""
     from petfinder_database_distributor_spark.streaming.incremental import scoped_conf
 
-    left = spark.range(0, 50_000).select(
-        # ~90% of rows share key 0 — one shuffle partition dwarfs the rest
-        F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
-        F.col("id").alias("payload"),
-    )
-    right = spark.range(0, 2_000).select(F.col("id").alias("k"))
     with scoped_conf(
         spark,
         spark__sql__autoBroadcastJoinThreshold="-1",  # force SMJ: skew matters
         spark__sql__adaptive__skewJoin__enabled="true",
         spark__sql__adaptive__skewJoin__skewedPartitionFactor="1.0",
-        spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes="16KB",
-        spark__sql__adaptive__advisoryPartitionSizeInBytes="16KB",
+        spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes="2KB",
+        spark__sql__adaptive__advisoryPartitionSizeInBytes="2KB",
+        # the query aggregates ON the join key, so splitting the skewed
+        # partition costs an extra exchange before the agg — AQE skips the
+        # optimization by default in that case; force it (that trade is
+        # exactly right when one reducer would otherwise take the whole
+        # hot key) so the executed plan demonstrates the split.
+        spark__sql__adaptive__forceOptimizeSkewedJoin="true",
     ):
-        j = left.join(right, on="k")
+        j = SPECS["j8_aqe_skew_join"].fn(spark, SF_SMALL)
         # Execute THROUGH the same Dataset (count() would build its own
         # QueryExecution and leave this one unexecuted/isFinalPlan=false);
         # skew handling is decided at runtime, so only the final adaptive
         # plan of the executed query shows it.
-        n = len(j.collect())
+        rows = {r["k"]: r["n"] for r in j.collect()}
         executed = j._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in executed, (
         "AQE must mark the skewed SMJ side for partition splitting:\n"
         + executed[:2000]
     )
-    assert n == 45_000 + 200, "skew splitting must not change join results"
+    total = sum(rows.values())
+    assert rows[1] > 0.8 * total, "fixture must actually be skewed onto key 1"
+    assert len(rows) > 1, "non-hot suppkeys must survive the join"
 
 
 def test_sketch_plans_partial_aggregate_no_expand(spark):
@@ -505,3 +506,41 @@ def test_runtime_bloom_filter_injects(spark):
     assert "l_orderkey" in p.split("might_contain", 1)[1][:200], (
         "the probe must sit on the fact join key"
     )
+
+
+def test_no_literal_reducer_counts_in_plans():
+    """Round-5 verdict #4: no registered plan may pin a literal shuffle
+    partition count — the clustering loops take shuffle_partitions="auto"
+    (derived from the materialized edge count, capped by the session conf)
+    or None, never a magic integer that is right at one scale factor and
+    wrong at 100 TB."""
+    import pathlib
+    import re
+
+    plans_dir = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "petfinder_database_distributor_spark"
+        / "plans"
+    )
+    offenders = []
+    for f in sorted(plans_dir.glob("*.py")):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if re.search(r"shuffle_partitions\s*=\s*\d", line):
+                offenders.append(f"{f.name}:{i}: {line.strip()}")
+    assert not offenders, "literal reducer counts in plans:\n" + "\n".join(offenders)
+
+
+def test_auto_loop_partitions_derivation(spark):
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        EDGES_PER_LOOP_PARTITION,
+        _auto_loop_partitions,
+    )
+
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _auto_loop_partitions(spark, 0) == 1
+    assert _auto_loop_partitions(spark, 1) == 1
+    assert _auto_loop_partitions(spark, EDGES_PER_LOOP_PARTITION) == 1
+    assert _auto_loop_partitions(spark, EDGES_PER_LOOP_PARTITION + 1) == min(session, 2)
+    assert (
+        _auto_loop_partitions(spark, 10**12) == session
+    ), "the session conf is the cluster-sized ceiling"
