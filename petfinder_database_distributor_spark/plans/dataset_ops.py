@@ -15,11 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 from petfinder_database_distributor_spark.operators.text import MD5INT_SQL, md5int
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.util import int_div
 
 _MD5INT = MD5INT_SQL
 
@@ -52,6 +52,19 @@ def global_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_index(docs)
 
 
+def shuffle_layout(docs: DataFrame) -> DataFrame:
+    """Phase 1 of the global permutation: (doc_id, hash key, partition id)
+    range-partitioned by the key. Split out (un-checkpointed) so the plan
+    test can assert the range exchange, which the checkpoint in
+    :func:`shuffle_index` otherwise truncates out of explain output."""
+    key = md5int(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", key.alias("k"))
+        .repartitionByRange(F.col("k"), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+
 def shuffle_index(docs: DataFrame) -> DataFrame:
     """Two-phase global permutation over ``docs`` (needs non-null doc_id).
 
@@ -59,14 +72,12 @@ def shuffle_index(docs: DataFrame) -> DataFrame:
     plan exists exactly once. No sortWithinPartitions after the range
     exchange: the pid-partitioned rank window performs its own sort, so a
     pre-sort would be paid and then thrown away by the window's Exchange.
+    The laid-out frame feeds BOTH the offsets aggregate and the final join
+    — localCheckpoint (eager) materializes it once and, unlike persist(),
+    releases its blocks on GC instead of pinning a session-lifetime cache
+    entry (round-5 advice).
     """
-    key = md5int(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
-    laid = (
-        docs.select("doc_id", key.alias("k"))
-        .repartitionByRange(F.col("k"), F.col("doc_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    laid = shuffle_layout(docs).localCheckpoint(eager=True)
     # counts is |partitions| rows — the single-partition window over it is a
     # driver-sized job, not a data-sized one.
     offsets = (
@@ -241,7 +252,7 @@ def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "size_chars",
-        F.floor(cum / F.lit(5000)).cast("long").alias("bin_id"),
+        int_div(cum, 5000).alias("bin_id"),
     )
 
 
@@ -356,7 +367,7 @@ def kanonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(
             F.coalesce(F.col("source"), F.lit("")).alias("source"),
             F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
-            F.floor(F.col("n_chars") / 200).alias("len_bucket"),
+            int_div(F.col("n_chars"), 200).alias("len_bucket"),
         )
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < 5)
@@ -405,7 +416,9 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("value").isNotNull()
     )
     # `daily` feeds THREE consumers (global max, per-user spine starts, and
-    # the join probe side) — persist it or the scan+shuffle runs three times.
+    # the join probe side) — materialize it once (localCheckpoint: blocks
+    # are GC-reclaimed with the plan, unlike persist(), which pins a cache
+    # entry for the session lifetime — round-5 advice).
     daily = (
         ev.groupBy(
             "user_id", (F.unix_micros("ts") / 86400000000).cast("long").alias("day")
@@ -416,7 +429,7 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("day_value")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     dmax = daily.agg(F.max("day").alias("dmax"))
     spine = (
@@ -508,14 +521,24 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_day = int(fh.read().strip())
     else:
         last_day = ev.agg(F.max(day).alias("d")).collect()[0].d
+        if last_day is None:
+            # empty events table: nothing closed, nothing open — writing
+            # 'None' to the marker would crash the NEXT (cached) call at
+            # int(); skip the cache entirely and return the empty rollup.
+            return daily(ev)
         # atomic commit protocol (write elsewhere, then os.replace) —
         # a concurrent reader never sees a half-written rollup
         tmp = f"{path}._tmp"
         daily(ev.filter(day < last_day)).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path, ignore_errors=True)
         os.replace(tmp, path)
-        with open(marker, "w") as fh:
-            fh.write(str(last_day))  # marker last: a crash restages
+        # marker last (a crash restages), and via the same tmp+rename
+        # protocol as the rollup dir: a plain open/write could expose a
+        # truncated marker to a concurrent reader mid-write.
+        mtmp = f"{marker}._tmp"
+        with open(mtmp, "w") as fh:
+            fh.write(str(last_day))
+        os.replace(mtmp, marker)
     closed = spark.read.parquet(path)
     # query time: only the open day touches raw events
     fresh = daily(ev.filter(day == last_day))

@@ -2294,10 +2294,10 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks = F.ceil(F.size("t") / F.lit(float(W))).cast("int")
     piece = F.slice(F.col("t"), F.col("i") * W + 1, W)
     # The (doc_id, h, plen) triples feed BOTH the common-set build and the
-    # probe side of the broadcast join; persist the compact triples so the
-    # scan + tokenize + explode + hash pipeline runs once, not twice.
-    from pyspark.storagelevel import StorageLevel
-
+    # probe side of the broadcast join; checkpoint the compact triples so
+    # the scan + tokenize + explode + hash pipeline runs once, not twice
+    # (localCheckpoint, not persist: blocks release on GC instead of
+    # pinning a session-lifetime cache entry — round-5 advice).
     chunks = (
         toked.select(
             "doc_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"), "t"
@@ -2307,7 +2307,7 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5int(F.concat_ws(" ", piece)).alias("h"),
             F.size(piece).alias("plen"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     common = (
         chunks.groupBy("h")

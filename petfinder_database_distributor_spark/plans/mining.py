@@ -526,19 +526,17 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pins that lever).",
 )
 def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     from petfinder_database_distributor_spark.operators.text import distinct_tokens
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # Persist the exploded token set: it feeds BOTH sides of the df join
+    # Checkpoint the exploded token set: it feeds BOTH sides of the df join
     # (build: token->df agg; probe: per-doc re-agg) and Catalyst does not
     # CSE a self-referencing subtree across a join, so without the cache
     # the interpreted-HOF tokenization runs twice over the full corpus —
     # the same working-set shape as k-means' persisted quantization.
     toks = docs.select(
         "doc_id", F.explode(distinct_tokens(F.col("text"))).alias("tok")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     per = (
         toks.join(dfreq, "tok")

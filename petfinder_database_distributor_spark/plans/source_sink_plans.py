@@ -395,11 +395,19 @@ def text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so no rendered line can silently fail the match into a phantom
     # empty-string group.
     pat = r"^(-?\d+) user=(-?\d+) type=(.*) value=(\S+)$"
+    # ONE regex evaluation per row (round-5 advice: four regexp_extract
+    # calls quadruple the codegen regex work on a corpus-sized scan):
+    # rewrite the matched line into \x01-separated groups, then project
+    # the fields with cheap splits. \x01 cannot appear in rendered lines
+    # (digits, '=', and parquet strings the generator draws from ASCII).
+    packed = F.split(
+        F.regexp_replace("value", pat, "$1\x01$2\x01$3\x01$4"), "\x01"
+    )
     parsed = raw.select(
-        F.regexp_extract("value", pat, 1).cast("long").alias("ts_us"),
-        F.regexp_extract("value", pat, 2).cast("long").alias("user_id"),
-        F.regexp_extract("value", pat, 3).alias("event_type"),
-        F.regexp_extract("value", pat, 4).cast("double").alias("value"),
+        packed.getItem(0).cast("long").alias("ts_us"),
+        packed.getItem(1).cast("long").alias("user_id"),
+        packed.getItem(2).alias("event_type"),
+        packed.getItem(3).cast("double").alias("value"),
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_lines"),

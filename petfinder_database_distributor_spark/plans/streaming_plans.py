@@ -84,7 +84,11 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_windowed_totals",
     oracle="""
-    SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
+    -- FLOOR division (// truncates toward zero): Spark's window('1 day')
+    -- floors to the day boundary, so pre-1970 timestamps agree too
+    SELECT (epoch_us(ts) // 86400000000)
+           - CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN 1 ELSE 0 END
+           AS day_idx, event_type,
            count(*) AS n_events,
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) AS total_value
     FROM events
@@ -349,7 +353,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_late_data_drop",
     oracle="""
     WITH per AS (SELECT (count(*) + 3) // 4 AS p FROM events)
-    SELECT epoch_us(ts) // 86400000000 AS day_idx,
+    -- FLOOR division (// truncates toward zero): Spark's window('1 day')
+    -- floors to the day boundary, so pre-1970 timestamps agree too
+    SELECT (epoch_us(ts) // 86400000000)
+           - CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN 1 ELSE 0 END
+           AS day_idx,
            count(*)::BIGINT AS n_events,
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
                 AS DOUBLE) AS total_value

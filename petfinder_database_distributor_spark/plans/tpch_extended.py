@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
@@ -404,7 +403,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_rev()).alias("value"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     total = holdings.agg(F.sum("value").alias("total"))
     return (
@@ -512,7 +511,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q15 top supplier: quarterly revenue per supplier, then the "
     "argmax row(s) by decimal-exact equality against a 1-row broadcast max "
     "(the view + scalar-subquery shape, decorrelated). The per-supplier "
-    "agg is persisted so the max and the filter read one materialization "
+    "agg is checkpointed so the max and the filter read one materialization "
     "instead of scanning lineitem twice. Ties all surface, "
     "deterministically.",
 )
@@ -525,7 +524,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(F.sum(_rev()).alias("total_rev"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     best = rev.agg(F.max("total_rev").alias("best"))
     return (

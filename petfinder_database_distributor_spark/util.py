@@ -6,6 +6,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def int_div(a: Column, b: int) -> Column:
+    """Truncating integer division (toward zero) over integer columns,
+    exact across the full int64 range — the cross-engine twin of DuckDB's
+    integer ``//`` (probed: ``-5 // 2 = -2``, truncation).
+
+    Replaces the ``floor(a / b)`` idiom (round-5 advice): floor-of-double
+    (a) rounds toward -inf, diverging from the oracle for negative
+    dividends, and (b) loses exactness once ``a`` exceeds 2^53.
+    ``a - (a % b)`` is exactly divisible (Spark's ``%`` takes the
+    dividend's sign, so the adjustment truncates toward zero) and the
+    division runs in DECIMAL(38,0) where the integral quotient is exact."""
+    bb = F.lit(b)
+    return ((a - (a % bb)).cast("decimal(38,0)") / bb).cast("long")
+
+
 def execution_guard(df: DataFrame, ok: Column, msg: Column) -> DataFrame:
     """Attach a deferred scale guard to ``df``: ``ok`` (typically built from
     a ``DataFrame.scalar()`` subquery so it can aggregate over the data) is

@@ -50,8 +50,22 @@ def test_shuffle_index_plan_two_phase(spark):
     """The data-sized path must go through range partitioning + a
     pid-partitioned window — never a global-ORDER-BY window (which would
     be an Exchange SinglePartition carrying every row)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from petfinder_database_distributor_spark.plans.dataset_ops import shuffle_layout
+    from petfinder_database_distributor_spark.schema import load_table
+
+    # Phase 1 on the un-checkpointed layout builder (the checkpoint inside
+    # shuffle_index truncates the range exchange out of explain output).
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id").isNotNull())
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        shuffle_layout(docs).explain("formatted")
+    assert "rangepartitioning" in buf.getvalue().lower(), (
+        "phase 1 must range-partition by the hash key"
+    )
     p = plan_of(spark, "global_shuffle_index")
-    assert "rangepartitioning" in p.lower(), "phase 1 must range-partition by the hash key"
     assert "hashpartitioning(pid" in p, "the rank window must partition by pid"
 
 
