@@ -91,15 +91,16 @@ _BOOL_FIELDS = ["f_flag"]
 # X1–X7 scalar functions
 # ---------------------------------------------------------------------------
 
-@register(
-    "ref_clean_text",
-    oracle="""
+# X1 clean_text: trim + strip trailing footnote asterisks
+# (pet_scraper.py:125-132). Folded into ref_scalar_suite (round-5 verdict
+# #6) — the function and oracle fragment stay as the composite's X1 family.
+_X1_ORACLE = """
     SELECT doc_id,
            coalesce(trim(regexp_replace(trim(text || ' *** '), '\\*+$', '')), '') AS cleaned
     FROM documents
-    """,
-    doc="X1 clean_text: trim + strip trailing footnote asterisks (pet_scraper.py:125-132)",
-)
+"""
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dirty = F.concat(F.col("text"), F.lit(" *** "))
@@ -119,17 +120,17 @@ _PB_SQL = """
 """
 
 
-@register(
-    "ref_parse_boolean",
-    oracle=f"""
+# X2 parse_boolean: negatives-first substring parse, empty→NULL
+# (pet_scraper.py:221-238, :305-322). Folded into ref_scalar_suite.
+_X2_ORACLE = f"""
     SELECT doc_id,
            {_PB_SQL.format(c="lang")} AS lang_bool,
            {_PB_SQL.format(c="source")} AS source_bool,
            {_PB_SQL.format(c="nullif(lang, 'en')")} AS tri_state
     FROM documents
-    """,
-    doc="X2 parse_boolean: negatives-first substring parse, empty→NULL (pet_scraper.py:221-238, :305-322)",
-)
+"""
+
+
 def q_parse_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -140,9 +141,9 @@ def q_parse_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ref_extract_name",
-    oracle="""
+# X3 extract_name_from_about: strip 'About' prefix (pet_scraper.py:241-249).
+# Folded into ref_scalar_suite.
+_X3_ORACLE = """
     WITH t AS (
       SELECT c_custkey, trim(coalesce('About ' || c_name, '')) AS a,
              trim(coalesce(c_mktsegment, '')) AS b
@@ -152,9 +153,9 @@ def q_parse_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN lower(a) LIKE 'about%' THEN trim(substring(a, 6)) ELSE a END AS extracted,
            CASE WHEN lower(b) LIKE 'about%' THEN trim(substring(b, 6)) ELSE b END AS passthrough
     FROM t
-    """,
-    doc="X3 extract_name_from_about: strip 'About' prefix (pet_scraper.py:241-249)",
-)
+"""
+
+
 def q_extract_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return cust.select(
@@ -164,9 +165,9 @@ def q_extract_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ref_export_encode",
-    oracle=f"""
+# X4+X5 export encoding: newline escaping + tri-state bool→string
+# (pet_scraper.py:416-417, :440-443). Folded into ref_scalar_suite.
+_X45_ORACLE = f"""
     SELECT doc_id,
            replace(replace(lang || chr(10) || source || chr(13) || 'end', chr(10), '\\n'),
                    chr(13), '\\n') AS about_me_encoded,
@@ -174,9 +175,9 @@ def q_extract_name(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN ({_PB_SQL.format(c="nullif(lang, 'en')")}) THEN 'True'
                 ELSE 'False' END AS flag_encoded
     FROM documents
-    """,
-    doc="X4+X5 export encoding: newline escaping + tri-state bool→string (pet_scraper.py:416-417, :440-443)",
-)
+"""
+
+
 def q_export_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     multiline = F.concat(F.col("lang"), F.lit("\n"), F.col("source"), F.lit("\r"), F.lit("end"))
@@ -188,15 +189,15 @@ def q_export_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ref_url_normalize",
-    oracle="""
+# X6 URL normalization: relative href → absolute (link_scraper.py:136-138).
+# Folded into ref_scalar_suite.
+_X6_ORACLE = """
     SELECT doc_id,
            CASE WHEN rel LIKE '/%' THEN 'https://www.petfinder.com' || rel ELSE rel END AS abs_url
     FROM (SELECT doc_id, '/' || source || '/details/' AS rel FROM documents)
-    """,
-    doc="X6 URL normalization: relative href → absolute (link_scraper.py:136-138)",
-)
+"""
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rel = F.concat(F.lit("/"), F.col("source"), F.lit("/details/"))
@@ -414,16 +415,16 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A1/A2 aggregation surface (counts)
 # ---------------------------------------------------------------------------
 
-@register(
-    "ref_counts",
-    oracle="""
+# A1/A2 count aggregations — the reference's entire aggregation surface
+# (server.py:484-486, :42-49). Folded into ref_scalar_suite.
+_A1_ORACLE = """
     SELECT count(*) AS n_rows,
            count(DISTINCT user_id) AS n_users,
            count(DISTINCT event_type) AS n_types
     FROM events
-    """,
-    doc="A1/A2 count aggregations — the reference's entire aggregation surface (server.py:484-486, :42-49)",
-)
+"""
+
+
 def q_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
@@ -433,16 +434,16 @@ def q_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ref_timestamp_fmt",
-    oracle="""
+# X8 timestamp formatting: the reference stamps every record with
+# '%Y-%m-%d %H:%M:%S' (pet_scraper.py:117); date_format over event-time in
+# an explicit UTC session so rendering is engine- and host-TZ-portable.
+# Folded into ref_scalar_suite.
+_X8_ORACLE = """
     SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS fetched_at
     FROM events
-    """,
-    doc="X8 timestamp formatting: the reference stamps every record with "
-    "'%Y-%m-%d %H:%M:%S' (pet_scraper.py:117); date_format over event-time "
-    "in an explicit UTC session so rendering is engine- and host-TZ-portable",
-)
+"""
+
+
 def q_timestamp_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.functions.scalars import timestamp_fmt
     from petfinder_database_distributor_spark.streaming.incremental import scoped_conf
@@ -457,3 +458,146 @@ def q_timestamp_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_conf(spark, spark__sql__session__timeZone="UTC"):
         ev = load_table(spark, sf_dir, "events")
         return ev.select("event_id", timestamp_fmt(F.col("ts")).alias("fetched_at"))
+
+
+# ---------------------------------------------------------------------------
+# Composite scalar suite (round-5 verdict #6): ONE driver row covering the
+# seven trivially-green scalar/count checks above, at full value fidelity.
+# ---------------------------------------------------------------------------
+
+def _family_sql(check: str, family_sql: str, rendered: str) -> str:
+    """One composite row from one folded family: count + an order-free
+    exact checksum (sum of the portable 60-bit md5int over the rendered
+    row). DuckDB's sum(BIGINT) accumulates in HUGEINT, Spark's in
+    DECIMAL(38,0) — both exact at any corpus size — and the checksum is
+    compared as a digit STRING so no float canonicalization can round it."""
+    from petfinder_database_distributor_spark.operators.text import MD5INT_SQL
+
+    return f"""
+    SELECT '{check}' AS check_name, count(*) AS n_rows,
+           coalesce(sum({MD5INT_SQL.format(x="r")}), 0)::VARCHAR AS checksum
+    FROM (SELECT {rendered} AS r FROM ({family_sql}))
+    """
+
+
+def _bool_sql(c: str) -> str:
+    return f"CASE WHEN {c} IS NULL THEN '∅' ELSE {c}::VARCHAR END"
+
+
+_SUITE_ORACLE = " UNION ALL ".join(
+    [
+        _family_sql("x1_clean_text", _X1_ORACLE, "coalesce(cleaned, '∅')"),
+        _family_sql(
+            "x2_parse_boolean",
+            _X2_ORACLE,
+            f"{_bool_sql('lang_bool')} || '|' || {_bool_sql('source_bool')}"
+            f" || '|' || {_bool_sql('tri_state')}",
+        ),
+        _family_sql(
+            "x3_extract_name",
+            _X3_ORACLE,
+            "coalesce(extracted, '∅') || '|' || coalesce(passthrough, '∅')",
+        ),
+        _family_sql(
+            "x4x5_export_encode",
+            _X45_ORACLE,
+            "coalesce(about_me_encoded, '∅') || '|' || coalesce(flag_encoded, '∅')",
+        ),
+        _family_sql("x6_url_normalize", _X6_ORACLE, "coalesce(abs_url, '∅')"),
+        _family_sql("x8_timestamp_fmt", _X8_ORACLE, "coalesce(fetched_at, '∅')"),
+        # A1: the distinct counts fold into the checksum (n_users scaled so
+        # both counts are recoverable), n_rows is the row count itself.
+        f"""
+        SELECT 'a1_counts' AS check_name, n_rows,
+               (n_users * 1000000 + n_types)::VARCHAR AS checksum
+        FROM ({_A1_ORACLE})
+        """,
+    ]
+)
+
+
+def _bool_render(c: str) -> F.Column:
+    return F.when(F.col(c).isNull(), F.lit("∅")).otherwise(
+        F.col(c).cast("string")
+    )
+
+
+def _family_checksum(df: DataFrame, check: str, rendered: F.Column) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import md5int
+
+    return (
+        df.select(rendered.alias("r"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(md5int(F.col("r")).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            .cast("string")
+            .alias("checksum"),
+        )
+        .select(F.lit(check).alias("check_name"), "n_rows", "checksum")
+    )
+
+
+def _str_render(*cols: str) -> F.Column:
+    return F.concat_ws(
+        "|", *[F.coalesce(F.col(c), F.lit("∅")) for c in cols]
+    )
+
+
+@register(
+    "ref_scalar_suite",
+    oracle=_SUITE_ORACLE,
+    doc="Composite driver check for the reference's scalar/count surface "
+    "(X1 clean_text, X2 parse_boolean, X3 extract_name, X4+X5 export "
+    "encode, X6 url normalize, X8 timestamp format, A1 counts): one row "
+    "per family with an exact order-free md5int checksum over every "
+    "rendered value — full value fidelity of the seven previously-separate "
+    "trivial queries in ONE driver window slot (round-5 verdict #6). The "
+    "individual functions keep their unit tests in "
+    "tests/test_reference_semantics.py.",
+)
+def ref_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        _family_checksum(
+            q_clean_text(spark, sf_dir), "x1_clean_text", _str_render("cleaned")
+        ),
+        _family_checksum(
+            q_parse_boolean(spark, sf_dir),
+            "x2_parse_boolean",
+            F.concat_ws(
+                "|",
+                _bool_render("lang_bool"),
+                _bool_render("source_bool"),
+                _bool_render("tri_state"),
+            ),
+        ),
+        _family_checksum(
+            q_extract_name(spark, sf_dir),
+            "x3_extract_name",
+            _str_render("extracted", "passthrough"),
+        ),
+        _family_checksum(
+            q_export_encode(spark, sf_dir),
+            "x4x5_export_encode",
+            _str_render("about_me_encoded", "flag_encoded"),
+        ),
+        _family_checksum(
+            q_url_normalize(spark, sf_dir), "x6_url_normalize", _str_render("abs_url")
+        ),
+        _family_checksum(
+            q_timestamp_fmt(spark, sf_dir), "x8_timestamp_fmt", _str_render("fetched_at")
+        ),
+        q_counts(spark, sf_dir).select(
+            F.lit("a1_counts").alias("check_name"),
+            F.col("n_rows"),
+            (F.col("n_users") * 1000000 + F.col("n_types"))
+            .cast("string")
+            .alias("checksum"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

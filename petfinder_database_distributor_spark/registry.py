@@ -49,99 +49,46 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # bounded 50-entry window. ROTATION POLICY (round-2/3 verdict #1, cadence
 # codified round 5 per r4 verdict #2): the window head is (a) queries new
 # or changed this round, (b) queries whose newest driver row is oldest —
-# CADENCE RULE: no query's newest driver row may be more than 2 rounds old,
-# so each round's window is (changed queries) + (everything absent from the
-# previous round's CORRECTNESS file). Rotated-out queries stay covered
-# every run by the identical hash check in tests/test_oracle_parity.py.
+# CADENCE RULE: no query's newest driver row may be more than 2 rounds old.
+# Rotated-out queries stay covered every run by the identical hash check
+# in tests/test_oracle_parity.py.
 #
-# Round-5 window = the 4 new/changed queries + the 47 without a row in
-# CORRECTNESS_r04 (including the three r1-only stragglers, re-verified
-# first). The one exception to "everything absent from r4": p3_link_fanout
-# (r3-green) yields its slot because its operator carries a fresh r4 row
-# via the p3_link_fanout_xpath variant — it rotates to the r6 head.
-# flagship_distributor_pipeline (r4-green) also rotates to the tail; the
-# driver still smoke-checks it every round through entry().
+# Round-6 window (honors the r5-pinned contract: the whole never-sampled
+# tail + p3_link_fanout drains through the window, oldest-first):
+# slots 1-6 are new/changed registrations (native-expression minhash, the
+# Jaccard chooser under the unqualified name, the AQE skew demo, the
+# composite scalar suite replacing 7 folded trivial ref_* names, the
+# r3-stale p3_link_fanout, and stream_windowed_totals whose oracle gained
+# floor-division day_idx); slots 7-17 are never-sampled queries ALSO
+# changed this round (round-5 advice fixes: int_div buckets, single-regex
+# log parse, rollup marker, checkpoint instead of persist); the remaining
+# 33 slots drain the untouched never-sampled backlog in contract order.
 PRIORITY: list[str] = [
-    # (a) new or changed this round
-    "j6_dpp_join",  # NEW: dynamic partition pruning join
-    "dedup_ngram_jaccard_salted",  # NEW: exact Jaccard, salted two-phase join
-    "ref_anti_join",  # fixture de-vacuated: key set now a strict subset
-    "sketch_hll_distinct_users",  # new hll_corrected_estimate column
-    # (b) newest row is round 1 — the three stragglers, re-verified first
-    "ref_counts",
-    "ref_upsert_merge",
-    "ref_compaction",
-    # (b) newest row is round 3 (absent from CORRECTNESS_r04)
-    "p2_src_attr_project",
-    "ref_timestamp_fmt",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "text_bigram_tf",
-    "agg_distinct_users",
-    "text_chunking",
-    "text_redact_pii",
-    "split_train_test",
-    "text_repetition_ratio",
-    "sample_stratified",
-    "decontamination_check",
-    "search_bm25_topk",
-    "dedup_cluster_components",
-    "dedup_apply_corpus",
-    "j5_bucketed_join",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "w1_topk_per_group",
-    "w2_running_totals",
-    "g1_rollup_revenue",
-    "j1_semi_anti_join",
-    "s1_fetch_extract",
-    "export_roundtrip_csv",
-    "s8_json_rows",
-    "g1_datasource_ingest",
-    "stream_upsert_merge",
+    "dedup_ngram_jaccard",
+    "j8_aqe_skew_join",
+    "ref_scalar_suite",
+    "p3_link_fanout",
     "stream_windowed_totals",
-    "stream_dedup_replay",
-    "stream_stateful_counters",
-    "stream_session_windows",
-    "stream_stream_interval_join",
-    # -- 50-entry driver window ends here. --
-    # Everything below is NEW this round but lands past slot 50: the 50
-    # slots above are all spoken for by the cadence rule, and displacing
-    # a rotation-due query would leave it 3 rounds stale. All are covered
-    # by the local parity gate (+ tests/test_sketches.py /
-    # tests/test_packing.py / tests/test_mining.py /
-    # tests/test_zorder_layout.py) this round, and the r6 window head
-    # MUST be exactly this tail: sketch_bloom_membership,
-    # pack_sequences_greedy, embedding_quantize_int8,
-    # sketch_hll_mergeable, cluster_kmeans_int8, pagerank_partsupp,
-    # domain_mix_weights, zorder_layout_stats, text_commonness_score,
-    # profile_documents, dedup_canonical_quality, events_funnel,
-    # stream_sketch_hll, plus p3_link_fanout (yielded its r5 slot;
-    # operator covered by p3_link_fanout_xpath's r4 row).
+    "kanonymity_check",
+    "compaction_bin_pack",
+    "text_log_parse",
+    "rollup_incremental_merge",
+    "stream_late_data_drop",
+    "timeseries_gapfill_locf",
+    "global_shuffle_index",
+    "corpus_boilerplate_strip",
+    "text_commonness_score",
+    "q11_important_stock",
+    "q15_top_supplier",
     "sketch_bloom_membership",
     "pack_sequences_greedy",
     "embedding_quantize_int8",
     "sketch_hll_mergeable",
-    # Mining/layout family (also NEW this round, same r6-head contract):
-    # integer-exact k-means + PageRank, domain mix weights, Z-order
-    # layout stats. Covered this round by the local parity gate +
-    # tests/test_mining.py / test_zorder_layout.py.
     "cluster_kmeans_int8",
     "pagerank_partsupp",
     "domain_mix_weights",
     "zorder_layout_stats",
-    "text_commonness_score",
     "profile_documents",
     "dedup_canonical_quality",
     "events_funnel",
@@ -149,55 +96,40 @@ PRIORITY: list[str] = [
     "dedup_ngram_containment",
     "scd2_user_history",
     "bpe_first_merges",
-    # Extended TPC-H battery (plans/tpch_extended.py, NEW mid-round-5):
-    # past the 50-slot window this round, covered by the local parity gate;
-    # part of the same r6-head contract as the block above.
     "q6_forecast_revenue",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_stock",
     "q12_late_shipment_priority",
     "q14_promo_revenue",
-    "q15_top_supplier",
     "q16_supplier_part_counts",
     "q18_large_orders",
     "q19_disjunctive_predicates",
     "q20_excess_share_suppliers",
     "q21_sole_returner",
     "q22_dormant_customers",
-    # Dataset-assembly ops (plans/dataset_ops.py, NEW mid-round-5, same
-    # tail placement + r6-head contract):
-    "global_shuffle_index",
     "cdc_snapshot_diff",
     "sample_weighted",
     "stream_static_enrich",
     "export_roundtrip_jsonl",
+    # -- 50-entry driver window ends here. --
+    # r7-HEAD CONTRACT: the 8 never-sampled names below missed the r6
+    # window by exactly the changed-query head above; they MUST open the
+    # r7 window, followed by dedup_ngram_jaccard_baseline (new name for
+    # the guarded direct-join form; its semantics carried a green row as
+    # dedup_ngram_jaccard through r5 and the identical local hash gate
+    # covers it every run).
     "sketch_hll_by_group",
     "w3_rank_family",
     "unpivot_event_metrics",
-    # Corpus-curation + layout planning (NEW round-5 final session, same
-    # r6-head contract as the tail blocks above): cross-doc boilerplate
-    # chunk suppression, per-language percentile quality filter, and the
-    # small-files compaction planner.
-    "corpus_boilerplate_strip",
     "quality_percentile_filter",
-    "compaction_bin_pack",
     "export_roundtrip_orc",
     "validate_constraints",
-    "kanonymity_check",
     "parquet_schema_evolution",
     "j7_runtime_bloom_join",
-    "stream_late_data_drop",
-    "timeseries_gapfill_locf",
-    "text_log_parse",
-    "rollup_incremental_merge",
-    # r6-head contract covers EVERYTHING from sketch_bloom_membership down
-    # to rollup_incremental_merge: the r6 driver window head is this whole
-    # tail (101 entries queue behind the 50-slot window; rotate oldest-first
-    # over r6/r7 per the cadence rule).
+    "dedup_ngram_jaccard_baseline",
 ]
 
 
