@@ -35,3 +35,38 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def _never_driver_sampled() -> list[str]:
+    """Registered names with no row in any CORRECTNESS_r*.json yet — the
+    set whose only external signal is this local gate, so (round-5 verdict
+    #7) they get the driver's exact sf0.01 scale here, not just sf0.001."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            sampled.update(json.load(open(f)))
+        except (OSError, ValueError):  # torn/absent artifact — be lenient
+            continue
+    return sorted(n for n in SPECS if n not in sampled)
+
+
+@pytest.mark.sf001
+@pytest.mark.parametrize("name", _never_driver_sampled())
+def test_oracle_parity_driver_scale(spark, name):
+    """The standing bar for never-driver-sampled queries: hash parity at
+    the driver's own sf0.01 (8/8 hand spot-checks passed in round 5 — this
+    makes that check exhaustive and repeatable; select with -m sf001)."""
+    from tests.conftest import SF_ORACLE
+
+    spec = SPECS[name]
+    spark_df = spec.fn(spark, SF_ORACLE)
+    if spec.oracle is None:
+        assert spark_df.count() >= 0
+        return
+    oracle_pdf = run_oracle(spec.oracle, SF_ORACLE)
+    assert_parity(spark_df, oracle_pdf, name)
