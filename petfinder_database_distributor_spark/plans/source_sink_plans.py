@@ -416,3 +416,69 @@ def text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "snapshot_merge_upsert",
+    oracle="""
+    WITH old AS (
+      SELECT event_id, event_type, value, 1 AS version
+      FROM events WHERE event_id % 3 <> 0 AND event_id IS NOT NULL
+    ), new AS (
+      SELECT event_id, upper(event_type) AS event_type,
+             value + 1000 AS value, 2 AS version
+      FROM events WHERE event_id % 2 = 0 AND event_id IS NOT NULL
+    )
+    SELECT coalesce(n.event_id, o.event_id) AS event_id,
+           coalesce(n.event_type, o.event_type) AS event_type,
+           coalesce(n.value, o.value) AS value,
+           coalesce(n.version, o.version) AS version
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    """,
+    doc="D2 upsert through the manifest-committed snapshot table (round-5 "
+    "verdict stretch #8): base snapshot -> atomic snapshot_merge of the "
+    "update batch -> read back the committed version. The commit protocol "
+    "generalizes the reference's tmp+fsync+rename (pet_scraper.py:468-488) "
+    "from one CSV to a many-file table: data files are immutable under "
+    "data/v{N}/, a manifest names exactly version N's files, and a single "
+    "_latest pointer swap publishes the snapshot — readers resolve "
+    "pointer->manifest->file-list, so a crash mid-merge leaves them on the "
+    "intact old version (the serving-during-rewrite guarantee of "
+    "server.py:299-307). Crash points and writer conflicts are pinned in "
+    "tests/test_snapshot_table.py. The winner rule (row_number by version "
+    "desc per key) is the same idempotent merge the streaming sink uses, "
+    "restated by the oracle as a FULL OUTER coalesce (new rows carry every "
+    "column, so row-wins == column-coalesce).",
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        SCRATCH_ROOT,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    base = ev.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", "event_type", "value", F.lit(1).alias("version")
+    )
+    batch = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        F.upper("event_type").alias("event_type"),
+        (F.col("value") + 1000).alias("value"),
+        F.lit(2).alias("version"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/snapshot_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
+    snapshot_write(spark, table_dir, base)
+    snapshot_merge(
+        spark, table_dir, batch, key_cols=["event_id"], order_cols=["version"]
+    )
+    return snapshot_read(spark, table_dir).select(
+        "event_id", "event_type", "value", "version"
+    )

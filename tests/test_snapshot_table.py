@@ -1,0 +1,146 @@
+"""Manifest-committed snapshots: the commit must be all-or-nothing at every
+intermediate crash point, old versions must stay readable (time travel /
+serving-during-rewrite), and concurrent writers must conflict loudly
+instead of clobbering each other (round-5 verdict stretch #8)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from petfinder_database_distributor_spark.sources.snapshot import (
+    SnapshotConflictError,
+    latest_version,
+    read_manifest,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_write,
+)
+from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT
+
+
+@pytest.fixture()
+def table_dir():
+    d = f"{SCRATCH_ROOT}/snaptest"
+    shutil.rmtree(d, ignore_errors=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v string")
+
+
+def _as_dict(df):
+    return {r["k"]: r["v"] for r in df.collect()}
+
+
+def test_write_read_roundtrip_and_versions(spark, table_dir):
+    v0 = snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b")]))
+    v1 = snapshot_write(
+        spark, table_dir, _rows(spark, [(1, "a2"), (3, "c")]), base_version=v0
+    )
+    assert (v0, v1) == (0, 1)
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a2", 3: "c"}
+    # time travel: the superseded snapshot is intact, not rewritten
+    assert _as_dict(snapshot_read(spark, table_dir, version=0)) == {1: "a", 2: "b"}
+
+
+def test_merge_keeps_winner_and_old_snapshot_serves(spark, table_dir):
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "old"), (2, "keep")]))
+    old_reader = snapshot_read(spark, table_dir)  # resolved BEFORE the merge
+    snapshot_merge(
+        spark,
+        table_dir,
+        _rows(spark, [(1, "znew"), (3, "ins")]),
+        key_cols=["k"],
+        order_cols=["v"],
+    )
+    assert _as_dict(snapshot_read(spark, table_dir)) == {
+        1: "znew",
+        2: "keep",
+        3: "ins",
+    }
+    # the reference's serving-during-rewrite guarantee at table level: a
+    # reader that resolved the old manifest keeps its exact file list
+    assert _as_dict(old_reader) == {1: "old", 2: "keep"}
+
+
+def test_crash_before_any_metadata_is_invisible(spark, table_dir):
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    # crash point 1: data files of the next version landed, no manifest,
+    # no pointer — simulate by writing the directory Spark would write
+    df = _rows(spark, [(9, "torn")])
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, "data", "v1"))
+    assert latest_version(table_dir) == 0
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a"}
+
+
+def test_crash_after_manifest_before_pointer_is_invisible(spark, table_dir):
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    df = _rows(spark, [(9, "torn")])
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, "data", "v1"))
+    files = sorted(
+        f"data/v1/{n}"
+        for n in os.listdir(os.path.join(table_dir, "data", "v1"))
+        if n.endswith(".parquet")
+    )
+    with open(os.path.join(table_dir, "_manifests", "v1.json"), "w") as fh:
+        json.dump({"version": 1, "files": files, "n_files": len(files), "columns": ["k", "v"]}, fh)
+    # crash point 2: manifest committed, pointer swap never happened
+    assert latest_version(table_dir) == 0
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a"}
+    # recovery: the NEXT writer claims version 1's slot is taken — it must
+    # still commit correctly as a later version over the true latest
+    v = snapshot_write(spark, table_dir, _rows(spark, [(2, "b")]), base_version=0)
+    assert v == 1  # orphaned attempt is overwritten (mode=overwrite)
+    assert _as_dict(snapshot_read(spark, table_dir)) == {2: "b"}
+
+
+def test_torn_pointer_tmp_is_invisible(spark, table_dir):
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    # crash point 3: mid-write of the pointer tmp (truncated content) —
+    # os.replace never ran, so readers never open the tmp
+    with open(os.path.join(table_dir, "_latest._tmp"), "w") as fh:
+        fh.write("9")  # truncated/garbage staging content
+    assert latest_version(table_dir) == 0
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a"}
+
+
+def test_concurrent_writer_conflicts_loudly(spark, table_dir):
+    v0 = snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    # writer A and writer B both read v0; A commits first
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "A")]), base_version=v0)
+    with pytest.raises(SnapshotConflictError, match="advanced to v1"):
+        snapshot_write(spark, table_dir, _rows(spark, [(1, "B")]), base_version=v0)
+    # loser retries on fresh state and succeeds
+    v2 = snapshot_write(
+        spark, table_dir, _rows(spark, [(1, "B2")]), base_version=latest_version(table_dir)
+    )
+    assert v2 == 2 and _as_dict(snapshot_read(spark, table_dir)) == {1: "B2"}
+
+
+def test_reader_uses_manifest_not_directory_listing(spark, table_dir):
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    man = read_manifest(table_dir, 0)
+    # plant an alien parquet file INSIDE the live data dir: a listing-based
+    # reader would pick it up; the manifest-based reader must not
+    alien = _rows(spark, [(666, "alien")])
+    alien.write.mode("overwrite").parquet(os.path.join(table_dir, "data", "v0", "alien"))
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a"}
+    assert read_manifest(table_dir, 0) == man
+
+
+def test_merge_is_idempotent_on_replay(spark, table_dir):
+    """At-least-once delivery: replaying the same batch produces a new
+    version with IDENTICAL content (same winner rule as upsert_merge)."""
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b")]))
+    batch = _rows(spark, [(2, "z"), (3, "c")])
+    snapshot_merge(spark, table_dir, batch, key_cols=["k"], order_cols=["v"])
+    first = _as_dict(snapshot_read(spark, table_dir))
+    snapshot_merge(spark, table_dir, batch, key_cols=["k"], order_cols=["v"])
+    assert _as_dict(snapshot_read(spark, table_dir)) == first
