@@ -1278,22 +1278,25 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY v
     """,
     doc="Dedup-cluster resolution: MinHash-LSH pairs → connected components "
-    "(iterative min-label propagation, driver sees one scalar per round) → "
-    "canonical representative = min doc_id per cluster. The step between "
-    "pair-finding and actually dropping near-dups in a training-data "
-    "pipeline; oracle restates the fixpoint as a recursive CTE",
+    "→ canonical representative = min doc_id per cluster. The unqualified "
+    "name now runs the DEPLOYABLE plan (round-5 verdict: registry-level "
+    "steering closes the baseline-as-default trap): alternating small-/"
+    "large-star contraction, O(log n) rounds — the label-propagation "
+    "fixpoint stays registered as dedup_cluster_components_labelprop, the "
+    "mutual-witness baseline. Oracle restates the fixpoint as a recursive "
+    "CTE (identical for both forms)",
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
-        connected_components,
         minhash_lsh_pairs,
+        resolve_components,
     )
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
     # candidate-pair scale: a small per-round shuffle beats scan-scale task overhead
-    comp = connected_components(pairs, shuffle_partitions="auto")
+    comp = resolve_components(pairs, shuffle_partitions="auto")
     return comp.select(
         F.col("id").alias("doc_id"),
         "component",
@@ -1303,7 +1306,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_cluster_components_star",
+    "dedup_cluster_components_labelprop",
     oracle=f"""
     WITH RECURSIVE
     pairs AS ({_MINHASH_SQL}),
@@ -1319,15 +1322,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
            (v = min(r)) AS is_canonical
     FROM reach GROUP BY v
     """,
-    doc="dedup_cluster_components via ALTERNATING SMALL-STAR/LARGE-STAR "
-    "contraction (Kiveris et al. SOCC'14) instead of label propagation: "
-    "O(log n) rounds vs O(cluster diameter) — the petabyte-scale form the "
-    "propagation docstring promises. Identical output contract and oracle; "
-    "cross-checked against the fixpoint in tests/test_components_star.py",
+    doc="dedup_cluster_components via iterative min-label PROPAGATION — the "
+    "independently-implemented O(cluster-diameter) baseline kept as the "
+    "star contraction's mutual witness (identical output contract and "
+    "oracle; cross-checked in tests/test_components_star.py). Deploy the "
+    "unqualified name; this form's round count grows with cluster depth",
 )
-def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_components_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
-        connected_components_star,
+        connected_components,
         minhash_lsh_pairs,
     )
     from pyspark.sql.window import Window
@@ -1335,7 +1338,7 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
     # candidate-pair scale: a small per-round shuffle beats scan-scale task overhead
-    comp = connected_components_star(pairs, shuffle_partitions="auto")
+    comp = connected_components(pairs, shuffle_partitions="auto")
     return comp.select(
         F.col("id").alias("doc_id"),
         "component",

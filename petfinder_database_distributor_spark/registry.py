@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "ref_scalar_suite",
     "p3_link_fanout",
     "stream_windowed_totals",
+    "dedup_cluster_components",  # changed: unqualified name now = star contraction
     "kanonymity_check",
     "compaction_bin_pack",
     "text_log_parse",
@@ -113,14 +114,14 @@ PRIORITY: list[str] = [
     "cdc_snapshot_diff",
     "sample_weighted",
     "stream_static_enrich",
-    "export_roundtrip_jsonl",
     # -- 50-entry driver window ends here. --
-    # r7-HEAD CONTRACT: the 8 never-sampled names below missed the r6
+    # r7-HEAD CONTRACT: the 9 never-sampled names below missed the r6
     # window by exactly the changed-query head above; they MUST open the
     # r7 window, followed by dedup_ngram_jaccard_baseline (new name for
     # the guarded direct-join form; its semantics carried a green row as
     # dedup_ngram_jaccard through r5 and the identical local hash gate
     # covers it every run).
+    "export_roundtrip_jsonl",
     "sketch_hll_by_group",
     "w3_rank_family",
     "unpivot_event_metrics",

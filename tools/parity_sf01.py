@@ -19,7 +19,7 @@ SKIP = {
     'dedup_ngram_jaccard_salted',  # oracle is the all-pairs list_intersect SQL
     'dedup_minhash_lsh',
     'dedup_simhash_pairs', 'dedup_cluster_components',
-    'dedup_cluster_components_star', 'dedup_apply_corpus',
+    'dedup_cluster_components_labelprop', 'dedup_apply_corpus',
     'dedup_embedding_cosine', 'dedup_embedding_cosine_exact',
     'ann_bruteforce_topk', 'ann_lsh_topk', 'ann_ivf_topk',
 } | {n for n in qs if n.startswith('stream_')}
