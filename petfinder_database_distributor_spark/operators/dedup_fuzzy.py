@@ -367,8 +367,17 @@ def minhash_lsh_pairs(
     The candidate join shuffles only (band, md5-of-r-values) keys — never
     the shingle arrays, which are re-joined by id only for the bounded
     candidate set — at 100 TB this is the only scalable shape for
-    unknown-similarity dedup (no all-pairs stage exists anywhere)."""
-    sh = with_shingles(df, id_col, text_col, n)
+    unknown-similarity dedup (no all-pairs stage exists anywhere).
+
+    The shingle frame feeds THREE subtrees (signatures + both sides of
+    the verification join), so it is materialized once with an eager
+    localCheckpoint — same working-set discipline as ivf_topk's quantized
+    corpus: the tokenize+shingle pipeline is interpreted-HOF work that
+    would otherwise run three times (measured 12 s → 4 s cold at sf0.1),
+    and checkpoint blocks release on GC rather than pinning a cache
+    entry. The checkpointed payload is (id, shingle array) — the same
+    order of bytes any engine must hold to verify candidates exactly."""
+    sh = with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     buckets = minhash_band_buckets(sh, id_col, k, bands)
 
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
