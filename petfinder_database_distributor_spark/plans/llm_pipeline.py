@@ -1757,7 +1757,11 @@ def sketch_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h.j", "h.bucket"
     )
     cms = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "word string")
+    # JVM-side literal dim (ref_worklist_urls precedent: createDataFrame
+    # from local rows pays a Python worker spin-up for a handful of rows)
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _CMS_PROBES])).alias("word")
+    )
     pb = probes.select(
         "word", F.explode(buckets_of(F.col("word"))).alias("h")
     ).select("word", "h.j", "h.bucket")
@@ -1826,7 +1830,11 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.orderBy("bin")).alias("cum"),
         F.sum("c").over(Window.partitionBy()).alias("n"),
     )
-    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q double")
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(q)).cast("double") for q in _HQ_QS])
+        ).alias("q")
+    )
     sel = (
         qs.crossJoin(cum)
         .filter(F.col("cum") >= F.col("q") * F.col("n"))
@@ -1917,10 +1925,19 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.expr("bit_or(shiftleft(1L, CAST(bit AS INT)))").alias("bits"))
+        # The built filter IS the sketch: ≤256 rows that feed BOTH the
+        # fill count and the probe join — materialize it once instead of
+        # re-running the corpus-sized bit_or aggregate per consumer.
+        .localCheckpoint(eager=True)
     )
     fill = words.agg(F.sum(F.bit_count("bits")).cast("long").alias("bits_set"))
-    probes = spark.createDataFrame(
-        [(p,) for p in _BLOOM_PROBES], "probe_user_id long"
+    # Probe dim built JVM-side (explode of an array literal): createDataFrame
+    # from local rows routes through the Python-RDD path and pays a Python
+    # worker spin-up just to emit six rows (ref_worklist_urls precedent).
+    probes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in _BLOOM_PROBES])
+        ).alias("probe_user_id")
     )
     pp = probes.select(
         "probe_user_id", F.explode(positions_of(F.col("probe_user_id"))).alias("pos")
@@ -1935,7 +1952,10 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         != 0
     )
     hits = (
-        pp.join(words, on="w", how="left")
+        # 24 probe rows against the ≤256-word filter: broadcast the filter
+        # (1 KiB of state — the whole point of the sketch) so probing is a
+        # map-side lookup with no shuffle.
+        pp.join(F.broadcast(words), on="w", how="left")
         .groupBy("probe_user_id")
         .agg(F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("k_hits"))
     )
