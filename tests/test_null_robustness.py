@@ -93,6 +93,16 @@ SWEPT = [
     # continuous aggregate: NULL ts/type/value rows contribute to neither
     # the materialized rollup nor the open-day path
     "rollup_incremental_merge",
+    # round-6 additions: the composite scalar suite renders every NULL
+    # through explicit coalesce('∅') / tri-state cases before checksumming;
+    # the snapshot upsert excludes NULL event_id (a keyless row can't be
+    # merged); the Jaccard chooser inherits tokens()' NULL-text ≡ ''
+    # contract through BOTH postures; the skew demo's remap keys NULL
+    # l_suppkey out via the join
+    "ref_scalar_suite",
+    "snapshot_merge_upsert",
+    "dedup_ngram_jaccard",
+    "j8_aqe_skew_join",
 ]
 
 
