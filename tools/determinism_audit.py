@@ -12,6 +12,10 @@ Round-5 final re-run: ALL non-streaming queries OK including the
 mining/layout family (k-means, PageRank, mix weights, Z-order,
 commonness, profiler, canonical selection, funnel) — the iterative
 integer-exact algorithms are partition-count-invariant.
+Round-6 re-run: ALL non-streaming queries OK (139, incl. the Jaccard
+posture chooser, star-default components, native-expression minhash,
+the composite scalar suite, the AQE skew demo, and the snapshot-table
+upsert).
 
 Usage: python tools/determinism_audit.py
 """
