@@ -151,9 +151,14 @@ def snapshot_merge(
     from pyspark.sql import functions as F
 
     base = latest_version(table_dir)
-    if base is None:
-        return snapshot_write(spark, table_dir, updates, base_version=None)
-    merged = snapshot_read(spark, table_dir, base).unionByName(updates)
+    merged = (
+        updates
+        if base is None
+        # The first batch must ALSO pass the winner rule: every committed
+        # version is a merged table (one row per key), not a raw batch —
+        # a reader time-traveling to v0 gets the same invariant as v{N}.
+        else snapshot_read(spark, table_dir, base).unionByName(updates)
+    )
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
     winner = (
         merged.withColumn("__rn", F.row_number().over(w))

@@ -144,3 +144,30 @@ def test_merge_is_idempotent_on_replay(spark, table_dir):
     first = _as_dict(snapshot_read(spark, table_dir))
     snapshot_merge(spark, table_dir, batch, key_cols=["k"], order_cols=["v"])
     assert _as_dict(snapshot_read(spark, table_dir)) == first
+
+
+def test_stream_merge_commits_one_version_per_batch(spark):
+    """The registered streaming query routes every micro-batch through
+    snapshot_merge: with 4 staged chunks at 2 files/trigger, the committed
+    chain must be exactly versions {0, 1}, every prefix must stay readable
+    (the audit-log / time-travel property), and per-user rows must be the
+    content-ordered winner at each version."""
+    from petfinder_database_distributor_spark.registry import load_all
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        latest_version,
+        snapshot_read,
+    )
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        SCRATCH_ROOT,
+    )
+    from tests.conftest import SF_SMALL
+
+    final = load_all()["stream_snapshot_merge"].fn(spark, SF_SMALL)
+    n_final = final.count()
+    tag = SF_SMALL.strip("/").replace("/", "_").replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/run_snapmerge_{tag}/table"
+    assert latest_version(table_dir) == 1, "4 chunks / 2 per trigger = 2 commits"
+    v0 = snapshot_read(spark, table_dir, version=0)
+    assert 0 < v0.count() <= n_final, "the first trigger's snapshot must persist"
+    # v0 is itself a merged table: one row per user
+    assert v0.groupBy("user_id").count().filter("count > 1").count() == 0
