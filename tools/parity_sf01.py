@@ -17,6 +17,7 @@ SF = '/root/testdata/sf0.1'
 SKIP = {
     'dedup_ngram_jaccard', 'dedup_ngram_jaccard_capped',
     'dedup_ngram_jaccard_salted',  # oracle is the all-pairs list_intersect SQL
+    'dedup_ngram_jaccard_baseline',
     'dedup_minhash_lsh',
     'dedup_simhash_pairs', 'dedup_cluster_components',
     'dedup_cluster_components_labelprop', 'dedup_apply_corpus',
