@@ -40,6 +40,31 @@ from urllib.parse import parse_qs, urlparse
 AUTH_ERROR = {"error": "Invalid or missing endpoint key"}
 
 
+def load_snapshot_rows(table_dir: str, version: int | None = None) -> list[dict]:
+    """Serve a manifest-committed snapshot table (sources/snapshot.py)
+    WITHOUT Spark: resolve pointer → manifest → explicit file list and read
+    the parquet files with pyarrow. Because committed data files are
+    immutable and the manifest names exactly one version's files, a reader
+    holding version N is immune to concurrent merges/compactions — the
+    reference's serving-during-rewrite guarantee (`server.py:299-307`),
+    plus time travel to any retained version via ``?version=``."""
+    import pyarrow.parquet as pq
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        latest_version,
+        read_manifest,
+    )
+
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        return []
+    manifest = read_manifest(table_dir, v)
+    rows: list[dict] = []
+    for rel in manifest["files"]:
+        rows.extend(pq.read_table(os.path.join(table_dir, rel)).to_pylist())
+    return rows
+
+
 def load_csv_artifact(path: str) -> tuple[str, list[dict]]:
     """Load the single-file CSV export written by ``write_csv_table``:
     returns (raw csv text, rows as header-keyed dicts — the reference's
@@ -159,6 +184,21 @@ class PetServingHandler(BaseHTTPRequestHandler):
         elif route == "/pets":
             if not self._authorized():
                 self._json(401, AUTH_ERROR)
+            elif self.server.snapshot_dir is not None:
+                # snapshot-backed serving: ?version=N time-travels to any
+                # retained commit; default = the latest pointer. Resolved
+                # per request, so a concurrent merge is visible at the
+                # NEXT request while in-flight reads keep their version.
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    version = (
+                        int(q["version"][0]) if "version" in q else None
+                    )
+                    rows = load_snapshot_rows(self.server.snapshot_dir, version)
+                except (ValueError, FileNotFoundError):
+                    self._json(404, {"error": "unknown snapshot version"})
+                    return
+                self._json(200, {"count": len(rows), "pets": rows})
             else:
                 self._json(
                     200, {"count": len(self.server.rows), "pets": self.server.rows}
@@ -198,10 +238,15 @@ class PetServer(ThreadingHTTPServer):
         port: int = 0,
         start_hook=None,
         stop_hook=None,
+        snapshot_dir: str | None = None,
     ):
         super().__init__(("127.0.0.1", port), PetServingHandler)
         self.api_key = api_key
         self.artifact_path = artifact_path
+        # When set, /pets serves the manifest-committed snapshot table at
+        # this directory (latest pointer per request, ?version= time
+        # travel) instead of the preloaded CSV artifact.
+        self.snapshot_dir = snapshot_dir
         self.running = True
         self.start_hook = start_hook
         self.stop_hook = stop_hook
@@ -218,6 +263,7 @@ def serve_export(
     port: int = 0,
     start_hook=None,
     stop_hook=None,
+    snapshot_dir: str | None = None,
 ) -> PetServer:
     """Start serving a CSV export on a daemon thread; returns the server
     (``.server_address[1]`` is the bound port; ``.shutdown()`` stops it).
@@ -225,6 +271,8 @@ def serve_export(
     lifecycle (e.g. a streaming query's start / T6 graceful stop) —
     plumbed at construction so the hooks exist before the first request
     can race them."""
-    httpd = PetServer(artifact_path, api_key, port, start_hook, stop_hook)
+    httpd = PetServer(
+        artifact_path, api_key, port, start_hook, stop_hook, snapshot_dir
+    )
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return httpd

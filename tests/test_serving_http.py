@@ -172,3 +172,59 @@ def test_start_stop_lifecycle_with_double_start_guard(server):
     assert code == 200 and json.loads(body)["message"] == "Scraping started"
     assert json.loads(_get(port, "/status")[1])["running"] is True
     assert calls == ["stop", "start"]
+
+
+def test_snapshot_backed_serving_time_travel(spark, tmp_path_factory):
+    """Snapshot-backed /pets: latest by default, ?version=N time travel,
+    auth still enforced, unknown version → 404 — and a merge committed
+    WHILE the server runs is visible on the next request without any
+    reload() (the pointer is resolved per request, Spark-free via
+    pyarrow)."""
+    from petfinder_database_distributor_spark.serving.http_server import (
+        serve_export,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    table = str(tmp_path_factory.mktemp("snapserve") / "table")
+    snapshot_write(
+        spark,
+        table,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+    )
+    httpd = serve_export(
+        str(tmp_path_factory.mktemp("snapserve_csv")), api_key=KEY,
+        snapshot_dir=table,
+    )
+    try:
+        port = httpd.server_address[1]
+        code, body, _ = _get(port, f"/pets?key={KEY}")
+        assert code == 200
+        assert json.loads(body)["count"] == 2
+
+        # merge while serving — no reload() call anywhere
+        snapshot_merge(
+            spark,
+            table,
+            spark.createDataFrame([(2, "z"), (3, "c")], "k long, v string"),
+            key_cols=["k"],
+            order_cols=["v"],
+        )
+        code, body, _ = _get(port, f"/pets?key={KEY}")
+        assert code == 200 and json.loads(body)["count"] == 3
+
+        # time travel to the pre-merge version
+        code, body, _ = _get(port, f"/pets?key={KEY}&version=0")
+        v0 = json.loads(body)
+        assert code == 200 and v0["count"] == 2
+        assert {(r["k"], r["v"]) for r in v0["pets"]} == {(1, "a"), (2, "b")}
+
+        # unknown version → 404; auth still enforced on the snapshot route
+        code, _, _ = _get(port, f"/pets?key={KEY}&version=9")
+        assert code == 404
+        code, _, _ = _get(port, "/pets?version=0")
+        assert code == 401
+    finally:
+        httpd.shutdown()
