@@ -125,3 +125,102 @@ def failed_field_count(
     for t in terms:
         out = out + t
     return out
+
+
+# URL canonicalization (X6 generalized to the crawl-scale dedup key): two
+# raw URLs that differ only in scheme/host case, an explicit default port,
+# a fragment, tracking parameters, or query-parameter ORDER are the same
+# resource — at 100 TB of crawl data the canonical form IS the dedup/
+# frontier key. Everything below is native expressions (filter/sort over
+# a split array), so the canonicalizer runs inside codegen and the DuckDB
+# oracle can restate it operator-for-operator.
+_URL_AUTH_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+_URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid")
+
+
+def canonicalize_url(c: Column) -> Column:
+    """Canonical URL: drop the fragment, lowercase scheme+authority, strip
+    the scheme-default port (:80 http / :443 https), drop tracking params
+    (utm_*, fbclid, gclid), sort the surviving query params bytewise, and
+    reassemble. NULL in → NULL out."""
+    no_frag = F.substring_index(c, "#", 1)
+    auth = F.lower(F.regexp_extract(no_frag, _URL_AUTH_RE, 1))
+    auth = F.when(
+        auth.startswith("http://") & auth.endswith(":80"),
+        F.substring(auth, 1, F.length(auth) - 3),
+    ).when(
+        auth.startswith("https://") & auth.endswith(":443"),
+        F.substring(auth, 1, F.length(auth) - 4),
+    ).otherwise(auth)
+    path = F.regexp_extract(no_frag, _URL_PATH_RE, 1)
+    # after the FIRST '?' (instr), matching the oracle's regex — a later
+    # '?' inside a query value must stay part of the query string
+    q = F.when(
+        no_frag.contains("?"),
+        F.substring(no_frag, F.instr(no_frag, "?") + 1, F.lit(2147483647)),
+    ).otherwise(F.lit(""))
+
+    def keep(p: Column) -> Column:
+        cond = (p != "")
+        for pref in TRACKING_PARAM_PREFIXES:
+            cond = cond & ~p.startswith(pref)
+        for name in TRACKING_PARAMS:
+            cond = cond & ~p.startswith(name + "=") & (p != name)
+        return cond
+
+    params = F.array_sort(F.filter(F.split(q, "&"), keep))
+    qs = F.concat_ws("&", params)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            auth, path, F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+        )
+    )
+
+
+# DuckDB twin of canonicalize_url — oracle fragments substitute {x}. Kept
+# adjacent so the two restatements evolve in lockstep (MD5INT_SQL
+# precedent). list_filter/list_sort mirror F.filter/F.array_sort; RE2 and
+# Java agree on these character-class-only patterns.
+CANONICAL_URL_SQL = (
+    "CASE WHEN {x} IS NULL THEN NULL ELSE "
+    "concat("
+    " CASE"
+    "  WHEN starts_with(lower(regexp_extract(split_part({x}, '#', 1),"
+    "        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)), 'http://')"
+    "   AND lower(regexp_extract(split_part({x}, '#', 1),"
+    "        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) LIKE '%:80'"
+    "  THEN left(lower(regexp_extract(split_part({x}, '#', 1),"
+    "        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),"
+    "       length(lower(regexp_extract(split_part({x}, '#', 1),"
+    "        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))) - 3)"
+    "  WHEN starts_with(lower(regexp_extract(split_part({x}, '#', 1),"
+    "        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)), 'https://')"
+    "   AND lower(regexp_extract(split_part({x}, '#', 1),"
+    "        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) LIKE '%:443'"
+    "  THEN left(lower(regexp_extract(split_part({x}, '#', 1),"
+    "        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),"
+    "       length(lower(regexp_extract(split_part({x}, '#', 1),"
+    "        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))) - 4)"
+    "  ELSE lower(regexp_extract(split_part({x}, '#', 1),"
+    "        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) END,"
+    " regexp_extract(split_part({x}, '#', 1),"
+    "   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),"
+    " CASE WHEN array_to_string(list_sort(list_filter(string_split("
+    "   CASE WHEN contains(split_part({x}, '#', 1), '?')"
+    "        THEN regexp_extract(split_part({x}, '#', 1), '\\?(.*)$', 1)"
+    "        ELSE '' END, '&'),"
+    "   p -> p <> '' AND NOT starts_with(p, 'utm_')"
+    "        AND NOT starts_with(p, 'fbclid=') AND p <> 'fbclid'"
+    "        AND NOT starts_with(p, 'gclid=') AND p <> 'gclid')), '&') <> ''"
+    "  THEN '?' || array_to_string(list_sort(list_filter(string_split("
+    "   CASE WHEN contains(split_part({x}, '#', 1), '?')"
+    "        THEN regexp_extract(split_part({x}, '#', 1), '\\?(.*)$', 1)"
+    "        ELSE '' END, '&'),"
+    "   p -> p <> '' AND NOT starts_with(p, 'utm_')"
+    "        AND NOT starts_with(p, 'fbclid=') AND p <> 'fbclid'"
+    "        AND NOT starts_with(p, 'gclid=') AND p <> 'gclid')), '&')"
+    "  ELSE '' END"
+    ") END"
+)

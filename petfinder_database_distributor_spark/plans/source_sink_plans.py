@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from petfinder_database_distributor_spark.functions.scalars import (
+    CANONICAL_URL_SQL,
     clean_text,
     extract_name_from_about,
     parse_boolean,
@@ -481,4 +482,81 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return snapshot_read(spark, table_dir).select(
         "event_id", "event_type", "value", "version"
+    )
+
+
+_RAW_URL_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://www.petfinder.com' || p || '?b=2&a=1'
+             WHEN 1 THEN 'HTTPS://WWW.PETFINDER.COM:443' || p
+                         || '?a=1&b=2&utm_source=feed'
+             WHEN 2 THEN 'https://www.petfinder.com' || p
+                         || '?a=1&utm_campaign=x&b=2#frag'
+             WHEN 3 THEN 'http://www.petfinder.com:80' || p
+             ELSE 'https://www.petfinder.com' || p || '?b=2&a=1&gclid=abc'
+           END AS raw_url
+    FROM (SELECT doc_id, '/' || source || '/item/' || (doc_id % 97) AS p
+          FROM documents
+          WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS ({_RAW_URL_SQL})
+    SELECT {CANONICAL_URL_SQL.format(x="raw_url")} AS canonical_url,
+           count(*) AS n_raw,
+           count(DISTINCT raw_url) AS n_distinct_raw
+    FROM raw GROUP BY 1
+    """,
+    doc="X6 generalized to the crawl-scale frontier/dedup key: URL "
+    "canonicalization (case-fold scheme+authority, strip scheme-default "
+    "port, drop fragment, drop utm_*/fbclid/gclid tracking params, sort "
+    "surviving query params) followed by a group-count — raw variants that "
+    "differ only in those axes collapse to one canonical resource. Pure "
+    "narrow expressions into one hash aggregate: at 100 TB this is a "
+    "map-side projection plus the one shuffle any dedup needs. The "
+    "deterministic variant fixture plants five raw forms per document "
+    "(param order, case+explicit :443, fragment+utm, :80 http, gclid), so "
+    "four of five collapse per key and the http:// form stays distinct — "
+    "scheme is load-bearing, not noise. Canonicalizer and oracle restate "
+    "each other operator-for-operator (CANONICAL_URL_SQL lives beside "
+    "canonicalize_url in functions/scalars.py).",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.functions.scalars import (
+        canonicalize_url,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    p = F.concat(
+        F.lit("/"), F.col("source"), F.lit("/item/"), (F.col("doc_id") % 97).cast("string")
+    )
+    raw = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("https://www.petfinder.com"), p, F.lit("?b=2&a=1")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("HTTPS://WWW.PETFINDER.COM:443"), p,
+                       F.lit("?a=1&b=2&utm_source=feed")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("https://www.petfinder.com"), p,
+                       F.lit("?a=1&utm_campaign=x&b=2#frag")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("http://www.petfinder.com:80"), p))
+        .otherwise(
+            F.concat(F.lit("https://www.petfinder.com"), p,
+                     F.lit("?b=2&a=1&gclid=abc")))
+        .alias("raw_url"),
+    )
+    return (
+        raw.groupBy(canonicalize_url(F.col("raw_url")).alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("raw_url").alias("n_distinct_raw"),
+        )
     )
