@@ -166,3 +166,26 @@ def snapshot_merge(
         .drop("__rn")
     )
     return snapshot_write(spark, table_dir, winner, base_version=base)
+
+
+def snapshot_compact(
+    spark: SparkSession, table_dir: str, target_files: int = 1
+) -> int:
+    """Small-files compaction as a normal snapshot commit: rewrite the
+    CURRENT version's rows into ``target_files`` files and publish the
+    result with the same pointer-swap protocol. Readers of the old version
+    keep their exact (pre-compaction) file list — the serving-during-
+    rewrite guarantee makes compaction a zero-coordination background job,
+    which is precisely why the reference's verification epoch can rewrite
+    while Flask serves (server.py:299-307). The content is unchanged, so a
+    concurrent reader can't tell pre- from post-compaction data apart;
+    only the file count drops. Pairs with compaction_bin_pack (the
+    planner): at 100 TB you compact per partition/bin, each bin one
+    snapshot-committed rewrite like this one."""
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    current = snapshot_read(spark, table_dir, base)
+    return snapshot_write(
+        spark, table_dir, current.coalesce(target_files), base_version=base
+    )

@@ -171,3 +171,25 @@ def test_stream_merge_commits_one_version_per_batch(spark):
     assert 0 < v0.count() <= n_final, "the first trigger's snapshot must persist"
     # v0 is itself a merged table: one row per user
     assert v0.groupBy("user_id").count().filter("count > 1").count() == 0
+
+
+def test_compaction_preserves_content_and_old_readers(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        read_manifest,
+        snapshot_compact,
+    )
+
+    # many-file version: one file per row via repartition
+    df = _rows(spark, [(i, f"v{i}") for i in range(8)]).repartition(8)
+    snapshot_write(spark, table_dir, df)
+    before = read_manifest(table_dir, 0)
+    assert before["n_files"] > 1, "fixture must actually be fragmented"
+    old_reader = snapshot_read(spark, table_dir)  # pre-compaction file list
+    v = snapshot_compact(spark, table_dir, target_files=1)
+    after = read_manifest(table_dir, v)
+    assert after["n_files"] == 1
+    assert _as_dict(snapshot_read(spark, table_dir)) == {
+        i: f"v{i}" for i in range(8)
+    }, "compaction must not change content"
+    assert _as_dict(old_reader) == {i: f"v{i}" for i in range(8)}
+    assert read_manifest(table_dir, 0) == before, "old version untouched"
