@@ -189,3 +189,35 @@ def snapshot_compact(
     return snapshot_write(
         spark, table_dir, current.coalesce(target_files), base_version=base
     )
+
+
+def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Reclaim storage from expired versions: delete data directories and
+    manifests of every version older than the newest ``keep_last``.
+    Returns the vacuumed version numbers.
+
+    Ordering is the safety argument: a version's data files are deleted
+    BEFORE its manifest, so a reader that raced the vacuum either resolved
+    the manifest while files existed (normal read) or finds no manifest at
+    all (clean FileNotFoundError) — never a manifest naming vanished files
+    as the steady state. The current pointer is never eligible
+    (``keep_last`` is clamped to >= 1), so serving is unaffected. This is
+    the retention side of time travel: at 100 TB, keeping every version
+    forever doubles storage per full rewrite; vacuum bounds it to
+    ``keep_last`` snapshots, same as any production table format."""
+    import shutil
+
+    current = latest_version(table_dir)
+    if current is None:
+        return []
+    keep_last = max(1, keep_last)
+    cutoff = current - keep_last + 1
+    vacuumed = []
+    for v in range(cutoff):
+        manifest = _manifest_path(table_dir, v)
+        if not os.path.exists(manifest):
+            continue  # already vacuumed (or never committed)
+        shutil.rmtree(os.path.join(table_dir, "data", f"v{v}"), ignore_errors=True)
+        os.remove(manifest)
+        vacuumed.append(v)
+    return vacuumed

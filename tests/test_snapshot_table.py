@@ -193,3 +193,29 @@ def test_compaction_preserves_content_and_old_readers(spark, table_dir):
     }, "compaction must not change content"
     assert _as_dict(old_reader) == {i: f"v{i}" for i in range(8)}
     assert read_manifest(table_dir, 0) == before, "old version untouched"
+
+
+def test_vacuum_bounds_retention_keeps_serving(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_vacuum,
+    )
+
+    for i in range(4):  # versions 0..3
+        snapshot_write(
+            spark, table_dir, _rows(spark, [(1, f"v{i}")]),
+            base_version=(i - 1) if i else None,
+        )
+    gone = snapshot_vacuum(table_dir, keep_last=2)
+    assert gone == [0, 1]
+    # retained versions serve; vacuumed ones fail cleanly
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "v3"}
+    assert _as_dict(snapshot_read(spark, table_dir, version=2)) == {1: "v2"}
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, table_dir, version=0)
+    # idempotent; keep_last clamps so the current version is never eligible
+    assert snapshot_vacuum(table_dir, keep_last=2) == []
+    assert snapshot_vacuum(table_dir, keep_last=0) == [2]
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "v3"}
+    # the next commit after a vacuum continues the version chain
+    v = snapshot_write(spark, table_dir, _rows(spark, [(1, "v4")]), base_version=3)
+    assert v == 4
