@@ -544,3 +544,28 @@ def test_auto_loop_partitions_derivation(spark):
     assert (
         _auto_loop_partitions(spark, 10**12) == session
     ), "the session conf is the cluster-sized ceiling"
+
+
+def test_url_canonical_dedup_single_shuffle_no_python(spark):
+    """The canonicalizer must stay JVM-side (pure expressions — no
+    BatchEvalPython / ArrowEvalPython stage) and the whole query must pay
+    exactly the TWO exchanges its aggregation needs (the canonical-key
+    group plus count-distinct's regroup on (canonical, raw)): at 100 TB
+    the map side is a narrow projection over the scan."""
+    import re
+
+    p = plan_of(spark, "url_canonical_dedup")
+    assert "EvalPython" not in p, "canonicalize_url must compile to expressions"
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges == 2, p
+    assert "partial_count" in p, "group-count must partial-aggregate map-side"
+
+
+def test_ref_scalar_suite_stays_jvm_side(spark):
+    """Seven folded scalar families, one driver row each: every checksum
+    is a decimal partial aggregate over native expressions — no Python
+    stage anywhere, no join, no window."""
+    p = plan_of(spark, "ref_scalar_suite")
+    assert "EvalPython" not in p
+    assert "partial_sum" in p and "partial_count" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
