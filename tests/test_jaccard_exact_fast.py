@@ -119,3 +119,33 @@ def test_auto_posture_exact_at_both_postures(spark, direct_max):
     )
     assert auto == raw
     assert raw
+
+
+def test_chooser_flips_posture_under_duplication(spark):
+    """The posture decision on REAL measured estimates: the base fixture
+    stays under the direct bound, 12x replication (every replica a full
+    near-dup) pushes Σdf² over it — the flip the 8x scaling probe observed
+    by timing, pinned here by assertion."""
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        choose_jaccard_posture,
+        with_shingles,
+    )
+
+    def est_of(docs):
+        sh = with_shingles(docs, "doc_id", "text", 3)
+        return (
+            sh.select(F.explode("sh").alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")))
+            .collect()[0][0]
+        )
+
+    base = make_docs(spark, BASE_TEXTS * 40)
+    heavy = make_docs(spark, BASE_TEXTS * 40 * 12)
+    e_base, e_heavy = est_of(base), est_of(heavy)
+    assert e_heavy > e_base * 100, "duplication must grow Sigma-df^2 quadratically"
+    assert choose_jaccard_posture(e_base) == "direct"
+    assert choose_jaccard_posture(e_heavy) == "salted"
