@@ -60,3 +60,32 @@ def test_canonical_semantics(spark):
     )
     assert got["https://example.com/x?gclid"] == "https://example.com/x"
     assert got["https://example.com/x?"] == "https://example.com/x"
+
+
+def test_unicode_paths_preserved_bytewise(spark):
+    """Contract: the canonicalizer folds CASE only in scheme+authority;
+    non-ASCII path/query BYTES pass through untouched (IDN/punycode and
+    percent-encoding normalization are out of scope — a crawler
+    canonicalizes post-fetch URLs it actually saw, and both engines must
+    simply agree). Pinned against DuckDB on the same inputs."""
+    import duckdb
+
+    urls = [
+        "https://example.com/café/路径?q=naïve",
+        "HTTPS://EXAMPLE.COM/Ω?π=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    assert got[urls[0]] == "https://example.com/café/路径?q=naïve"
+    assert got[urls[1]] == "https://example.com/Ω?π=1"
+    for u in urls:
+        want = duckdb.sql(
+            "WITH t(x) AS (VALUES (?)) SELECT "
+            + CANONICAL_URL_SQL.format(x="x")
+            + " FROM t",
+            params=[u],
+        ).fetchone()[0]
+        assert got[u] == want, (u, got[u], want)
