@@ -82,10 +82,15 @@ def snapshot_write(
     the commit is refused if someone else advanced the table since."""
     os.makedirs(os.path.join(table_dir, "_manifests"), exist_ok=True)
     current = latest_version(table_dir)
-    if base_version is not None and current != base_version:
+    # base_version=None means "I read an EMPTY table" (the docstring's
+    # contract: pass exactly what latest_version returned) — so a first
+    # writer that lost the race to another first writer conflicts too,
+    # instead of silently replacing the winner's v0.
+    if current != base_version:
         raise SnapshotConflictError(
             f"table advanced to v{current} since this writer read"
-            f" v{base_version}; re-read and retry"
+            f" {'empty' if base_version is None else f'v{base_version}'};"
+            " re-read and retry"
         )
     version = (current if current is not None else -1) + 1
     data_dir = os.path.join(table_dir, "data", f"v{version}")

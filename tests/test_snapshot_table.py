@@ -219,3 +219,17 @@ def test_vacuum_bounds_retention_keeps_serving(spark, table_dir):
     # the next commit after a vacuum continues the version chain
     v = snapshot_write(spark, table_dir, _rows(spark, [(1, "v4")]), base_version=3)
     assert v == 4
+
+
+def test_first_writer_race_conflicts_too(spark, table_dir):
+    """base_version=None is a claim ('I read an empty table'), not a
+    bypass: a first writer that lost the race to another first writer must
+    conflict instead of silently replacing the winner's v0."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        SnapshotConflictError,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "winner")]))
+    with pytest.raises(SnapshotConflictError, match="read empty"):
+        snapshot_write(spark, table_dir, _rows(spark, [(1, "loser")]))
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "winner"}
