@@ -122,8 +122,9 @@ PRIORITY: list[str] = [
     # dedup_ngram_jaccard through r5 and the identical local hash gate
     # covers it every run) and the queries registered after the r6 window
     # froze: snapshot_merge_upsert, stream_snapshot_merge,
-    # url_canonical_dedup, dedup_cluster_components_labelprop (all green
-    # in the sf0.01 exact-scale local gate, `pytest -m sf001`).
+    # url_canonical_dedup, dedup_cluster_components_labelprop,
+    # snapshot_partitioned_upsert (all green in the sf0.01 exact-scale
+    # local gate, `pytest -m sf001`).
     "export_roundtrip_jsonl",
     "sketch_hll_by_group",
     "w3_rank_family",

@@ -51,6 +51,7 @@ def load_snapshot_rows(table_dir: str, version: int | None = None) -> list[dict]
     import pyarrow.parquet as pq
 
     from petfinder_database_distributor_spark.sources.snapshot import (
+        _manifest_files,
         latest_version,
         read_manifest,
     )
@@ -60,7 +61,7 @@ def load_snapshot_rows(table_dir: str, version: int | None = None) -> list[dict]
         return []
     manifest = read_manifest(table_dir, v)
     rows: list[dict] = []
-    for rel in manifest["files"]:
+    for rel in _manifest_files(manifest):
         rows.extend(pq.read_table(os.path.join(table_dir, rel)).to_pylist())
     return rows
 

@@ -233,3 +233,102 @@ def test_first_writer_race_conflicts_too(spark, table_dir):
     with pytest.raises(SnapshotConflictError, match="read empty"):
         snapshot_write(spark, table_dir, _rows(spark, [(1, "loser")]))
     assert _as_dict(snapshot_read(spark, table_dir)) == {1: "winner"}
+
+
+def _prows(spark, triples):
+    return spark.createDataFrame(triples, "k long, v string, pt long")
+
+
+def test_partitioned_merge_reuses_unaffected_files(spark, table_dir):
+    """The O(changed-partitions) claim, checked at manifest level: a merge
+    touching only partition 1 must (a) copy partition 0's and 2's manifest
+    entries forward POINTING AT THE OLD FILES, (b) write new files only
+    for partition 1, and (c) read back as the correct full merge."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        read_manifest,
+        snapshot_merge_partitioned,
+        snapshot_read_partitioned,
+    )
+
+    base = _prows(
+        spark,
+        [(1, "a", 0), (2, "b", 0), (3, "c", 1), (4, "d", 2)],
+    )
+    snapshot_merge_partitioned(
+        spark, table_dir, base, key_cols=["k"], order_cols=["v"],
+        partition_col="pt",
+    )
+    m0 = read_manifest(table_dir, 0)
+    batch = _prows(spark, [(3, "z", 1), (5, "e", 1)])  # only partition 1
+    v = snapshot_merge_partitioned(
+        spark, table_dir, batch, key_cols=["k"], order_cols=["v"],
+        partition_col="pt",
+    )
+    m1 = read_manifest(table_dir, v)
+    assert m1["partitions"]["0"] == m0["partitions"]["0"], "p0 files reused"
+    assert m1["partitions"]["2"] == m0["partitions"]["2"], "p2 files reused"
+    assert m1["partitions"]["1"] != m0["partitions"]["1"], "p1 rewritten"
+    assert all(f.startswith("data/v1/") for f in m1["partitions"]["1"])
+    got = {
+        r["k"]: (r["v"], r["pt"])
+        for r in snapshot_read_partitioned(spark, table_dir).collect()
+    }
+    assert got == {
+        1: ("a", 0), 2: ("b", 0), 3: ("z", 1), 4: ("d", 2), 5: ("e", 1)
+    }
+
+
+def test_partitioned_read_prunes_at_manifest_level(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_merge_partitioned,
+        snapshot_read_partitioned,
+    )
+
+    snapshot_merge_partitioned(
+        spark, table_dir,
+        _prows(spark, [(1, "a", 0), (3, "c", 1), (4, "d", 2)]),
+        key_cols=["k"], order_cols=["v"], partition_col="pt",
+    )
+    pruned = snapshot_read_partitioned(spark, table_dir, values=[1])
+    assert {r["k"] for r in pruned.collect()} == {3}
+    # the pruned scan's file list must not mention other partitions
+    files = pruned.inputFiles()
+    assert files and all("/1/" in f for f in files), files
+    # empty selection keeps the schema
+    empty = snapshot_read_partitioned(spark, table_dir, values=[99])
+    assert empty.columns == ["k", "v", "pt"] and empty.count() == 0
+
+
+def test_vacuum_preserves_files_reused_by_retained_manifests(spark, table_dir):
+    """The file-sharing hazard: after two partition-scoped merges, v2's
+    manifest still points into data/v0/ for never-touched partitions —
+    vacuuming v0 and v1 must delete only UNREFERENCED files and the
+    latest version must remain fully readable."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_merge_partitioned,
+        snapshot_read_partitioned,
+        snapshot_vacuum,
+    )
+
+    snapshot_merge_partitioned(
+        spark, table_dir,
+        _prows(spark, [(1, "a", 0), (3, "c", 1), (4, "d", 2)]),
+        key_cols=["k"], order_cols=["v"], partition_col="pt",
+    )
+    for i, val in enumerate(["x", "y"]):  # v1, v2 touch only partition 1
+        snapshot_merge_partitioned(
+            spark, table_dir, _prows(spark, [(3, val, 1)]),
+            key_cols=["k"], order_cols=["v"], partition_col="pt",
+        )
+    gone = snapshot_vacuum(table_dir, keep_last=1)
+    assert gone == [0, 1]
+    got = {
+        r["k"]: r["v"]
+        for r in snapshot_read_partitioned(spark, table_dir).collect()
+    }
+    assert got == {1: "a", 3: "y", 4: "d"}, "reused v0 files must survive"
+    import os as _os
+
+    v0 = f"{table_dir}/data/v0"
+    remaining = [f for _r, _d, fs in _os.walk(v0) for f in fs]
+    assert remaining, "partitions 0/2 still live in v0's directory"
