@@ -297,6 +297,11 @@ def snapshot_write_partitioned(
         )
     version = (current if current is not None else -1) + 1
     partitions: dict[str, list[str]] = dict(reuse or {})
+    # Materialize ONCE before the per-partition writes: without this the
+    # (possibly expensive merged) plan re-executes for every affected
+    # partition's filter — O(partitions x plan) at scale. Checkpoint
+    # blocks release on GC after the commit returns.
+    df = df.localCheckpoint(eager=True)
     values = [
         r[0] for r in df.select(partition_col).distinct().collect()
     ]
@@ -359,6 +364,11 @@ def snapshot_read_partitioned(
             for fs in parts.values()
             for rel in fs
         ]
+        if not all_paths:
+            raise FileNotFoundError(
+                f"snapshot v{v} of {table_dir} has no data files (empty"
+                " table) — no schema to serve an empty frame from"
+            )
         return spark.read.parquet(*all_paths).limit(0)
     return spark.read.parquet(*paths)
 
