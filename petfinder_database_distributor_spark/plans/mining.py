@@ -424,15 +424,15 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
            GROUP BY e.user_id)
     SELECT 'view' AS stage, count(*)::BIGINT AS users,
-           0::DECIMAL(38,0) AS total_lag_us FROM s1
+           '0' AS total_lag_us FROM s1
     UNION ALL
     SELECT 'click_after_view', count(*)::BIGINT,
            coalesce(sum((epoch_us(t2) - epoch_us(t1))::DECIMAL(38,0)),
-                    0)::DECIMAL(38,0) FROM s2
+                    0)::VARCHAR FROM s2
     UNION ALL
     SELECT 'purchase_after_click', count(*)::BIGINT,
            coalesce(sum((epoch_us(t3) - epoch_us(t2))::DECIMAL(38,0)),
-                    0)::DECIMAL(38,0) FROM s3
+                    0)::VARCHAR FROM s3
     """,
     doc="Ordered funnel analysis (view -> click-after-view -> purchase-"
     "after-click): per stage, the users who reached it via a STRICTLY "
@@ -442,7 +442,12 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stage 1 would skew every conversion-rate read); the lag accumulates "
     "in DECIMAL(38,0) — the registry's float/overflow discipline — "
     "because an int64 of microseconds wraps at ~10^8 users x 1-day lag, "
-    "exactly the claimed scale. Three cascaded aggregations all keyed on "
+    "exactly the claimed scale. The lag is EMITTED as its exact digit "
+    "string (like ref_scalar_suite's checksum): DuckDB hands scale-0 "
+    "DECIMAL(38,0) to pandas as float64, so a raw decimal column "
+    "canonicalizes as '...0.0' vs Spark's Decimal '...0' and the "
+    "driver's value hash diverges on representation, not value "
+    "(CORRECTNESS_r06 events_funnel hash_match=false). Three cascaded aggregations all keyed on "
     "user_id, so at scale every stage reuses the same hash partitioning "
     "(one logical shuffle key, no windows over the corpus); earliest-"
     "qualifying-event semantics via min() keeps it deterministic under "
@@ -474,13 +479,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(F.col(a)) - F.unix_micros(F.col(b))).cast("decimal(38,0)")
         ),
         F.lit(0),
-    ).cast("decimal(38,0)")
+    ).cast("decimal(38,0)").cast("string")
     r1 = s1.agg(
         F.count(F.lit(1)).alias("users"),
     ).select(
         F.lit("view").alias("stage"),
         "users",
-        F.lit(0).cast("decimal(38,0)").alias("total_lag_us"),
+        F.lit("0").alias("total_lag_us"),
     )
     r2 = s2.agg(F.count(F.lit(1)).alias("users"), lag("t2", "t1").alias("total_lag_us")).select(
         F.lit("click_after_view").alias("stage"), "users", "total_lag_us"

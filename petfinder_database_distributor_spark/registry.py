@@ -53,78 +53,23 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Rotated-out queries stay covered every run by the identical hash check
 # in tests/test_oracle_parity.py.
 #
-# Round-6 window (honors the r5-pinned contract: the whole never-sampled
-# tail + p3_link_fanout drains through the window, oldest-first):
-# slots 1-6 are new/changed registrations (native-expression minhash, the
-# Jaccard chooser under the unqualified name, the AQE skew demo, the
-# composite scalar suite replacing 7 folded trivial ref_* names, the
-# r3-stale p3_link_fanout, and stream_windowed_totals whose oracle gained
-# floor-division day_idx); slots 7-17 are never-sampled queries ALSO
-# changed this round (round-5 advice fixes: int_div buckets, single-regex
-# log parse, rollup marker, checkpoint instead of persist); the remaining
-# 33 slots drain the untouched never-sampled backlog in contract order.
+# (The round-6 window drained 47 never-sampled names; its composition is
+# recorded in the git history of this list.)
 PRIORITY: list[str] = [
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "j8_aqe_skew_join",
-    "ref_scalar_suite",
-    "p3_link_fanout",
-    "stream_windowed_totals",
-    "dedup_cluster_components",  # changed: unqualified name now = star contraction
-    "kanonymity_check",
-    "compaction_bin_pack",
-    "text_log_parse",
-    "rollup_incremental_merge",
-    "stream_late_data_drop",
-    "timeseries_gapfill_locf",
-    "global_shuffle_index",
-    "corpus_boilerplate_strip",
-    "text_commonness_score",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "sketch_bloom_membership",
-    "pack_sequences_greedy",
-    "embedding_quantize_int8",
-    "sketch_hll_mergeable",
-    "cluster_kmeans_int8",
-    "pagerank_partsupp",
-    "domain_mix_weights",
-    "zorder_layout_stats",
-    "profile_documents",
-    "dedup_canonical_quality",
-    "events_funnel",
-    "stream_sketch_hll",
-    "dedup_ngram_containment",
-    "scd2_user_history",
-    "bpe_first_merges",
-    "q6_forecast_revenue",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_late_shipment_priority",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_excess_share_suppliers",
-    "q21_sole_returner",
-    "q22_dormant_customers",
-    "cdc_snapshot_diff",
-    "sample_weighted",
-    "stream_static_enrich",
-    # -- 50-entry driver window ends here. --
-    # r7-HEAD CONTRACT: the 9 never-sampled names below missed the r6
-    # window by exactly the changed-query head above; they MUST open the
-    # r7 window, followed by dedup_ngram_jaccard_baseline (new name for
-    # the guarded direct-join form; its semantics carried a green row as
-    # dedup_ngram_jaccard through r5 and the identical local hash gate
-    # covers it every run) and the queries registered after the r6 window
-    # froze: snapshot_merge_upsert, stream_snapshot_merge,
-    # url_canonical_dedup, dedup_cluster_components_labelprop,
-    # snapshot_partitioned_upsert (all green in the sf0.01 exact-scale
-    # local gate, `pytest -m sf001`).
+    # -- r7 window (50 entries): every query's driver row goes green-and-
+    # recent this round. Slots 1-15 are the LAST never-sampled names in
+    # the registry (the r6 window drained the other 47; these 15 are the
+    # r5/r6 late registrations plus the renamed jaccard baseline — all
+    # green every run in the sf0.01 exact-scale local gate). Slot 16 is
+    # events_funnel: its first-ever driver row (r6) was a value-hash
+    # mismatch on DECIMAL(38,0) REPRESENTATION (DuckDB→pandas float64 vs
+    # Spark Decimal), fixed by emitting the lag as its exact digit
+    # string; the re-sample must confirm. Slots 17-50 re-sample the 34
+    # stalest rows (latest = r4), oldest-coverage-first policy; the 7
+    # r4 names left out (trivial ref_* scalar/filter checks +
+    # topk_orders_global) open the r8 window. Queries ADDED this round
+    # displace entries from the end of the window (new code needs a row
+    # more than a stable r4 query needs a refresh).
     "export_roundtrip_jsonl",
     "sketch_hll_by_group",
     "w3_rank_family",
@@ -135,6 +80,46 @@ PRIORITY: list[str] = [
     "parquet_schema_evolution",
     "j7_runtime_bloom_join",
     "dedup_ngram_jaccard_baseline",
+    "dedup_cluster_components_labelprop",
+    "snapshot_merge_upsert",
+    "url_canonical_dedup",
+    "snapshot_partitioned_upsert",
+    "stream_snapshot_merge",
+    "events_funnel",
+    "j2_asof_join",
+    "j3_range_join",
+    "g2_cube_marks",
+    "set_ops_customers",
+    "json_props_extract",
+    "sessionize_events",
+    "agg_percentiles",
+    "pivot_event_types",
+    "window_range_frame",
+    "agg_salted_twophase",
+    "j4_salted_join",
+    "q17_sql_correlated",
+    "q4_sql_exists",
+    "q13_sql_outer_count",
+    "variant_props_extract",
+    "transitions_grouped_pandas",
+    "p1_xpath_project",
+    "p3_link_fanout_xpath",
+    "p1_html_project",
+    "ingest_frontend",
+    "flagship_distributor_pipeline",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine_exact",
+    "mm_binary_metadata",
+    "mm_resize",
+    "udtf_chunk_documents",
+    "tfidf_top_terms",
+    "sketch_cms_term_counts",
+    "sketch_histogram_quantiles",
+    "embedding_dim_stats",
+    "dedup_levenshtein",
+    "merge_partitioned_upsert",
 ]
 
 

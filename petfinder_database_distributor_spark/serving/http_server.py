@@ -40,6 +40,18 @@ from urllib.parse import parse_qs, urlparse
 AUTH_ERROR = {"error": "Invalid or missing endpoint key"}
 
 
+# (table_dir, version) -> decoded rows. A committed version's file list
+# and file contents are immutable, so caching by RESOLVED version is
+# exact: only the pointer read happens per request, and a merge that
+# advances the pointer is picked up on the next request as a cache miss.
+# Bounded so long-lived serving across many commits doesn't hold every
+# historical version in memory (round-6 advice: re-decoding the whole
+# table per /pets hit scales latency with table size).
+_SNAPSHOT_CACHE: dict[tuple[str, int], list[dict]] = {}
+_SNAPSHOT_CACHE_MAX = 4
+_SNAPSHOT_CACHE_LOCK = threading.Lock()
+
+
 def load_snapshot_rows(table_dir: str, version: int | None = None) -> list[dict]:
     """Serve a manifest-committed snapshot table (sources/snapshot.py)
     WITHOUT Spark: resolve pointer → manifest → explicit file list and read
@@ -47,7 +59,9 @@ def load_snapshot_rows(table_dir: str, version: int | None = None) -> list[dict]
     immutable and the manifest names exactly one version's files, a reader
     holding version N is immune to concurrent merges/compactions — the
     reference's serving-during-rewrite guarantee (`server.py:299-307`),
-    plus time travel to any retained version via ``?version=``."""
+    plus time travel to any retained version via ``?version=``. Decoded
+    rows are cached per resolved version (immutability makes that exact),
+    so steady-state requests cost one pointer read, not a table decode."""
     import pyarrow.parquet as pq
 
     from petfinder_database_distributor_spark.sources.snapshot import (
@@ -59,10 +73,18 @@ def load_snapshot_rows(table_dir: str, version: int | None = None) -> list[dict]
     v = latest_version(table_dir) if version is None else version
     if v is None:
         return []
+    with _SNAPSHOT_CACHE_LOCK:
+        cached = _SNAPSHOT_CACHE.get((table_dir, v))
+    if cached is not None:
+        return cached
     manifest = read_manifest(table_dir, v)
     rows: list[dict] = []
     for rel in _manifest_files(manifest):
         rows.extend(pq.read_table(os.path.join(table_dir, rel)).to_pylist())
+    with _SNAPSHOT_CACHE_LOCK:
+        while len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
+            _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
+        _SNAPSHOT_CACHE[(table_dir, v)] = rows
     return rows
 
 

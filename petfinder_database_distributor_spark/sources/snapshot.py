@@ -25,9 +25,26 @@ time travel and concurrent-reader safety during compaction for free.
 Concurrent WRITERS are handled optimistically: the committer records the
 version it based its write on and refuses the pointer swap if another
 writer got there first (``SnapshotConflictError``) — the loser retries on
-fresh state instead of silently clobbering the winner's files. On a real
-object store the ``os.replace`` becomes the store's atomic
-put-if-absent/rename; the protocol shape is unchanged.
+fresh state instead of silently clobbering the winner's files. Two
+mechanisms make that airtight rather than check-then-act (the round-6
+advice finding — the entry check alone spans the whole Spark write):
+
+* every writer stages data under a WRITER-UNIQUE directory
+  ``data/v{N}/{token}/`` — two writers that both derived version N can
+  never overwrite each other's data files, no matter how their Spark
+  jobs interleave;
+* the metadata commit (manifest + pointer swap) runs inside an
+  ``flock``-held critical section that RE-VERIFIES
+  ``latest_version() == base_version`` immediately before the swap; the
+  loser's data directory becomes unreferenced garbage (reclaimable by
+  vacuum), never a committed-state corruption.
+
+A DEAD writer (crashed after its manifest landed but before the pointer
+swap) holds no lock, so the next live writer for that version number
+simply overwrites the orphan manifest — crash recovery stays automatic
+(tests pin this). On a real object store the flock+recheck becomes the
+store's compare-and-swap on the pointer; the protocol shape is
+unchanged.
 
 At 100 TB the manifest lists O(files) names — kilobytes per thousand
 files; the data plane is untouched Spark parquet I/O.
@@ -35,14 +52,69 @@ files; the data plane is untouched Spark parquet I/O.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotConflictError(RuntimeError):
     """Another writer committed since this writer read its base version."""
+
+
+@contextlib.contextmanager
+def _commit_lock(table_dir: str):
+    """Exclusive advisory lock serializing the metadata commit (manifest
+    write + pointer swap + the base re-verification between them). Held
+    only for the tiny metadata window, never across the Spark data write.
+    The OS releases it on process death, so a crashed committer can't
+    wedge the table. Maps to compare-and-swap on an object store."""
+    import fcntl
+
+    path = os.path.join(table_dir, "_commit.lock")
+    with open(path, "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
+def _check_base(table_dir: str, base_version: int | None) -> int | None:
+    current = latest_version(table_dir)
+    if current != base_version:
+        raise SnapshotConflictError(
+            f"table advanced to v{current} since this writer read"
+            f" {'empty' if base_version is None else f'v{base_version}'};"
+            " re-read and retry"
+        )
+    return current
+
+
+def _commit_metadata(
+    table_dir: str, version: int, base_version: int | None, manifest: dict
+) -> None:
+    """The commit: under the lock, re-verify the base (the round-6 advice
+    fix — the entry check alone is check-then-act across the whole Spark
+    write), then manifest, then pointer. A racing writer fails HERE with
+    its data staged in its own unique directory, touching nothing
+    committed."""
+    with _commit_lock(table_dir):
+        _check_base(table_dir, base_version)
+        _fsync_replace(
+            _manifest_path(table_dir, version) + "._tmp",
+            _manifest_path(table_dir, version),
+            json.dumps(manifest, indent=1),
+        )
+        # THE commit point. Everything before this line is invisible to
+        # readers; a crash before it leaves the table at the old version.
+        _fsync_replace(
+            os.path.join(table_dir, "_latest._tmp"),
+            os.path.join(table_dir, "_latest"),
+            str(version),
+        )
 
 
 def _fsync_replace(tmp_path: str, final_path: str, payload: str) -> None:
@@ -81,25 +153,22 @@ def snapshot_write(
     (pass what :func:`latest_version` returned when the writer STARTED);
     the commit is refused if someone else advanced the table since."""
     os.makedirs(os.path.join(table_dir, "_manifests"), exist_ok=True)
-    current = latest_version(table_dir)
     # base_version=None means "I read an EMPTY table" (the docstring's
     # contract: pass exactly what latest_version returned) — so a first
     # writer that lost the race to another first writer conflicts too,
-    # instead of silently replacing the winner's v0.
-    if current != base_version:
-        raise SnapshotConflictError(
-            f"table advanced to v{current} since this writer read"
-            f" {'empty' if base_version is None else f'v{base_version}'};"
-            " re-read and retry"
-        )
+    # instead of silently replacing the winner's v0. This entry check is
+    # only the FAST fail; the authoritative one re-runs under the commit
+    # lock after the data write.
+    current = _check_base(table_dir, base_version)
     version = (current if current is not None else -1) + 1
-    data_dir = os.path.join(table_dir, "data", f"v{version}")
-    # Immutable new directory: the Spark job's own _SUCCESS/temporary
-    # handling is irrelevant to readers — nothing references data/v{N}
-    # until the manifest and pointer land.
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table_dir, "data", f"v{version}", token)
+    # Immutable writer-unique directory: nothing references it until the
+    # manifest and pointer land, and no concurrent writer that derived
+    # the same version number can ever clobber it (distinct tokens).
     df.write.mode("overwrite").parquet(data_dir)
     files = sorted(
-        f"data/v{version}/{name}"
+        f"data/v{version}/{token}/{name}"
         for name in os.listdir(data_dir)
         if name.endswith(".parquet")
     )
@@ -109,18 +178,7 @@ def snapshot_write(
         "n_files": len(files),
         "columns": df.columns,
     }
-    _fsync_replace(
-        _manifest_path(table_dir, version) + "._tmp",
-        _manifest_path(table_dir, version),
-        json.dumps(manifest, indent=1),
-    )
-    # THE commit point. Everything before this line is invisible to
-    # readers; a crash before it leaves the table at the old version.
-    _fsync_replace(
-        os.path.join(table_dir, "_latest._tmp"),
-        os.path.join(table_dir, "_latest"),
-        str(version),
-    )
+    _commit_metadata(table_dir, version, base_version, manifest)
     return version
 
 
@@ -135,6 +193,15 @@ def snapshot_read(
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     manifest = read_manifest(table_dir, v)
     paths = [os.path.join(table_dir, rel) for rel in _manifest_files(manifest)]
+    if not paths:
+        # An empty DataFrame commit can list zero part files (only
+        # *.parquet names are manifested). Mirror the partitioned
+        # reader's clean empty-table error instead of letting
+        # spark.read.parquet() fail with an unrelated no-paths message.
+        raise FileNotFoundError(
+            f"snapshot v{v} of {table_dir} has no data files (empty"
+            " table) — no schema to serve an empty frame from"
+        )
     return spark.read.parquet(*paths)
 
 
@@ -230,24 +297,30 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
         retained_refs.update(_manifest_files(read_manifest(table_dir, v)))
     vacuumed = []
     for v in range(cutoff):
-        manifest = _manifest_path(table_dir, v)
-        if not os.path.exists(manifest):
-            continue  # already vacuumed (or never committed)
+        # Walk the DATA directory whenever it exists, independent of the
+        # manifest: a file can outlive its own version's manifest because
+        # a then-retained manifest referenced it (partition sharing);
+        # once those referencing manifests expire too, this pass must
+        # still reclaim it (round-6 advice: keying the walk off manifest
+        # existence leaked such files forever).
         vdir = os.path.join(table_dir, "data", f"v{v}")
-        for root, _dirs, files in os.walk(vdir, topdown=False):
-            for name in files:
-                full = os.path.join(root, name)
-                rel = os.path.relpath(full, table_dir)
-                if rel not in retained_refs:
-                    os.remove(full)
-            if not os.listdir(root):
-                os.rmdir(root)
-        if os.path.isdir(vdir) and not any(
-            f for _r, _d, fs in os.walk(vdir) for f in fs
-        ):
-            shutil.rmtree(vdir, ignore_errors=True)
-        os.remove(manifest)
-        vacuumed.append(v)
+        if os.path.isdir(vdir):
+            for root, _dirs, files in os.walk(vdir, topdown=False):
+                for name in files:
+                    full = os.path.join(root, name)
+                    rel = os.path.relpath(full, table_dir)
+                    if rel not in retained_refs:
+                        os.remove(full)
+                if not os.listdir(root):
+                    os.rmdir(root)
+            if os.path.isdir(vdir) and not any(
+                f for _r, _d, fs in os.walk(vdir) for f in fs
+            ):
+                shutil.rmtree(vdir, ignore_errors=True)
+        manifest = _manifest_path(table_dir, v)
+        if os.path.exists(manifest):
+            os.remove(manifest)
+            vacuumed.append(v)  # manifest existence = "newly vacuumed"
     return vacuumed
 
 
@@ -282,19 +355,21 @@ def snapshot_write_partitioned(
     The partitioned manifest maps partition value → relative file list
     (``{"partitions": {value: [files...]}}``). Data files carry the
     partition COLUMN in their rows (the directory layout under
-    ``data/v{N}/<value>/`` is bookkeeping, not Hive-style partition
-    encoding), so a reader just reads the manifest's files — including
+    ``data/v{N}/{token}/<value>/`` is bookkeeping, not Hive-style
+    partition encoding), so a reader just reads the manifest's files — including
     ones from older version directories — with no basePath gymnastics.
-    Commit protocol (tmp+fsync+replace manifest, then pointer swap) and
-    the optimistic conflict rule are inherited unchanged."""
+    Commit protocol (writer-unique data directory, then manifest +
+    pointer swap under the commit lock with the base re-verified) and
+    the optimistic conflict rule are inherited unchanged.
+
+    ``partition_col`` must be NON-NULL for every row: partition values
+    key the manifest as strings, and a NULL cannot round-trip that
+    mapping — the guard below raises instead of silently dropping the
+    rows (round-6 advice: ``col == None`` is SQL NULL semantics and
+    matches nothing, so null-partition rows used to vanish from the
+    committed snapshot)."""
     os.makedirs(os.path.join(table_dir, "_manifests"), exist_ok=True)
-    current = latest_version(table_dir)
-    if current != base_version:
-        raise SnapshotConflictError(
-            f"table advanced to v{current} since this writer read"
-            f" {'empty' if base_version is None else f'v{base_version}'};"
-            " re-read and retry"
-        )
+    current = _check_base(table_dir, base_version)
     version = (current if current is not None else -1) + 1
     partitions: dict[str, list[str]] = dict(reuse or {})
     # Materialize ONCE before the per-partition writes: without this the
@@ -305,14 +380,22 @@ def snapshot_write_partitioned(
     values = [
         r[0] for r in df.select(partition_col).distinct().collect()
     ]
+    if any(v is None for v in values):
+        n_null = df.filter(df[partition_col].isNull()).count()
+        raise ValueError(
+            f"snapshot_write_partitioned: {n_null} rows have NULL"
+            f" {partition_col!r}; partition values key the manifest and"
+            " must be non-null — filter or fill them before committing"
+        )
+    token = uuid.uuid4().hex[:12]
     for val in values:
         # bounded by the BATCH's distinct partition values (the same
         # driver-side bound merge_into_partitioned documents); each
-        # partition writes to its own immutable directory
-        sub = os.path.join(table_dir, "data", f"v{version}", str(val))
+        # partition writes to its own writer-unique immutable directory
+        sub = os.path.join(table_dir, "data", f"v{version}", token, str(val))
         df.filter(df[partition_col] == val).write.mode("overwrite").parquet(sub)
         partitions[str(val)] = sorted(
-            f"data/v{version}/{val}/{n}"
+            f"data/v{version}/{token}/{val}/{n}"
             for n in os.listdir(sub)
             if n.endswith(".parquet")
         )
@@ -323,16 +406,7 @@ def snapshot_write_partitioned(
         "n_files": sum(len(v) for v in partitions.values()),
         "columns": df.columns,
     }
-    _fsync_replace(
-        _manifest_path(table_dir, version) + "._tmp",
-        _manifest_path(table_dir, version),
-        json.dumps(manifest, indent=1),
-    )
-    _fsync_replace(
-        os.path.join(table_dir, "_latest._tmp"),
-        os.path.join(table_dir, "_latest"),
-        str(version),
-    )
+    _commit_metadata(table_dir, version, base_version, manifest)
     return version
 
 

@@ -228,3 +228,31 @@ def test_snapshot_backed_serving_time_travel(spark, tmp_path_factory):
         assert code == 401
     finally:
         httpd.shutdown()
+
+
+def test_snapshot_rows_cached_per_version(spark, tmp_path_factory):
+    """Round-6 advice (low): /pets must not re-decode the whole table per
+    request. Decoded rows are cached by RESOLVED version (immutable files
+    make that exact); a new commit is a new version → cache miss → fresh
+    rows, while repeat hits on the same version return the cached list."""
+    from petfinder_database_distributor_spark.serving.http_server import (
+        load_snapshot_rows,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    table = str(tmp_path_factory.mktemp("servecache") / "table")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    snapshot_write(spark, table, df)
+    first = load_snapshot_rows(table)
+    assert load_snapshot_rows(table) is first, "same version → cached object"
+    snapshot_merge(
+        spark, table, spark.createDataFrame([(1, "b")], "k long, v string"),
+        key_cols=["k"], order_cols=["v"],
+    )
+    fresh = load_snapshot_rows(table)
+    assert fresh is not first and {r["v"] for r in fresh} == {"b"}
+    # time travel still resolves (and caches) the old version exactly
+    assert {r["v"] for r in load_snapshot_rows(table, version=0)} == {"a"}

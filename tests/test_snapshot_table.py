@@ -332,3 +332,124 @@ def test_vacuum_preserves_files_reused_by_retained_manifests(spark, table_dir):
     v0 = f"{table_dir}/data/v0"
     remaining = [f for _r, _d, fs in _os.walk(v0) for f in fs]
     assert remaining, "partitions 0/2 still live in v0's directory"
+
+
+def test_late_racer_fails_at_commit_without_clobbering(spark, table_dir):
+    """Round-6 advice (medium): the entry check alone is check-then-act
+    across the whole Spark write. A racer that passed the entry check,
+    finished its data write into its own unique directory, and only then
+    reaches the metadata commit must fail THERE — and the winner's
+    committed files must be byte-for-byte untouched."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        _commit_metadata,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "base")]))  # v0
+    # writers A and B both read v0; A commits v1 first
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "A")]), base_version=0)
+    winner_files = read_manifest(table_dir, 1)["files"]
+    # B's Spark write already landed — in B's OWN unique directory, so
+    # nothing of A's is overwritten no matter the interleaving
+    sub = os.path.join(table_dir, "data", "v1", "racertoken")
+    _rows(spark, [(1, "B")]).write.mode("overwrite").parquet(sub)
+    b_manifest = {
+        "version": 1,
+        "files": sorted(
+            f"data/v1/racertoken/{n}"
+            for n in os.listdir(sub)
+            if n.endswith(".parquet")
+        ),
+        "n_files": 1,
+        "columns": ["k", "v"],
+    }
+    with pytest.raises(SnapshotConflictError, match="advanced to v1"):
+        _commit_metadata(table_dir, 1, 0, b_manifest)
+    # the winner's commit is fully intact: same manifest, same files, same rows
+    assert read_manifest(table_dir, 1)["files"] == winner_files
+    assert all(os.path.exists(os.path.join(table_dir, f)) for f in winner_files)
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "A"}
+
+
+def test_same_version_writers_use_distinct_data_dirs(spark, table_dir):
+    """Two sequential commits never share a data directory, and each
+    version's files live under a writer-unique token subdirectory — the
+    structural property that makes the race above unable to clobber."""
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "b")]), base_version=0)
+    f0 = read_manifest(table_dir, 0)["files"][0]
+    f1 = read_manifest(table_dir, 1)["files"][0]
+    # layout: data/v{N}/{token}/part-*.parquet
+    assert f0.split("/")[:2] == ["data", "v0"] and len(f0.split("/")) == 4
+    assert f1.split("/")[:2] == ["data", "v1"] and len(f1.split("/")) == 4
+
+
+def test_partitioned_write_rejects_null_partition_values(spark, table_dir):
+    """Round-6 advice (medium): NULL partition values used to vanish
+    silently (col == None is SQL NULL, matches nothing). The writer must
+    refuse the commit loudly instead."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", None)], "k long, v string, pt long"
+    )
+    with pytest.raises(ValueError, match="NULL 'pt'"):
+        snapshot_write_partitioned(spark, table_dir, df, "pt")
+    assert latest_version(table_dir) is None, "nothing may be committed"
+
+
+def test_vacuum_reclaims_shared_files_after_referencing_manifests_expire(
+    spark, table_dir
+):
+    """Round-6 advice (low): a file that survived an earlier vacuum
+    because a then-retained manifest referenced it must STILL be
+    reclaimable after that referencing manifest itself expires — the walk
+    is keyed off the data directory's existence, not the (long-gone)
+    manifest's."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_merge_partitioned,
+        snapshot_vacuum,
+    )
+
+    full = _prows(spark, [(1, "a", 0), (3, "c", 1), (4, "d", 2)])
+    snapshot_merge_partitioned(  # v0: all three partitions
+        spark, table_dir, full, key_cols=["k"], order_cols=["v"],
+        partition_col="pt",
+    )
+    for val in ("x", "y"):  # v1, v2: touch only partition 1
+        snapshot_merge_partitioned(
+            spark, table_dir, _prows(spark, [(3, val, 1)]),
+            key_cols=["k"], order_cols=["v"], partition_col="pt",
+        )
+    # v3 rewrites every partition → references no v0 files at all
+    snapshot_merge_partitioned(
+        spark, table_dir,
+        _prows(spark, [(1, "a2", 0), (3, "z", 1), (4, "d2", 2)]),
+        key_cols=["k"], order_cols=["v"], partition_col="pt",
+    )
+    # first vacuum: v0's manifest expires but its p0/p2 files survive
+    # (retained v2 still points at them)
+    assert snapshot_vacuum(table_dir, keep_last=2) == [0, 1]
+    v0 = os.path.join(table_dir, "data", "v0")
+    assert [f for _r, _d, fs in os.walk(v0) for f in fs], "shared files kept"
+    # second vacuum: v2 expires too — NOW v0's files are unreferenced and
+    # must be reclaimed even though v0's manifest is long gone
+    assert snapshot_vacuum(table_dir, keep_last=1) == [2]
+    assert not [f for _r, _d, fs in os.walk(v0) for f in fs], (
+        "files shared into expired manifests must not leak forever"
+    )
+
+
+def test_read_of_zero_file_manifest_fails_cleanly(spark, table_dir):
+    """Round-6 advice (low): a committed version whose manifest lists no
+    parquet files (an empty-DataFrame commit can emit zero part files)
+    must raise the same clean empty-table error as the partitioned
+    reader, not an unrelated Spark no-paths failure."""
+    os.makedirs(os.path.join(table_dir, "_manifests"))
+    with open(os.path.join(table_dir, "_manifests", "v0.json"), "w") as fh:
+        json.dump({"version": 0, "files": [], "n_files": 0, "columns": ["k"]}, fh)
+    with open(os.path.join(table_dir, "_latest"), "w") as fh:
+        fh.write("0")
+    with pytest.raises(FileNotFoundError, match="no data files"):
+        snapshot_read(spark, table_dir)
