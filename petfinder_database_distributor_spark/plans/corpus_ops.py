@@ -1,0 +1,215 @@
+"""Corpus-curation ingest operators: the round-7 additions that execute
+the 100 TB ingest loop end-to-end rather than analyzing a frozen corpus.
+
+* ``dedup_incremental_batch`` — near-dup dedup of a NEW ingest batch
+  against a snapshot-committed MinHash band index of the existing corpus:
+  O(batch + collisions) per ingest, never O(corpus). Composes the
+  round-6 snapshot table (atomic index commits, time travel) with the
+  dedup family; the per-batch ingest pattern every production pipeline
+  (CCNet, RefinedWeb, Dolma) runs instead of corpus-wide re-dedup.
+* ``domain_budget_sample`` — EXECUTES a domain mix: admits documents per
+  source domain in deterministic hash order until each domain reaches an
+  equal-share token budget. ``domain_mix_weights`` (plans/mining.py)
+  computes what the mix should be; this operator materializes the actual
+  training subset, the step between weights and a packed dataset.
+
+Oracles restate both algorithms in DuckDB over the same parquet —
+signatures, budgets and cumulative sums are exact-integer end to end, so
+the driver's value-hash comparison is bit-stable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from petfinder_database_distributor_spark.operators.dedup_incremental import (
+    build_minhash_index,
+    incremental_neardup_decisions,
+)
+from petfinder_database_distributor_spark.operators.text import (
+    MD5INT_SQL,
+    md5int,
+    token_count,
+)
+from petfinder_database_distributor_spark.plans.llm_pipeline import (
+    _SHINGLES_SQL,
+)
+from petfinder_database_distributor_spark.registry import register
+from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.sources.snapshot import (
+    latest_version,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_write,
+)
+from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_batch
+# ---------------------------------------------------------------------------
+
+_IDX_MEMO: set[str] = set()
+
+
+def _corpus_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the corpus's MinHash band index as a snapshot TABLE once per
+    sf_dir (_ok marker + source-mtime reuse guard — the same protocol as
+    the DPP/streaming stagings). Version 0 of the table is always the
+    corpus-only index; admit-merges land as later versions, so reads
+    pinned at v0 are deterministic across repeated calls."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    table = f"{SCRATCH_ROOT}/minhash_index/{tag}"
+    marker = f"{table}._ok"
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    if tag in _IDX_MEMO or (
+        os.path.exists(marker)
+        and os.path.exists(src)
+        and os.stat(marker).st_mtime > os.stat(src).st_mtime
+    ):
+        _IDX_MEMO.add(tag)
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    snapshot_write(spark, table, build_minhash_index(corpus, "doc_id", "text"))
+    with open(marker, "w") as fh:
+        fh.write("staged")
+    _IDX_MEMO.add(tag)
+    return table
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hx AS (SELECT doc_id, ({MD5INT_SQL.format(x="u.x")}) % 2147483647 AS h
+           FROM sh, unnest(sh.s) u(x)),
+    sig AS (SELECT doc_id, r.i AS i,
+                   min(((2 * r.i + 1) * h + (17 * r.i + 3)) % 2147483647) AS m
+            FROM hx, range(0, 32) r(i) GROUP BY doc_id, r.i),
+    bands AS (SELECT doc_id, i // 2 AS band,
+                     md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bh
+              FROM sig GROUP BY doc_id, i // 2),
+    cand AS (SELECT DISTINCT b.doc_id AS bid, o.doc_id AS cid
+             FROM bands b JOIN bands o ON b.band = o.band AND b.bh = o.bh
+             WHERE b.doc_id % 5 = 0
+               AND (o.doc_id % 5 <> 0 OR o.doc_id < b.doc_id)),
+    ver AS (SELECT c.bid, c.cid
+            FROM cand c JOIN sh x ON x.doc_id = c.bid
+                        JOIN sh y ON y.doc_id = c.cid
+            WHERE len(list_intersect(x.s, y.s))::DOUBLE
+                    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+                  >= 0.5),
+    dec AS (SELECT bid, min(cid) AS dup_of FROM ver GROUP BY bid)
+    SELECT b.doc_id, dec.dup_of, dec.dup_of IS NULL AS admitted
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id IS NOT NULL AND doc_id % 5 = 0) b
+    LEFT JOIN dec ON b.doc_id = dec.bid
+    """,
+    doc="Incremental ingest dedup — the O(batch) ANSWER to corpus-wide "
+    "re-dedup: batch documents (doc_id %% 5 = 0, a deterministic ~20%% "
+    "ingest slice) compute MinHash(k=32)/LSH(16x2) signatures for "
+    "THEMSELVES ONLY and probe the corpus's committed band index "
+    "(snapshot table v0, staged once per sf_dir); band collisions are "
+    "exact-Jaccard-verified (>=0.5) against a semi-joined candidate "
+    "text fetch, batch-internal dups caught by a smaller-id-wins "
+    "self-join, and admitted signatures are merged back into the index "
+    "as snapshot v1 (one atomic pointer-swap commit per ingest — the "
+    "audit-log/time-travel chain from round 6). dup_of = min matching "
+    "id; decisions are order-independent (non-recursive batch rule, "
+    "see operators/dedup_incremental.py). The oracle recomputes all "
+    "signatures from scratch — the INDEX is an execution artifact, so "
+    "parity also proves index-probe == recompute equivalence.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    table = _corpus_index_table(spark, sf_dir)
+    index = snapshot_read(spark, table, version=0)
+    decisions = incremental_neardup_decisions(
+        index, corpus, batch, "doc_id", "text", threshold=0.5
+    )
+    if latest_version(table) == 0:
+        # One admit-merge per staged index: the admitted batch's band rows
+        # join the corpus index as snapshot v1 (idempotent winner rule on
+        # (doc_id, band)); dedup reads stay pinned at v0, so repeated
+        # calls — driver, bench, tests — return identical decisions.
+        admitted = decisions.filter("admitted").select("doc_id")
+        batch_bands = build_minhash_index(
+            batch.join(admitted, "doc_id", "leftsemi"), "doc_id", "text"
+        )
+        snapshot_merge(
+            spark, table, batch_bands, key_cols=["doc_id", "band"],
+            order_cols=["bh"],
+        )
+    return decisions
+
+
+# ---------------------------------------------------------------------------
+# domain_budget_sample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "domain_budget_sample",
+    oracle=f"""
+    WITH tt AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(replace(replace(
+                   trim(coalesce(text, '')), 'İ', 'i'), 'Σ', 'σ')), '\\s+'),
+                 x -> x <> ''))::BIGINT AS n_tok,
+             {MD5INT_SQL.format(x="doc_id::VARCHAR")} AS hkey
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    b AS (SELECT (sum(n_tok) // (2 * count(DISTINCT source)))::BIGINT AS budget
+          FROM tt),
+    c AS (SELECT doc_id, source, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY hkey, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)::BIGINT AS cum_tok
+          FROM tt)
+    SELECT doc_id, source, n_tok, cum_tok FROM c, b WHERE cum_tok <= budget
+    """,
+    doc="Domain-mix EXECUTION: cap every source domain at an equal-share "
+    "token budget (total_tokens div (2 x n_domains) — binds for "
+    "over-represented domains, passes small ones whole) and admit "
+    "documents in md5int(doc_id) hash order — a deterministic, seedless "
+    "unbiased shuffle, reproducible across engines and runs — keeping "
+    "each doc while its domain's running token total fits. One shuffle "
+    "(hash-partition by source) + an in-partition window; domains "
+    "sample in parallel. The budget scalar is one tiny aggregate "
+    "broadcast into the filter. At extreme single-domain scale the "
+    "window becomes the two-phase bucket-prefix-sum of "
+    "global_shuffle_index — same semantics, documented trade. Exact "
+    "int64 token arithmetic end to end; admit order ties broken by "
+    "doc_id (hash collisions), so output is total-order deterministic.",
+)
+def domain_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    tt = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        md5int(F.col("doc_id").cast("string")).alias("hkey"),
+    )
+    budget = tt.agg(
+        F.expr("sum(n_tok) div (2 * count(DISTINCT source))")
+        .cast("long")
+        .alias("budget")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = tt.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+    return (
+        c.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tok") <= F.col("budget"))
+        .select("doc_id", "source", "n_tok", "cum_tok")
+    )

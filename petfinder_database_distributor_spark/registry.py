@@ -86,6 +86,11 @@ PRIORITY: list[str] = [
     "snapshot_partitioned_upsert",
     "stream_snapshot_merge",
     "events_funnel",
+    # round-7 registrations (new code needs a row first; they displace
+    # the two r4 refreshes dedup_levenshtein / merge_partitioned_upsert,
+    # which open the r8 window with the other held-back r4 names):
+    "dedup_incremental_batch",
+    "domain_budget_sample",
     "j2_asof_join",
     "j3_range_join",
     "g2_cube_marks",
@@ -118,8 +123,6 @@ PRIORITY: list[str] = [
     "sketch_cms_term_counts",
     "sketch_histogram_quantiles",
     "embedding_dim_stats",
-    "dedup_levenshtein",
-    "merge_partitioned_upsert",
 ]
 
 
@@ -129,6 +132,7 @@ def load_all() -> dict[str, QuerySpec]:
     query not listed keeps its registration order in the tail."""
     from petfinder_database_distributor_spark.plans import (  # noqa: F401
         advanced_relational,
+        corpus_ops,
         dataset_ops,
         extraction_plans,
         flagship,

@@ -41,6 +41,13 @@ SHOW = {
     "events_funnel": "three cascaded user_id-keyed aggregations — single "
     "logical shuffle key, no corpus-wide window",
     "zorder_layout_stats": "pure bit-op projection + 32-key agg",
+    "dedup_incremental_batch": "ingest-batch signatures probe the "
+    "committed band index: the corpus appears ONLY as the index scan and "
+    "a semi-joined candidate text fetch — no corpus-wide shingle or "
+    "signature operator anywhere in the plan (O(batch) per ingest)",
+    "domain_budget_sample": "one hash-exchange by domain + in-partition "
+    "window cumsum; the token budget is a single-row broadcast — no "
+    "second shuffle, no driver collect",
 }
 
 
