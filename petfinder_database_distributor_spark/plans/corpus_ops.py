@@ -42,6 +42,7 @@ from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
 from petfinder_database_distributor_spark.sources.snapshot import (
     latest_version,
+    snapshot_delete,
     snapshot_merge,
     snapshot_read,
     snapshot_write,
@@ -148,6 +149,69 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_cols=["bh"],
         )
     return decisions
+
+
+# ---------------------------------------------------------------------------
+# snapshot_tombstone_delete
+# ---------------------------------------------------------------------------
+
+_TOMB_MEMO: set[str] = set()
+
+
+def _tombstoned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per sf_dir: v0 = the documents projection committed as a
+    snapshot, v1 = a tombstone delete of the right-to-be-forgotten slice
+    (doc_id % 7 = 0) that reuses every v0 data file untouched."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    table = f"{SCRATCH_ROOT}/snapshot_tomb/{tag}"
+    marker = f"{table}._ok"
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    if tag in _TOMB_MEMO or (
+        os.path.exists(marker)
+        and os.path.exists(src)
+        and os.stat(marker).st_mtime > os.stat(src).st_mtime
+    ):
+        _TOMB_MEMO.add(tag)
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "source", "n_chars")
+    )
+    snapshot_write(spark, table, docs)
+    snapshot_delete(
+        spark, table, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+        key_cols=["doc_id"],
+    )
+    with open(marker, "w") as fh:
+        fh.write("staged")
+    _TOMB_MEMO.add(tag)
+    return table
+
+
+@register(
+    "snapshot_tombstone_delete",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id IS NOT NULL AND doc_id % 7 <> 0
+    """,
+    doc="Merge-on-read row deletes — deletion-vector semantics for the "
+    "snapshot table (sources/snapshot.py::snapshot_delete): a "
+    "right-to-be-forgotten request (doc_id %% 7 = 0) commits as ONE "
+    "tombstone key file + a pointer swap, carrying every data file "
+    "forward untouched (O(delete keys), never O(table) — at 100 TB a "
+    "compliance delete cannot rewrite thousands of immutable files per "
+    "request); the read plan anti-joins the accumulated tombstones out, "
+    "time travel to v0 still serves the pre-delete rows, and the next "
+    "compaction folds tombstones into fresh files. The staged table "
+    "commits v0 (full corpus) + v1 (tombstones) once per sf_dir; the "
+    "query reads latest. Oracle = the plain filtered table, so parity "
+    "proves merge-on-read == eager delete.",
+)
+def snapshot_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _tombstoned_table(spark, sf_dir)
+    return snapshot_read(spark, table)
 
 
 # ---------------------------------------------------------------------------

@@ -81,6 +81,16 @@ def load_snapshot_rows(table_dir: str, version: int | None = None) -> list[dict]
     rows: list[dict] = []
     for rel in _manifest_files(manifest):
         rows.extend(pq.read_table(os.path.join(table_dir, rel)).to_pylist())
+    tombs = manifest.get("tombstones", [])
+    if tombs:
+        # merge-on-read deletes (snapshot_delete): drop tombstoned keys
+        # exactly like the Spark reader's anti-join
+        key_cols = manifest["key_cols"]
+        dead = set()
+        for rel in tombs:
+            for t in pq.read_table(os.path.join(table_dir, rel)).to_pylist():
+                dead.add(tuple(t[k] for k in key_cols))
+        rows = [r for r in rows if tuple(r[k] for k in key_cols) not in dead]
     with _SNAPSHOT_CACHE_LOCK:
         while len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
             _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))

@@ -16,7 +16,11 @@ Delta Lake / Iceberg, restated here with nothing but the stdlib:
 
 Readers resolve ``_latest`` → manifest → explicit file list; they never
 list ``data/`` (half-written job output is invisible because nothing
-points at it). A crash anywhere before the pointer replace leaves the
+points at it). Row-level deletes are MERGE-ON-READ: ``snapshot_delete``
+commits a tombstone key file and carries every data file forward
+untouched (O(delete keys) per request — the deletion-vector idea from
+the production formats); readers anti-join the tombstones out, and the
+next compaction/merge folds them into fresh files. A crash anywhere before the pointer replace leaves the
 previous snapshot fully intact — tests/test_snapshot_table.py kills the
 protocol at every intermediate step and proves readers never see a torn
 or mixed version. Old versions stay readable (``version=``), giving
@@ -182,12 +186,29 @@ def snapshot_write(
     return version
 
 
+def _apply_tombstones(
+    spark: SparkSession, table_dir: str, manifest: dict, df: DataFrame
+) -> DataFrame:
+    """Merge-on-read deletes: anti-join the manifest's accumulated
+    tombstone keys (committed by :func:`snapshot_delete`) out of the
+    scan. No-op for manifests without tombstones, so pre-delete readers
+    pay nothing."""
+    tombs = manifest.get("tombstones", [])
+    if not tombs:
+        return df
+    keys = spark.read.parquet(
+        *[os.path.join(table_dir, rel) for rel in tombs]
+    )
+    return df.join(keys, on=manifest["key_cols"], how="left_anti")
+
+
 def snapshot_read(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Read a committed snapshot (latest by default; pass ``version`` for
     time travel). Resolves pointer → manifest → explicit file list, so
-    uncommitted job output can never leak into the scan."""
+    uncommitted job output can never leak into the scan. Tombstoned rows
+    (merge-on-read deletes) are anti-joined out."""
     v = latest_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
@@ -202,7 +223,60 @@ def snapshot_read(
             f"snapshot v{v} of {table_dir} has no data files (empty"
             " table) — no schema to serve an empty frame from"
         )
-    return spark.read.parquet(*paths)
+    return _apply_tombstones(spark, table_dir, manifest, spark.read.parquet(*paths))
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    table_dir: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Merge-on-read row deletes: commit ``keys_df``'s keys as a TOMBSTONE
+    file and a new version whose manifest reuses every existing data file
+    unchanged — deletion is O(delete keys), never O(table). Readers of the
+    new version anti-join the accumulated tombstones out at scan time;
+    readers of older versions (time travel) still see the rows, and the
+    next :func:`snapshot_compact` / :func:`snapshot_merge` folds the
+    tombstones into fresh files and clears them.
+
+    This is the deletion-vector idea from the production table formats
+    (Delta deletion vectors, Iceberg equality deletes), restated at
+    key granularity: at 100 TB a right-to-be-forgotten request deletes a
+    handful of keys from thousands of immutable files — rewriting those
+    files per request is the reference's O(table) CSV rewrite again,
+    while a tombstone commit is a kilobyte write + pointer swap, with
+    the rewrite deferred to the next scheduled compaction.
+
+    Tombstones accumulate across delete commits (each manifest carries
+    the FULL list), and ``key_cols`` must stay consistent across deletes
+    of one table."""
+    current = latest_version(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    prev = read_manifest(table_dir, current)
+    if prev.get("tombstones") and prev["key_cols"] != key_cols:
+        raise ValueError(
+            f"tombstone key_cols mismatch: table uses {prev['key_cols']},"
+            f" delete supplied {key_cols}"
+        )
+    version = current + 1
+    token = uuid.uuid4().hex[:12]
+    tdir = os.path.join(table_dir, "tombstones", f"v{version}", token)
+    keys_df.select(*key_cols).dropDuplicates(key_cols).write.mode(
+        "overwrite"
+    ).parquet(tdir)
+    tfiles = sorted(
+        f"tombstones/v{version}/{token}/{n}"
+        for n in os.listdir(tdir)
+        if n.endswith(".parquet")
+    )
+    manifest = dict(prev)  # carries files/partitions forward UNCHANGED
+    manifest["version"] = version
+    manifest["tombstones"] = list(prev.get("tombstones", [])) + tfiles
+    manifest["key_cols"] = key_cols
+    _commit_metadata(table_dir, version, current, manifest)
+    return version
 
 
 def snapshot_merge(
@@ -294,7 +368,12 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
     for v in range(cutoff, current + 1):
         if not os.path.exists(_manifest_path(table_dir, v)):
             continue
-        retained_refs.update(_manifest_files(read_manifest(table_dir, v)))
+        m = read_manifest(table_dir, v)
+        retained_refs.update(_manifest_files(m))
+        # tombstone files carry forward across delete commits, so a
+        # retained manifest may reference tombstones first committed by
+        # an expired version — same sharing rule as data files
+        retained_refs.update(m.get("tombstones", []))
     vacuumed = []
     for v in range(cutoff):
         # Walk the DATA directory whenever it exists, independent of the
@@ -303,8 +382,12 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
         # once those referencing manifests expire too, this pass must
         # still reclaim it (round-6 advice: keying the walk off manifest
         # existence leaked such files forever).
-        vdir = os.path.join(table_dir, "data", f"v{v}")
-        if os.path.isdir(vdir):
+        for vdir in (
+            os.path.join(table_dir, "data", f"v{v}"),
+            os.path.join(table_dir, "tombstones", f"v{v}"),
+        ):
+            if not os.path.isdir(vdir):
+                continue
             for root, _dirs, files in os.walk(vdir, topdown=False):
                 for name in files:
                     full = os.path.join(root, name)
@@ -444,7 +527,7 @@ def snapshot_read_partitioned(
                 " table) — no schema to serve an empty frame from"
             )
         return spark.read.parquet(*all_paths).limit(0)
-    return spark.read.parquet(*paths)
+    return _apply_tombstones(spark, table_dir, manifest, spark.read.parquet(*paths))
 
 
 def snapshot_merge_partitioned(

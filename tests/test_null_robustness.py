@@ -103,6 +103,15 @@ SWEPT = [
     "snapshot_merge_upsert",
     "dedup_ngram_jaccard",
     "j8_aqe_skew_join",
+    # round-7: null doc_id rows must vanish from both the batch slice and
+    # the index build; null text = 0 tokens (kept, adds nothing to the
+    # budget); null source forms its own budget window group but stays
+    # out of count(DISTINCT source)
+    "dedup_incremental_batch",
+    "domain_budget_sample",
+    # null doc_id rows are excluded from the snapshot commit AND from the
+    # delete-slice; null source/n_chars ride through both engines
+    "snapshot_tombstone_delete",
 ]
 
 

@@ -256,3 +256,23 @@ def test_snapshot_rows_cached_per_version(spark, tmp_path_factory):
     assert fresh is not first and {r["v"] for r in fresh} == {"b"}
     # time travel still resolves (and caches) the old version exactly
     assert {r["v"] for r in load_snapshot_rows(table, version=0)} == {"a"}
+
+
+def test_snapshot_serving_applies_tombstones(spark, tmp_path_factory):
+    """The Spark-free pyarrow serving path must honor merge-on-read
+    deletes exactly like the Spark reader: latest excludes tombstoned
+    keys, time travel to the pre-delete version still serves them."""
+    from petfinder_database_distributor_spark.serving.http_server import (
+        load_snapshot_rows,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_write,
+    )
+
+    table = str(tmp_path_factory.mktemp("servetomb") / "table")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    snapshot_write(spark, table, df)
+    snapshot_delete(spark, table, spark.createDataFrame([(2,)], "k long"), ["k"])
+    assert {r["k"] for r in load_snapshot_rows(table)} == {1, 3}
+    assert {r["k"] for r in load_snapshot_rows(table, version=0)} == {1, 2, 3}

@@ -453,3 +453,106 @@ def test_read_of_zero_file_manifest_fails_cleanly(spark, table_dir):
         fh.write("0")
     with pytest.raises(FileNotFoundError, match="no data files"):
         snapshot_read(spark, table_dir)
+
+
+def test_tombstone_delete_reuses_files_and_hides_rows(spark, table_dir):
+    """Merge-on-read deletes: the delete commit must reuse every data
+    file unchanged (manifest-level check), the new version's read must
+    exclude the keys, and time travel to the pre-delete version must
+    still serve them."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_delete,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(i, f"v{i}") for i in range(6)]))
+    m0 = read_manifest(table_dir, 0)
+    keys = spark.createDataFrame([(1,), (4,)], "k long")
+    v = snapshot_delete(spark, table_dir, keys, key_cols=["k"])
+    m1 = read_manifest(table_dir, v)
+    assert m1["files"] == m0["files"], "delete must not rewrite data files"
+    assert len(m1["tombstones"]) >= 1 and m1["key_cols"] == ["k"]
+    assert set(_as_dict(snapshot_read(spark, table_dir))) == {0, 2, 3, 5}
+    assert set(_as_dict(snapshot_read(spark, table_dir, version=0))) == set(range(6))
+
+
+def test_tombstones_accumulate_and_compaction_folds_them(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_delete,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(i, f"v{i}") for i in range(6)]))
+    snapshot_delete(spark, table_dir, spark.createDataFrame([(0,)], "k long"), ["k"])
+    snapshot_delete(spark, table_dir, spark.createDataFrame([(5,)], "k long"), ["k"])
+    m2 = read_manifest(table_dir, 2)
+    assert len(m2["tombstones"]) == 2, "delete commits accumulate tombstones"
+    assert set(_as_dict(snapshot_read(spark, table_dir))) == {1, 2, 3, 4}
+    # compaction folds the deletes into fresh files and clears tombstones
+    v = snapshot_compact(spark, table_dir, target_files=1)
+    m3 = read_manifest(table_dir, v)
+    assert "tombstones" not in m3 and m3["files"] != m2["files"]
+    assert set(_as_dict(snapshot_read(spark, table_dir))) == {1, 2, 3, 4}
+    # key_cols mismatch on a tombstoned chain is refused loudly
+    snapshot_delete(spark, table_dir, spark.createDataFrame([(2,)], "k long"), ["k"])
+    with pytest.raises(ValueError, match="key_cols mismatch"):
+        snapshot_delete(
+            spark, table_dir, spark.createDataFrame([("x",)], "v string"), ["v"]
+        )
+
+
+def test_merge_after_delete_respects_and_can_resurrect(spark, table_dir):
+    """A merge folds tombstones (deleted rows stay gone) — but an UPDATE
+    for a deleted key re-inserts it: deletion removes rows, it does not
+    ban keys."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_delete,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b")]))
+    snapshot_delete(spark, table_dir, spark.createDataFrame([(1,)], "k long"), ["k"])
+    snapshot_merge(
+        spark, table_dir, _rows(spark, [(3, "c")]), key_cols=["k"], order_cols=["v"]
+    )
+    assert _as_dict(snapshot_read(spark, table_dir)) == {2: "b", 3: "c"}
+    snapshot_merge(
+        spark, table_dir, _rows(spark, [(1, "reborn")]),
+        key_cols=["k"], order_cols=["v"],
+    )
+    assert _as_dict(snapshot_read(spark, table_dir)) == {
+        1: "reborn", 2: "b", 3: "c",
+    }
+
+
+def test_vacuum_respects_carried_forward_tombstones(spark, table_dir):
+    """A tombstone file is committed once but referenced by every later
+    delete-chain manifest: vacuum must keep it while ANY retained
+    manifest lists it, and reclaim it after the chain is compacted
+    away."""
+    import os as _os
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_vacuum,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(i, f"v{i}") for i in range(6)]))
+    snapshot_delete(spark, table_dir, spark.createDataFrame([(0,)], "k long"), ["k"])  # v1
+    snapshot_delete(spark, table_dir, spark.createDataFrame([(5,)], "k long"), ["k"])  # v2
+    # retain v2+v3: v1's manifest dies but its tombstone file is carried
+    # forward by v2's manifest and must survive
+    snapshot_delete(spark, table_dir, spark.createDataFrame([(3,)], "k long"), ["k"])  # v3
+    assert snapshot_vacuum(table_dir, keep_last=2) == [0, 1]
+    t1 = _os.path.join(table_dir, "tombstones", "v1")
+    assert [f for _r, _d, fs in _os.walk(t1) for f in fs], (
+        "v1's tombstone is still referenced by retained manifests"
+    )
+    assert set(_as_dict(snapshot_read(spark, table_dir))) == {1, 2, 4}
+    # compaction ends the chain; vacuuming everything else reclaims v1's
+    # tombstone even though v1's manifest died a vacuum ago
+    snapshot_compact(spark, table_dir, target_files=1)  # v4, no tombstones
+    assert snapshot_vacuum(table_dir, keep_last=1) == [2, 3]
+    assert not _os.path.exists(t1) or not [
+        f for _r, _d, fs in _os.walk(t1) for f in fs
+    ], "expired tombstone files must be reclaimed"
+    assert set(_as_dict(snapshot_read(spark, table_dir))) == {1, 2, 4}
