@@ -83,6 +83,27 @@ def incremental_neardup_decisions(
         eager=True
     )
     buckets = minhash_band_buckets(batch_sh, id_col, k, bands)
+    return decisions_from_buckets(
+        index, corpus_docs, batch_docs, batch_sh, buckets, id_col, text_col,
+        n, threshold,
+    )
+
+
+def decisions_from_buckets(
+    index: DataFrame,
+    corpus_docs: DataFrame,
+    batch_docs: DataFrame,
+    batch_sh: DataFrame,
+    buckets: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The decision core with the batch's shingles and band buckets
+    supplied by the caller — so a pipeline that ALSO commits the buckets
+    to the index (the streaming ingest loop) computes signatures exactly
+    once per batch instead of once per consumer."""
 
     probe = buckets.select(F.col(id_col).alias("bid"), "band", "bh")
     from_corpus = probe.join(

@@ -7,6 +7,16 @@ the 100 TB ingest loop end-to-end rather than analyzing a frozen corpus.
   round-6 snapshot table (atomic index commits, time travel) with the
   dedup family; the per-batch ingest pattern every production pipeline
   (CCNet, RefinedWeb, Dolma) runs instead of corpus-wide re-dedup.
+* ``stream_incremental_dedup`` — the same ingest loop as a structured
+  stream: 4 ascending-id micro-batches, per-trigger index probe +
+  O(batch) ``snapshot_append`` signature commit, with an
+  incremental==batch theorem as the oracle (arrival order == id order
+  makes per-trigger first-occurrence-wins compose to the global
+  smaller-id-wins rule, which the oracle computes as one batch dedup).
+* ``snapshot_tombstone_delete`` — merge-on-read row deletes through the
+  snapshot table: a right-to-be-forgotten request is one tombstone key
+  file + a pointer swap; reads anti-join tombstones out; compaction
+  folds them away.
 * ``domain_budget_sample`` — EXECUTES a domain mix: admits documents per
   source domain in deterministic hash order until each domain reaches an
   equal-share token budget. ``domain_mix_weights`` (plans/mining.py)
@@ -47,7 +57,7 @@ from petfinder_database_distributor_spark.sources.snapshot import (
     snapshot_read,
     snapshot_write,
 )
-from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT
+from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT  # noqa: E501
 
 # ---------------------------------------------------------------------------
 # dedup_incremental_batch
@@ -149,6 +159,131 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_cols=["bh"],
         )
     return decisions
+
+
+# ---------------------------------------------------------------------------
+# stream_incremental_dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hx AS (SELECT doc_id, ({MD5INT_SQL.format(x="u.x")}) % 2147483647 AS h
+           FROM sh, unnest(sh.s) u(x)),
+    sig AS (SELECT doc_id, r.i AS i,
+                   min(((2 * r.i + 1) * h + (17 * r.i + 3)) % 2147483647) AS m
+            FROM hx, range(0, 32) r(i) GROUP BY doc_id, r.i),
+    bands AS (SELECT doc_id, i // 2 AS band,
+                     md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bh
+              FROM sig GROUP BY doc_id, i // 2),
+    cand AS (SELECT DISTINCT b.doc_id AS bid, o.doc_id AS cid
+             FROM bands b JOIN bands o
+               ON b.band = o.band AND b.bh = o.bh AND o.doc_id < b.doc_id),
+    ver AS (SELECT c.bid, c.cid
+            FROM cand c JOIN sh x ON x.doc_id = c.bid
+                        JOIN sh y ON y.doc_id = c.cid
+            WHERE len(list_intersect(x.s, y.s))::DOUBLE
+                    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+                  >= 0.5),
+    dec AS (SELECT bid, min(cid) AS dup_of FROM ver GROUP BY bid)
+    SELECT d.doc_id, dec.dup_of, dec.dup_of IS NULL AS admitted
+    FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+    LEFT JOIN dec ON d.doc_id = dec.bid
+    """,
+    doc="Streaming incremental dedup — the full ingest loop as a "
+    "structured stream, with an incremental==batch theorem as its "
+    "oracle: documents arrive in 4 ascending-id micro-batches; each "
+    "trigger computes signatures for ITS batch only, probes the "
+    "snapshot-committed band index of everything seen so far, "
+    "exact-verifies band collisions, appends per-doc decisions, and "
+    "commits the batch's signatures as the next index version via "
+    "snapshot_append — an O(batch) manifest-level file append, never an "
+    "index rewrite (one atomic pointer swap per trigger; the version "
+    "chain IS the micro-batch audit log). Because arrival order is id order, "
+    "first-occurrence-wins per trigger composes to the GLOBAL rule "
+    "'dup iff a smaller-id near-dup exists' — which is exactly what the "
+    "oracle computes as one corpus-wide batch dedup, so parity proves "
+    "the stream's incremental state machine equals the batch semantics. "
+    "Replay-safe: decisions are a deterministic function of (batch, "
+    "index-before-batch), the signature merge is an idempotent winner "
+    "rule on (doc_id, band), and the read-back dedups decision rows.",
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        STREAM_SHUFFLE_PARTITIONS,
+        read_document_stream,
+        scoped_conf,
+        stage_document_chunks,
+    )
+
+    stage = stage_document_chunks(spark, sf_dir, n_chunks=4)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    run_dir = f"{SCRATCH_ROOT}/run_incdedup_{tag}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    table_dir = f"{run_dir}/index"
+    dec_dir = f"{run_dir}/decisions"
+    all_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+            minhash_band_buckets,
+            with_shingles,
+        )
+        from petfinder_database_distributor_spark.operators.dedup_incremental import (
+            decisions_from_buckets,
+        )
+        from petfinder_database_distributor_spark.sources.snapshot import (
+            snapshot_append,
+        )
+
+        sess = batch_df.sparkSession
+        base = latest_version(table_dir)
+        index = (
+            snapshot_read(sess, table_dir, version=base)
+            if base is not None
+            else sess.createDataFrame([], "doc_id long, band int, bh string")
+        )
+        # seen-but-not-in-this-batch docs serve candidate text lookups;
+        # decisions must run BEFORE this batch's signatures land in the
+        # index (a batch must not self-match through it)
+        lookup = all_docs.join(
+            batch_df.select("doc_id"), "doc_id", "left_anti"
+        )
+        # ONE signature computation per trigger, consumed by both the
+        # decision probe and the index commit
+        batch_sh = with_shingles(batch_df, "doc_id", "text").localCheckpoint(
+            eager=True
+        )
+        buckets = minhash_band_buckets(batch_sh, "doc_id").localCheckpoint(
+            eager=True
+        )
+        dec = decisions_from_buckets(
+            index, lookup, batch_df, batch_sh, buckets, "doc_id", "text",
+            threshold=0.5,
+        )
+        dec.write.mode("append").parquet(dec_dir)
+        # the index is append-only (a doc's signature never changes):
+        # O(batch) file-append commit, never an index rewrite — duplicate
+        # rows from a replayed trigger are harmless (the candidate probe
+        # dedups pairs) and availableNow checkpointing prevents them
+        snapshot_append(sess, table_dir, buckets)
+
+    with scoped_conf(
+        spark, spark__sql__shuffle__partitions=STREAM_SHUFFLE_PARTITIONS
+    ):
+        query = (
+            read_document_stream(spark, stage, max_files=1)
+            .writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", f"{run_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.read.parquet(dec_dir).dropDuplicates(["doc_id"])
 
 
 # ---------------------------------------------------------------------------

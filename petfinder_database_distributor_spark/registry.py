@@ -88,11 +88,12 @@ PRIORITY: list[str] = [
     "events_funnel",
     # round-7 registrations (new code needs a row first; they displace
     # the r4 refreshes dedup_levenshtein / merge_partitioned_upsert /
-    # embedding_dim_stats, which open the r8 window with the other
-    # held-back r4 names):
+    # embedding_dim_stats / sketch_histogram_quantiles, which open the
+    # r8 window with the other held-back r4 names):
     "dedup_incremental_batch",
     "domain_budget_sample",
     "snapshot_tombstone_delete",
+    "stream_incremental_dedup",
     "j2_asof_join",
     "j3_range_join",
     "g2_cube_marks",
@@ -123,7 +124,6 @@ PRIORITY: list[str] = [
     "udtf_chunk_documents",
     "tfidf_top_terms",
     "sketch_cms_term_counts",
-    "sketch_histogram_quantiles",
 ]
 
 

@@ -279,6 +279,52 @@ def snapshot_delete(
     return version
 
 
+def snapshot_append(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> int:
+    """Append-only commit: write ``df``'s rows as NEW files and publish a
+    manifest that lists the previous version's files PLUS the new ones —
+    O(batch) I/O and a pointer swap, never a table rewrite. This is the
+    highest-volume write shape of any big table (ingest logs, signature
+    indexes, event feeds); the merge/winner machinery is for keyed
+    upserts, and paying its whole-table rewrite for a pure append is the
+    reference's O(table)-per-row CSV mistake again. Tombstones and their
+    key columns carry forward unchanged (they filter by key at read
+    time, so they also apply to appended rows — append-after-delete of
+    the same key is a resurrection, same rule as merge). Crash/conflict
+    semantics are inherited from the shared commit path."""
+    current = latest_version(table_dir)
+    if current is None:
+        return snapshot_write(spark, table_dir, df)
+    prev = read_manifest(table_dir, current)
+    if "partitions" in prev:
+        raise ValueError(
+            "snapshot_append targets flat tables; partitioned tables"
+            " append through snapshot_merge_partitioned (per-partition"
+            " manifest entries must stay partition-keyed)"
+        )
+    if list(df.columns) != list(prev["columns"]):
+        raise ValueError(
+            f"append schema mismatch: table has {prev['columns']},"
+            f" append supplied {list(df.columns)}"
+        )
+    version = current + 1
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table_dir, "data", f"v{version}", token)
+    df.write.mode("overwrite").parquet(data_dir)
+    new_files = sorted(
+        f"data/v{version}/{token}/{name}"
+        for name in os.listdir(data_dir)
+        if name.endswith(".parquet")
+    )
+    manifest = dict(prev)
+    manifest["version"] = version
+    manifest["files"] = list(prev["files"]) + new_files
+    manifest["n_files"] = len(manifest["files"])
+    _commit_metadata(table_dir, version, current, manifest)
+    return version
+
+
 def snapshot_merge(
     spark: SparkSession,
     table_dir: str,

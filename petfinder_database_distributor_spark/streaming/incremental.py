@@ -343,3 +343,65 @@ def add_sentinel_chunk(spark: SparkSession, stage_dir: str, sf_dir: str) -> str:
     os.utime(dest, (last_t + 1, last_t + 1))
     shutil.rmtree(tmp)
     return stage_dir
+
+
+def stage_document_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> str:
+    """Stage the documents table as ``n_chunks`` single parquet files in
+    ASCENDING doc_id ranges with strictly increasing mtimes — the ingest
+    stream for incremental dedup: arrival order == id order, so the
+    streaming first-occurrence-wins rule composes to the same global
+    semantics as one batch dedup over the whole corpus (the oracle states
+    exactly that). NULL-id docs are excluded (no identity to dedup)."""
+    from pyspark.sql import Window
+
+    tag = f"docs_{sf_dir.strip('/').replace('/', '_')}_{n_chunks}"
+    stage = f"{SCRATCH_ROOT}/stage_{tag}"
+    marker = f"{stage}._ok"
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    if tag in _STAGE_MEMO or (
+        os.path.exists(marker)
+        and os.path.exists(src)
+        and os.stat(marker).st_mtime > os.stat(src).st_mtime
+    ):
+        _STAGE_MEMO.add(tag)
+        return stage
+    _fresh_dir(stage)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    total = docs.count()
+    per = -(-total // n_chunks)
+    # row_number (not raw id arithmetic): chunk ranges stay balanced even
+    # for sparse id spaces; the one-off global sort is staging cost only
+    rn = F.row_number().over(Window.orderBy("doc_id")) - 1
+    staged = docs.withColumn(
+        "__chunk",
+        F.least(F.floor(rn / per).cast("long"), F.lit(n_chunks - 1)),
+    )
+    tmp = f"{stage}/_tmp"
+    staged.repartition(n_chunks, "__chunk").write.mode("overwrite").partitionBy(
+        "__chunk"
+    ).parquet(tmp)
+    base_t = os.stat(tmp).st_mtime
+    for i in range(n_chunks):
+        parts = glob.glob(f"{tmp}/__chunk={i}/part-*.parquet")
+        for j, part in enumerate(sorted(parts)):
+            dest = f"{stage}/chunk_{i}_{j}.parquet"
+            os.replace(part, dest)
+            os.utime(dest, (base_t + i, base_t + i))
+    shutil.rmtree(tmp)
+    with open(marker, "w"):
+        pass  # marker last: a crashed staging is restaged, never reused
+    _STAGE_MEMO.add(tag)
+    return stage
+
+
+def read_document_stream(
+    spark: SparkSession, stage_dir: str, max_files: int = 1
+) -> DataFrame:
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage_dir)
+    )

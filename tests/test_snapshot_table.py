@@ -556,3 +556,43 @@ def test_vacuum_respects_carried_forward_tombstones(spark, table_dir):
         f for _r, _d, fs in _os.walk(t1) for f in fs
     ], "expired tombstone files must be reclaimed"
     assert set(_as_dict(snapshot_read(spark, table_dir))) == {1, 2, 4}
+
+
+def test_append_reuses_old_files_and_adds_new(spark, table_dir):
+    """Append-only commit: O(batch) — the old version's files appear
+    verbatim in the new manifest, only the batch's files are new, and
+    both versions read correctly (time travel untouched)."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b")]))
+    m0 = read_manifest(table_dir, 0)
+    v = snapshot_append(spark, table_dir, _rows(spark, [(3, "c")]))
+    m1 = read_manifest(table_dir, v)
+    assert m1["files"][: len(m0["files"])] == m0["files"], "old files reused"
+    assert len(m1["files"]) > len(m0["files"]), "new files appended"
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a", 2: "b", 3: "c"}
+    assert _as_dict(snapshot_read(spark, table_dir, version=0)) == {1: "a", 2: "b"}
+    # schema drift and partitioned targets are refused loudly
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_append(
+            spark, table_dir, spark.createDataFrame([(9,)], "k long")
+        )
+
+
+def test_append_respects_tombstones_and_first_commit(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_delete,
+    )
+
+    # append to an EMPTY table = the first write
+    v = snapshot_append(spark, table_dir, _rows(spark, [(1, "a"), (2, "b")]))
+    assert v == 0
+    snapshot_delete(spark, table_dir, spark.createDataFrame([(1,)], "k long"), ["k"])
+    # tombstones carry through an append: old key 1 stays deleted, and a
+    # re-appended row for key 1 is ALSO filtered (tombstones are by key)
+    # until a compaction folds them — resurrection goes through merge.
+    snapshot_append(spark, table_dir, _rows(spark, [(3, "c"), (1, "ghost")]))
+    assert _as_dict(snapshot_read(spark, table_dir)) == {2: "b", 3: "c"}
