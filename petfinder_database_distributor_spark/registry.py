@@ -94,6 +94,8 @@ PRIORITY: list[str] = [
     "domain_budget_sample",
     "snapshot_tombstone_delete",
     "stream_incremental_dedup",
+    "snapshot_cdc_diff",
+    "snapshot_incremental_read",
     "j2_asof_join",
     "j3_range_join",
     "g2_cube_marks",
@@ -122,8 +124,6 @@ PRIORITY: list[str] = [
     "mm_binary_metadata",
     "mm_resize",
     "udtf_chunk_documents",
-    "tfidf_top_terms",
-    "sketch_cms_term_counts",
 ]
 
 

@@ -596,3 +596,98 @@ def test_append_respects_tombstones_and_first_commit(spark, table_dir):
     # until a compaction folds them — resurrection goes through merge.
     snapshot_append(spark, table_dir, _rows(spark, [(3, "c"), (1, "ghost")]))
     assert _as_dict(snapshot_read(spark, table_dir)) == {2: "b", 3: "c"}
+
+
+def test_read_since_returns_only_appended_rows(spark, table_dir):
+    """O(delta) incremental read: only files added after since_version are
+    scanned; equal versions give an empty (schema-correct) frame."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_read_since,
+    )
+
+    v0 = snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b")]))
+    v1 = snapshot_append(spark, table_dir, _rows(spark, [(3, "c")]))
+    snapshot_append(spark, table_dir, _rows(spark, [(4, "d")]))
+    assert _as_dict(snapshot_read_since(spark, table_dir, v0)) == {3: "c", 4: "d"}
+    assert _as_dict(snapshot_read_since(spark, table_dir, v1)) == {4: "d"}
+    empty = snapshot_read_since(spark, table_dir, v0, version=v0)
+    assert empty.columns == ["k", "v"] and empty.count() == 0
+
+
+def test_read_since_refuses_rewritten_chains(spark, table_dir):
+    """A merge/compaction drops old files — file-level increments are then
+    undefined and the reader must refuse, not mislabel rewritten rows."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_read_since,
+    )
+
+    v0 = snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b")]))
+    snapshot_merge(
+        spark, table_dir, _rows(spark, [(1, "z")]), key_cols=["k"],
+        order_cols=["v"],
+    )
+    with pytest.raises(ValueError, match="not.?append-only|rewritten"):
+        snapshot_read_since(spark, table_dir, v0)
+
+
+def test_read_since_applies_tombstones(spark, table_dir):
+    """A key deleted after being appended is not delivered by the
+    incremental read (delete visibility belongs to snapshot_diff)."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_read_since,
+    )
+
+    v0 = snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    snapshot_append(spark, table_dir, _rows(spark, [(3, "c"), (4, "d")]))
+    snapshot_delete(spark, table_dir, spark.createDataFrame([(3,)], "k long"), ["k"])
+    assert _as_dict(snapshot_read_since(spark, table_dir, v0)) == {4: "d"}
+
+
+def test_diff_classifies_insert_update_delete(spark, table_dir):
+    """CDC between two versions: inserts / deletes by null-sidedness,
+    updates emit both images, unchanged rows emit nothing."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_diff,
+    )
+
+    v0 = snapshot_write(
+        spark, table_dir, _rows(spark, [(1, "a"), (2, "b"), (3, "c")])
+    )
+    v1 = snapshot_write(
+        spark,
+        table_dir,
+        _rows(spark, [(1, "a"), (2, "X"), (4, "d")]),
+        base_version=v0,
+    )
+    changes = {
+        (r["k"], r["v"], r["change_type"])
+        for r in snapshot_diff(spark, table_dir, ["k"], v0, v1).collect()
+    }
+    assert changes == {
+        (4, "d", "insert"),
+        (3, "c", "delete"),
+        (2, "b", "update_preimage"),
+        (2, "X", "update_postimage"),
+    }
+
+
+def test_diff_surfaces_tombstone_deletes(spark, table_dir):
+    """Merge-on-read deletes flow through snapshot_read, so the diff sees
+    them as ordinary 'delete' changes."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_diff,
+    )
+
+    v0 = snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b")]))
+    v1 = snapshot_delete(
+        spark, table_dir, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    changes = {
+        (r["k"], r["v"], r["change_type"])
+        for r in snapshot_diff(spark, table_dir, ["k"], v0, v1).collect()
+    }
+    assert changes == {(1, "a", "delete")}
