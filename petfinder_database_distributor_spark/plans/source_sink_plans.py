@@ -758,3 +758,54 @@ def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_append(spark, table_dir, batch(1))
     snapshot_append(spark, table_dir, batch(2))
     return snapshot_read_since(spark, table_dir, since_version=v0)
+
+
+@register(
+    "snapshot_evolve_columns",
+    oracle="""
+    SELECT p_partkey AS pk, p_name AS name,
+           CAST(NULL AS BIGINT) AS retail_cents
+    FROM part WHERE p_partkey IS NOT NULL AND p_partkey % 2 = 0
+    UNION ALL
+    SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT)
+    FROM part WHERE p_partkey IS NOT NULL AND p_partkey % 2 = 1
+    """,
+    doc="Additive schema evolution on the snapshot table: v0 commits a "
+    "two-column slice, an evolve_schema append lands a batch carrying a "
+    "NEW retail_cents column, and the latest read serves BOTH under the "
+    "evolved schema — rows from files that predate the column surface "
+    "NULL for it. No data file is rewritten for the schema change (the "
+    "append manifest reuses v0's files verbatim, pinned in "
+    "tests/test_snapshot_table.py): the manifest's recorded schema is "
+    "the single read-time authority, applied as an explicit Spark read "
+    "schema with name-based parquet resolution — which also kills "
+    "per-file footer merging, the hidden O(files) metadata scan "
+    "mergeSchema pays at 100 TB. Type drift on same-name columns is "
+    "refused on both append paths; time travel to v0 keeps the "
+    "pre-evolution schema. The oracle states the net effect: the old "
+    "slice with a NULL column, unioned with the new slice.",
+)
+def snapshot_evolve_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey").isNotNull())
+    base = part.filter(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("pk"), F.col("p_name").alias("name")
+    )
+    evolved = part.filter(F.col("p_partkey") % 2 == 1).select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("name"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("retail_cents"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/snap_evolve_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
+    snapshot_write(spark, table_dir, base)
+    snapshot_append(spark, table_dir, evolved, evolve_schema=True)
+    return snapshot_read(spark, table_dir)

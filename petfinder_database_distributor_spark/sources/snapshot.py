@@ -181,9 +181,36 @@ def snapshot_write(
         "files": files,
         "n_files": len(files),
         "columns": df.columns,
+        "schema": _schema_dict(df),
     }
     _commit_metadata(table_dir, version, base_version, manifest)
     return version
+
+
+def _schema_dict(df: DataFrame) -> dict:
+    """The DataFrame's schema as a JSON-able dict for the manifest, with
+    every field forced nullable: files committed BEFORE a column existed
+    legitimately surface NULL for it, so the table-level contract must be
+    nullable regardless of what one writer's frame claimed."""
+    d = json.loads(df.schema.json())
+    for field in d.get("fields", []):
+        field["nullable"] = True
+    return d
+
+
+def _manifest_reader(spark: SparkSession, manifest: dict):
+    """A parquet reader pinned to the manifest's recorded schema when one
+    exists (older manifests predate schema recording and fall back to
+    footer inference). The manifest is the single schema authority: no
+    per-file footer merging at read time — O(1) metadata regardless of
+    file count — and files written before a schema-evolving append
+    surface NULL for the columns they predate, by name-based parquet
+    column resolution."""
+    if "schema" in manifest:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(manifest["schema"]))
+    return spark.read
 
 
 def _apply_tombstones(
@@ -223,7 +250,9 @@ def snapshot_read(
             f"snapshot v{v} of {table_dir} has no data files (empty"
             " table) — no schema to serve an empty frame from"
         )
-    return _apply_tombstones(spark, table_dir, manifest, spark.read.parquet(*paths))
+    return _apply_tombstones(
+        spark, table_dir, manifest, _manifest_reader(spark, manifest).parquet(*paths)
+    )
 
 
 def snapshot_delete(
@@ -280,7 +309,10 @@ def snapshot_delete(
 
 
 def snapshot_append(
-    spark: SparkSession, table_dir: str, df: DataFrame
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    evolve_schema: bool = False,
 ) -> int:
     """Append-only commit: write ``df``'s rows as NEW files and publish a
     manifest that lists the previous version's files PLUS the new ones —
@@ -292,7 +324,14 @@ def snapshot_append(
     key columns carry forward unchanged (they filter by key at read
     time, so they also apply to appended rows — append-after-delete of
     the same key is a resurrection, same rule as merge). Crash/conflict
-    semantics are inherited from the shared commit path."""
+    semantics are inherited from the shared commit path.
+
+    ``evolve_schema=True`` additionally allows the batch to ADD columns
+    (additive evolution, the public table formats' add-column rule): the
+    manifest's recorded schema becomes the read-time authority, and files
+    committed before the column existed surface NULL for it by name-based
+    parquet resolution — no file is ever rewritten for a schema change.
+    Same-name columns can never change type, evolving or not."""
     current = latest_version(table_dir)
     if current is None:
         return snapshot_write(spark, table_dir, df)
@@ -303,11 +342,44 @@ def snapshot_append(
             " append through snapshot_merge_partitioned (per-partition"
             " manifest entries must stay partition-keyed)"
         )
-    if list(df.columns) != list(prev["columns"]):
+    old_cols = list(prev["columns"])
+    if evolve_schema:
+        # Additive evolution only: the batch must carry every existing
+        # column (old files can be NULL-backfilled for columns they
+        # predate; existing rows can never grow a value for a column the
+        # batch dropped), same-name columns must keep their type, and
+        # the table's column order stays stable with new columns at the
+        # end — the add-column semantics of the public table formats.
+        missing = [c for c in old_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"schema evolution is additive: append is missing"
+                f" existing columns {missing}"
+            )
+        df = df.select(
+            *old_cols, *[c for c in df.columns if c not in old_cols]
+        )
+    elif list(df.columns) != old_cols:
         raise ValueError(
             f"append schema mismatch: table has {prev['columns']},"
             f" append supplied {list(df.columns)}"
+            " (pass evolve_schema=True to add columns)"
         )
+    if "schema" in prev:
+        # Same-name columns keep their committed type in BOTH paths — a
+        # plain append with a drifted type must not silently rewrite the
+        # table's schema authority.
+        old_types = {f["name"]: f["type"] for f in prev["schema"]["fields"]}
+        clashes = [
+            f["name"]
+            for f in _schema_dict(df)["fields"]
+            if f["name"] in old_types and f["type"] != old_types[f["name"]]
+        ]
+        if clashes:
+            raise ValueError(
+                f"append cannot change column types: {clashes} differ"
+                " from the committed schema"
+            )
     version = current + 1
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", f"v{version}", token)
@@ -321,6 +393,8 @@ def snapshot_append(
     manifest["version"] = version
     manifest["files"] = list(prev["files"]) + new_files
     manifest["n_files"] = len(manifest["files"])
+    manifest["columns"] = list(df.columns)
+    manifest["schema"] = _schema_dict(df)
     _commit_metadata(table_dir, version, current, manifest)
     return version
 
@@ -500,7 +574,9 @@ def snapshot_read_since(
     delta = [f for f in new_files if f not in old_files]
     if not delta:
         return snapshot_read(spark, table_dir, version=v).limit(0)
-    df = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in delta])
+    df = _manifest_reader(spark, manifest).parquet(
+        *[os.path.join(table_dir, rel) for rel in delta]
+    )
     return _apply_tombstones(spark, table_dir, manifest, df)
 
 

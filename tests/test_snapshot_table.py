@@ -691,3 +691,68 @@ def test_diff_surfaces_tombstone_deletes(spark, table_dir):
         for r in snapshot_diff(spark, table_dir, ["k"], v0, v1).collect()
     }
     assert changes == {(1, "a", "delete")}
+
+
+def test_append_evolves_schema_additively(spark, table_dir):
+    """Add-column evolution: no file rewrite — the manifest schema is the
+    read authority, old files surface NULL for the added column, and time
+    travel to the pre-evolution version keeps the old schema."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+    )
+
+    v0 = snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b")]))
+    m0_files = read_manifest(table_dir, v0)["files"]
+    batch = spark.createDataFrame([(3, "c", 30)], "k long, v string, w long")
+    v1 = snapshot_append(spark, table_dir, batch, evolve_schema=True)
+    m1 = read_manifest(table_dir, v1)
+    assert m1["columns"] == ["k", "v", "w"]
+    assert m1["files"][: len(m0_files)] == m0_files, "no rewrite"
+    latest = snapshot_read(spark, table_dir)
+    assert latest.columns == ["k", "v", "w"]
+    got = {r["k"]: (r["v"], r["w"]) for r in latest.collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+    old = snapshot_read(spark, table_dir, version=v0)
+    assert old.columns == ["k", "v"]
+
+
+def test_append_evolution_guards(spark, table_dir):
+    """Evolution is additive-only and types are frozen on both paths."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    # dropping an existing column is refused even when evolving
+    with pytest.raises(ValueError, match="additive"):
+        snapshot_append(
+            spark,
+            table_dir,
+            spark.createDataFrame([(2,)], "k long"),
+            evolve_schema=True,
+        )
+    # a same-name column with a drifted type is refused on BOTH paths
+    drift = spark.createDataFrame([(2, 9)], "k long, v long")
+    with pytest.raises(ValueError, match="type"):
+        snapshot_append(spark, table_dir, drift)
+    with pytest.raises(ValueError, match="type"):
+        snapshot_append(spark, table_dir, drift, evolve_schema=True)
+
+
+def test_read_since_across_evolution(spark, table_dir):
+    """The incremental read serves the delta under the LATEST schema."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_read_since,
+    )
+
+    v0 = snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    snapshot_append(
+        spark,
+        table_dir,
+        spark.createDataFrame([(2, "b", 20)], "k long, v string, w long"),
+        evolve_schema=True,
+    )
+    delta = snapshot_read_since(spark, table_dir, v0)
+    assert delta.columns == ["k", "v", "w"]
+    assert [(r["k"], r["v"], r["w"]) for r in delta.collect()] == [(2, "b", 20)]
