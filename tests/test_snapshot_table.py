@@ -756,3 +756,56 @@ def test_read_since_across_evolution(spark, table_dir):
     delta = snapshot_read_since(spark, table_dir, v0)
     assert delta.columns == ["k", "v", "w"]
     assert [(r["k"], r["v"], r["w"]) for r in delta.collect()] == [(2, "b", 20)]
+
+
+def test_vacuum_keeps_files_shared_by_append_chain(spark, table_dir):
+    """Appends REUSE prior versions' files, so vacuuming expired versions
+    must keep every file a retained manifest still names — the same
+    shared-file rule as partition reuse, now on the append path."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_vacuum,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))       # v0
+    snapshot_append(spark, table_dir, _rows(spark, [(2, "b")]))      # v1
+    snapshot_append(spark, table_dir, _rows(spark, [(3, "c")]))      # v2
+    snapshot_append(spark, table_dir, _rows(spark, [(4, "d")]))      # v3
+    vacuumed = snapshot_vacuum(table_dir, keep_last=2)
+    assert vacuumed == [0, 1]
+    # v2/v3 manifests still reference v0's and v1's data files — the
+    # full table must read intact after the vacuum
+    assert _as_dict(snapshot_read(spark, table_dir)) == {
+        1: "a", 2: "b", 3: "c", 4: "d",
+    }
+    assert _as_dict(snapshot_read(spark, table_dir, version=2)) == {
+        1: "a", 2: "b", 3: "c",
+    }
+
+
+def test_concurrent_appends_conflict(spark, table_dir):
+    """Two appenders that both derived the same base version: the second
+    commit must fail loudly, not silently drop or duplicate the winner's
+    rows. (The append captures its base at entry; the commit lock
+    re-verifies it at the pointer swap.)"""
+    from unittest import mock
+
+    from petfinder_database_distributor_spark.sources import snapshot as S
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    real = S.latest_version
+    stale = {"armed": True}
+
+    def racing_latest(d):
+        v = real(d)
+        if stale["armed"]:
+            # simulate the OTHER appender committing v1 between this
+            # writer's entry check and its data write
+            stale["armed"] = False
+            S.snapshot_append(spark, d, _rows(spark, [(2, "winner")]))
+        return v
+
+    with mock.patch.object(S, "latest_version", side_effect=racing_latest):
+        with pytest.raises(S.SnapshotConflictError):
+            S.snapshot_append(spark, table_dir, _rows(spark, [(3, "loser")]))
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a", 2: "winner"}
