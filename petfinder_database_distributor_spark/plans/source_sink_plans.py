@@ -809,3 +809,95 @@ def snapshot_evolve_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_write(spark, table_dir, base)
     snapshot_append(spark, table_dir, evolved, evolve_schema=True)
     return snapshot_read(spark, table_dir)
+
+
+@register(
+    "mv_incremental_maintenance",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
+                AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+      AND value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Incremental view maintenance driven by the snapshot version "
+    "chain (the bronze->silver lakehouse loop): a producer lands three "
+    "event slices on a bronze table (one snapshot_write + two O(batch) "
+    "snapshot_appends), and a DECOUPLED consumer advances a materialized "
+    "per-type aggregate by reading ONLY each commit's delta "
+    "(snapshot_read_since — a manifest set difference, O(new data) "
+    "regardless of bronze size) and folding decimal-exact partial "
+    "aggregates into the silver table with conflict-checked snapshot "
+    "commits. Per sync the consumer scans [delta + current silver keys], "
+    "never bronze history — the property that keeps a 100 TB pipeline's "
+    "sync cost flat as history grows. Decimal partials make the fold "
+    "bit-identical to one batch aggregate, which is exactly what the "
+    "oracle computes over all events; hash parity therefore proves the "
+    "maintenance loop's algebra (count-sum fold over disjoint deltas), "
+    "not just row counts.",
+)
+def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        latest_version,
+        snapshot_append,
+        snapshot_read,
+        snapshot_read_since,
+        snapshot_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select("event_id", "event_type", "value")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    bronze = f"{SCRATCH_ROOT}/mv_bronze_{tag}"
+    silver = f"{SCRATCH_ROOT}/mv_silver_{tag}"
+    shutil.rmtree(bronze, ignore_errors=True)  # deterministic per call
+    shutil.rmtree(silver, ignore_errors=True)
+
+    # producer: three append-only commits of disjoint slices
+    versions = [snapshot_write(spark, bronze, ev.filter(F.col("event_id") % 3 == 0))]
+    for r in (1, 2):
+        versions.append(
+            snapshot_append(spark, bronze, ev.filter(F.col("event_id") % 3 == r))
+        )
+
+    # consumer: advance the materialized aggregate one delta at a time
+    seen = None
+    for v in versions:
+        delta = (
+            snapshot_read(spark, bronze, version=v)
+            if seen is None
+            else snapshot_read_since(spark, bronze, seen, version=v)
+        )
+        partial = delta.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("total_value"),
+        )
+        sbase = latest_version(silver)
+        merged = (
+            partial
+            if sbase is None
+            else snapshot_read(spark, silver)
+            .unionByName(partial)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_value").cast("decimal(38,6)").alias("total_value"),
+            )
+        )
+        snapshot_write(spark, silver, merged, base_version=sbase)
+        seen = v
+
+    return snapshot_read(spark, silver).select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("decimal(32,2)").cast("double").alias("total_value"),
+    )
