@@ -901,3 +901,59 @@ def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("decimal(32,2)").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "snapshot_pruned_scan",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+      AND value IS NOT NULL
+      AND CAST(round(value * 100) AS BIGINT) BETWEEN 10000 AND 30000
+    GROUP BY event_type
+    """,
+    doc="Manifest-level data skipping end-to-end: events are committed "
+    "range-clustered on a cents column with per-file min/max zone maps "
+    "recorded in the manifest (one footer pass at COMMIT time, pyarrow "
+    "metadata only), then a range-filtered read prunes non-overlapping "
+    "files on driver-side metadata BEFORE any file listing or footer "
+    "I/O — the step parquet row-group stats can't give you at 100 TB, "
+    "where Spark still opens every file just to learn it can skip it. "
+    "Range clustering makes the zone maps tight (pair with zorder_layout "
+    "for multi-column locality); absent stats degrade to a full scan, "
+    "and the exact predicate is re-applied on survivors so results never "
+    "depend on stats correctness (pruning effectiveness itself is pinned "
+    "in tests/test_snapshot_table.py). The oracle is the plain filtered "
+    "aggregate over the source table.",
+)
+def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_read_pruned,
+        snapshot_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/snap_prune_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
+    snapshot_write(
+        spark, table_dir, ev.repartitionByRange(8, "cents"), stats_cols=["cents"]
+    )
+    pruned = snapshot_read_pruned(spark, table_dir, "cents", 10000, 30000)
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+    )

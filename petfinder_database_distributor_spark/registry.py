@@ -98,6 +98,7 @@ PRIORITY: list[str] = [
     "snapshot_incremental_read",
     "snapshot_evolve_columns",
     "mv_incremental_maintenance",
+    "snapshot_pruned_scan",
     "j2_asof_join",
     "j3_range_join",
     "g2_cube_marks",
@@ -123,7 +124,6 @@ PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine_exact",
-    "mm_binary_metadata",
 ]
 
 

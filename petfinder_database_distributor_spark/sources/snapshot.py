@@ -149,13 +149,56 @@ def read_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _collect_file_stats(
+    table_dir: str, rel_files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file min/max zone maps for ``stats_cols``, read from the parquet
+    footers the write ALREADY produced (pyarrow metadata only — no data
+    pages touched). Paying this O(files) footer pass ONCE at commit time is
+    what lets every future filtered read prune at manifest level with zero
+    I/O; on an object store the same stats would be folded from the
+    writer's in-flight accounting instead. NULLs don't contribute to
+    min/max (parquet semantics), so pruning decisions are only valid for
+    null-excluding predicates — the reader's contract."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        per_col: dict[str, list] = {}
+        for col in stats_cols:
+            if col not in names:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                per_col[col] = [lo, hi]
+        if per_col:
+            out[rel] = per_col
+    return out
+
+
 def snapshot_write(
-    spark: SparkSession, table_dir: str, df: DataFrame, base_version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    base_version: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``; returns the new
     version number. ``base_version`` is the version this write derives from
     (pass what :func:`latest_version` returned when the writer STARTED);
-    the commit is refused if someone else advanced the table since."""
+    the commit is refused if someone else advanced the table since.
+    ``stats_cols`` records per-file min/max zone maps in the manifest for
+    those columns, enabling manifest-level file pruning in
+    :func:`snapshot_read_pruned`."""
     os.makedirs(os.path.join(table_dir, "_manifests"), exist_ok=True)
     # base_version=None means "I read an EMPTY table" (the docstring's
     # contract: pass exactly what latest_version returned) — so a first
@@ -183,6 +226,8 @@ def snapshot_write(
         "columns": df.columns,
         "schema": _schema_dict(df),
     }
+    if stats_cols:
+        manifest["file_stats"] = _collect_file_stats(table_dir, files, stats_cols)
     _commit_metadata(table_dir, version, base_version, manifest)
     return version
 
@@ -313,6 +358,7 @@ def snapshot_append(
     table_dir: str,
     df: DataFrame,
     evolve_schema: bool = False,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append-only commit: write ``df``'s rows as NEW files and publish a
     manifest that lists the previous version's files PLUS the new ones —
@@ -395,6 +441,12 @@ def snapshot_append(
     manifest["n_files"] = len(manifest["files"])
     manifest["columns"] = list(df.columns)
     manifest["schema"] = _schema_dict(df)
+    if stats_cols:
+        merged_stats = dict(prev.get("file_stats", {}))
+        merged_stats.update(
+            _collect_file_stats(table_dir, new_files, stats_cols)
+        )
+        manifest["file_stats"] = merged_stats
     _commit_metadata(table_dir, version, current, manifest)
     return version
 
@@ -577,6 +629,63 @@ def snapshot_read_since(
     df = _manifest_reader(spark, manifest).parquet(
         *[os.path.join(table_dir, rel) for rel in delta]
     )
+    return _apply_tombstones(spark, table_dir, manifest, df)
+
+
+def prune_files(manifest: dict, col: str, lo, hi) -> list[str]:
+    """Manifest-level zone-map pruning: the files of ``manifest`` whose
+    recorded [min, max] for ``col`` overlaps [lo, hi]. Files without
+    stats for the column are kept (pruning is an optimization, never a
+    correctness filter). Pure metadata — safe to call on the driver for
+    any table size."""
+    stats = manifest.get("file_stats", {})
+    kept = []
+    for rel in _manifest_files(manifest):
+        s = stats.get(rel, {}).get(col)
+        if s is None or not (s[1] < lo or s[0] > hi):
+            kept.append(rel)
+    return kept
+
+
+def snapshot_read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Filtered snapshot read with manifest-level data skipping: files
+    whose committed zone map cannot contain ``col`` in [lo, hi] never
+    reach the Spark scan at all — pruning happens on kilobytes of
+    driver-side metadata, BEFORE file listing or footer I/O, which is
+    the part of a filtered query parquet row-group stats can't save you
+    from at 100 TB (Spark still has to open every file to read its
+    footer; this opens only the survivors). Effective exactly when the
+    layout clusters the column (range partitioning / Z-order — pair
+    with zorder_layout), degrading gracefully to a full scan when stats
+    are absent. The exact predicate is re-applied on the survivors, so
+    results are correct whatever the stats say; rows with NULL ``col``
+    are excluded (the predicate is a range)."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = read_manifest(table_dir, v)
+    kept = prune_files(manifest, col, lo, hi)
+    from pyspark.sql import functions as F
+
+    if not kept:
+        if "schema" in manifest:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(manifest["schema"])
+            )
+        return snapshot_read(spark, table_dir, version=v).limit(0)
+    df = _manifest_reader(spark, manifest).parquet(
+        *[os.path.join(table_dir, rel) for rel in kept]
+    )
+    df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
     return _apply_tombstones(spark, table_dir, manifest, df)
 
 

@@ -809,3 +809,83 @@ def test_concurrent_appends_conflict(spark, table_dir):
         with pytest.raises(S.SnapshotConflictError):
             S.snapshot_append(spark, table_dir, _rows(spark, [(3, "loser")]))
     assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a", 2: "winner"}
+
+
+def test_pruned_read_skips_files_and_matches_full_filter(spark, table_dir):
+    """Zone-map pruning: a range-clustered layout lets the manifest rule
+    out most files before any Spark I/O; the result equals the plain
+    filtered read exactly."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        prune_files,
+        snapshot_read_pruned,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_write(
+        spark, table_dir, df.repartitionByRange(8, "k"), stats_cols=["k"]
+    )
+    m = read_manifest(table_dir, 0)
+    assert m["file_stats"], "stats recorded"
+    kept = prune_files(m, "k", 100, 149)
+    assert 0 < len(kept) < len(m["files"]), "pruning actually skipped files"
+    got = {
+        r["k"] for r in snapshot_read_pruned(spark, table_dir, "k", 100, 149).collect()
+    }
+    assert got == set(range(100, 150))
+
+
+def test_pruned_read_without_stats_degrades_to_full_scan(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        prune_files,
+        snapshot_read_pruned,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    m = read_manifest(table_dir, 0)
+    assert prune_files(m, "k", 2, 3) == m["files"], "no stats -> keep all"
+    got = _as_dict(snapshot_read_pruned(spark, table_dir, "k", 2, 3))
+    assert got == {2: "b", 3: "c"}
+
+
+def test_pruned_read_empty_overlap_keeps_schema(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_read_pruned,
+    )
+
+    df = spark.range(0, 10).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    snapshot_write(spark, table_dir, df.repartitionByRange(2, "k"), stats_cols=["k"])
+    empty = snapshot_read_pruned(spark, table_dir, "k", 1000, 2000)
+    assert empty.columns == ["k", "v"] and empty.count() == 0
+
+
+def test_pruned_read_applies_tombstones(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_read_pruned,
+    )
+
+    df = spark.range(0, 20).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    snapshot_write(spark, table_dir, df.repartitionByRange(2, "k"), stats_cols=["k"])
+    snapshot_delete(spark, table_dir, spark.createDataFrame([(5,)], "k long"), ["k"])
+    got = {r["k"] for r in snapshot_read_pruned(spark, table_dir, "k", 0, 9).collect()}
+    assert got == set(range(10)) - {5}
+
+
+def test_append_merges_file_stats(spark, table_dir):
+    """An append with stats_cols extends the zone map to its new files
+    while the carried-forward files keep theirs."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        prune_files,
+        snapshot_append,
+    )
+
+    lo = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("a").alias("v"))
+    hi = spark.range(1000, 1100).select(F.col("id").alias("k"), F.lit("b").alias("v"))
+    snapshot_write(spark, table_dir, lo.coalesce(1), stats_cols=["k"])
+    v1 = snapshot_append(spark, table_dir, hi.coalesce(1), stats_cols=["k"])
+    m = read_manifest(table_dir, v1)
+    assert len(m["file_stats"]) == len(m["files"]) == 2
+    assert len(prune_files(m, "k", 0, 50)) == 1
+    assert len(prune_files(m, "k", 1050, 2000)) == 1
