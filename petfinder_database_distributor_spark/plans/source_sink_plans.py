@@ -957,3 +957,147 @@ def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@register(
+    "snapshot_source_scan",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_orderkey IS NOT NULL AND o_orderkey < 1000
+    GROUP BY o_orderpriority
+    """,
+    doc="The snapshot table format driven entirely through Spark's own "
+    "source/sink API (Spark 4 Python DataSource, sources/"
+    "snapshot_datasource.py): two order slices land via df.write.format"
+    "('snapshot') — an atomic multi-task overwrite then an append whose "
+    "manifest carries the first commit's files forward verbatim, each "
+    "task staging one parquet file and the driver publishing them with "
+    "the shared manifest + pointer-swap protocol — and the read is "
+    "spark.read.format('snapshot') with a range predicate that Spark "
+    "4.1's Python filter pushdown hands to the source, which prunes "
+    "non-overlapping files against the manifest's zone maps at PLANNING "
+    "time (the append slice never becomes an input partition; "
+    "tests/test_snapshot_datasource.py pins the partition count). Every "
+    "pushed filter is also re-applied by Spark, so stats are skipping, "
+    "never correctness. The oracle is the plain filtered aggregate over "
+    "the source table.",
+)
+def snapshot_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.sources.snapshot_datasource import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/snap_ds_scan_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
+    lo = orders.filter(F.col("o_orderkey") < 1000)
+    hi = orders.filter(F.col("o_orderkey") >= 1000)
+    lo.coalesce(2).write.format("snapshot").mode("overwrite").option(
+        "statsCols", "o_orderkey"
+    ).save(table_dir)
+    hi.coalesce(4).write.format("snapshot").mode("append").option(
+        "statsCols", "o_orderkey"
+    ).save(table_dir)
+    scan = (
+        spark.read.format("snapshot")
+        .load(table_dir)
+        .filter(F.col("o_orderkey") < 1000)
+    )
+    return scan.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+@register(
+    "stream_snapshot_source",
+    oracle="""
+    SELECT event_type, run_no, count(*)::BIGINT AS n
+    FROM (
+      SELECT event_type, 1 AS run_no FROM events
+      WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        AND event_id % 3 IN (0, 1)
+      UNION ALL
+      SELECT event_type, 2 AS run_no FROM events
+      WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        AND event_id % 3 = 2
+    )
+    GROUP BY event_type, run_no
+    """,
+    doc="The snapshot table as a STREAMING source (spark.readStream."
+    "format('snapshot')): offsets are snapshot versions and each "
+    "micro-batch's input partitions are exactly the files that joined "
+    "the manifest since the checkpointed version — the O(delta) "
+    "manifest set difference, planned from kilobytes of driver-side "
+    "metadata and read in executors. The query commits two event "
+    "slices, drains the stream (run 1), appends a third slice, and "
+    "drains AGAIN from the same checkpoint (run 2): the run_no column "
+    "proves resume-from-offset delivery — run 2 carries ONLY the "
+    "appended slice, nothing re-delivered (the at-most-once half of "
+    "exactly-once; the foreachBatch parquet sink supplies the sink "
+    "side). Non-append-only chains raise instead of re-delivering "
+    "rewritten rows (pinned in tests/test_snapshot_datasource.py). The "
+    "oracle restates which slice each run must deliver.",
+)
+def stream_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_write,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot_datasource import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_id", "event_type")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = f"{SCRATCH_ROOT}/snap_ds_stream_{tag}"
+    shutil.rmtree(root, ignore_errors=True)  # deterministic per call
+    table_dir, ckpt, out = f"{root}/table", f"{root}/ckpt", f"{root}/out"
+    snapshot_write(spark, table_dir, ev.filter(F.col("event_id") % 3 == 0))
+    snapshot_append(spark, table_dir, ev.filter(F.col("event_id") % 3 == 1))
+
+    def drain(run_no: int) -> None:
+        q = (
+            spark.readStream.format("snapshot")
+            .load(table_dir)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.withColumn("run_no", F.lit(run_no))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain(1)
+    snapshot_append(spark, table_dir, ev.filter(F.col("event_id") % 3 == 2))
+    drain(2)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type", "run_no")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -99,6 +99,13 @@ PRIORITY: list[str] = [
     "snapshot_evolve_columns",
     "mv_incremental_maintenance",
     "snapshot_pruned_scan",
+    # round-7 late registrations (snapshot Python DataSource: format-API
+    # batch scan with pushdown pruning + streaming change-feed source);
+    # they displace dedup_simhash_pairs / dedup_embedding_cosine_exact
+    # from the window end, which join the r8 refresh backlog:
+    "snapshot_source_scan",
+    "stream_snapshot_source",
+    "quality_classifier_score",
     "j2_asof_join",
     "j3_range_join",
     "g2_cube_marks",
@@ -121,9 +128,7 @@ PRIORITY: list[str] = [
     "ingest_frontend",
     "flagship_distributor_pipeline",
     "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine_exact",
+    # (dedup_simhash displaced to the r8 refresh backlog by quality_classifier_score)
 ]
 
 

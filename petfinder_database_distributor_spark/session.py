@@ -38,6 +38,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (Spark 4.1): lets the
+        # snapshot source prune files from pushed predicates at plan time
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Testdata parquet carries TIMESTAMP(NANOS) (events.ts) which Spark
         # rejects by default; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

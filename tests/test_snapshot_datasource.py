@@ -1,0 +1,240 @@
+"""The ``snapshot`` Python DataSource: format-API reads (with zone-map +
+partition pushdown pruning observable in the scan's partition count),
+atomic format-API writes (append/overwrite through the shared manifest
+commit), interop with the library path, and the incremental streaming
+source (offset = version, batch = manifest set difference, checkpoint
+resume)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from petfinder_database_distributor_spark.sources.snapshot import (
+    latest_version,
+    read_manifest,
+    snapshot_append,
+    snapshot_delete,
+    snapshot_read,
+    snapshot_write,
+)
+from petfinder_database_distributor_spark.sources.snapshot_datasource import (
+    register_snapshot_source,
+)
+from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT
+
+
+@pytest.fixture()
+def table_dir():
+    d = f"{SCRATCH_ROOT}/snapds"
+    shutil.rmtree(d, ignore_errors=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    register_snapshot_source(spark)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v string")
+
+
+def _as_dict(df):
+    return {r["k"]: r["v"] for r in df.collect()}
+
+
+def test_format_write_then_format_read_roundtrip(spark, table_dir):
+    _rows(spark, [(1, "a"), (2, "b")]).write.format("snapshot").mode(
+        "overwrite"
+    ).save(table_dir)
+    got = spark.read.format("snapshot").load(table_dir)
+    assert _as_dict(got) == {1: "a", 2: "b"}
+    assert latest_version(table_dir) == 0
+
+
+def test_format_overwrite_is_new_version_with_time_travel(spark, table_dir):
+    _rows(spark, [(1, "a")]).write.format("snapshot").mode("overwrite").save(
+        table_dir
+    )
+    _rows(spark, [(2, "b")]).write.format("snapshot").mode("overwrite").save(
+        table_dir
+    )
+    assert latest_version(table_dir) == 1
+    assert _as_dict(spark.read.format("snapshot").load(table_dir)) == {2: "b"}
+    old = spark.read.format("snapshot").option("version", 0).load(table_dir)
+    assert _as_dict(old) == {1: "a"}
+
+
+def test_format_append_unions_and_reuses_old_files(spark, table_dir):
+    _rows(spark, [(1, "a")]).write.format("snapshot").mode("overwrite").save(
+        table_dir
+    )
+    files_v0 = set(read_manifest(table_dir, 0)["files"])
+    _rows(spark, [(2, "b")]).write.format("snapshot").mode("append").save(
+        table_dir
+    )
+    m1 = read_manifest(table_dir, 1)
+    assert files_v0 <= set(m1["files"])  # old files carried forward verbatim
+    assert _as_dict(spark.read.format("snapshot").load(table_dir)) == {
+        1: "a",
+        2: "b",
+    }
+
+
+def test_format_append_schema_mismatch_raises(spark, table_dir):
+    _rows(spark, [(1, "a")]).write.format("snapshot").mode("overwrite").save(
+        table_dir
+    )
+    bad = spark.createDataFrame([(2, 7)], "k long, n long")
+    with pytest.raises(Exception, match="append schema mismatch"):
+        bad.write.format("snapshot").mode("append").save(table_dir)
+
+
+def test_format_append_evolve_schema_null_backfills(spark, table_dir):
+    _rows(spark, [(1, "a")]).write.format("snapshot").mode("overwrite").save(
+        table_dir
+    )
+    spark.createDataFrame([(2, "b", 9)], "k long, v string, extra long").write.format(
+        "snapshot"
+    ).mode("append").option("evolveSchema", "true").save(table_dir)
+    got = spark.read.format("snapshot").load(table_dir).orderBy("k").collect()
+    assert [(r["k"], r["v"], r["extra"]) for r in got] == [
+        (1, "a", None),
+        (2, "b", 9),
+    ]
+
+
+def test_format_append_type_drift_refused(spark, table_dir):
+    _rows(spark, [(1, "a")]).write.format("snapshot").mode("overwrite").save(
+        table_dir
+    )
+    drifted = spark.createDataFrame([(2, 7)], "k long, v long")
+    with pytest.raises(Exception, match="append|type"):
+        drifted.write.format("snapshot").mode("append").save(table_dir)
+
+
+def test_interop_library_write_format_read_and_back(spark, table_dir):
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b")]))
+    assert _as_dict(spark.read.format("snapshot").load(table_dir)) == {
+        1: "a",
+        2: "b",
+    }
+    _rows(spark, [(3, "c")]).write.format("snapshot").mode("append").save(
+        table_dir
+    )
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a", 2: "b", 3: "c"}
+
+
+def test_format_read_applies_tombstones(spark, table_dir):
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    snapshot_delete(
+        spark, table_dir, spark.createDataFrame([(2,)], "k long"), ["k"]
+    )
+    assert _as_dict(spark.read.format("snapshot").load(table_dir)) == {
+        1: "a",
+        3: "c",
+    }
+
+
+def _zone_mapped_table(spark, table_dir, n_slices=4):
+    """One file per disjoint k-range, zone maps recorded at commit."""
+    for s in range(n_slices):
+        df = spark.createDataFrame(
+            [(s * 100 + i, f"v{s * 100 + i}") for i in range(100)],
+            "k long, v string",
+        ).coalesce(1)
+        if s == 0:
+            snapshot_write(spark, table_dir, df, stats_cols=["k"])
+        else:
+            snapshot_append(spark, table_dir, df, stats_cols=["k"])
+    return read_manifest(table_dir, latest_version(table_dir))
+
+
+def test_pushdown_prunes_scan_partitions(spark, table_dir):
+    manifest = _zone_mapped_table(spark, table_dir)
+    total_files = len(manifest["files"])
+    assert total_files == 4
+    base = spark.read.format("snapshot").load(table_dir)
+    assert base.rdd.getNumPartitions() == total_files
+    pruned = base.filter(F.col("k").between(110, 130))
+    # planning-time zone-map pruning: only the [100, 199] file survives
+    assert pruned.rdd.getNumPartitions() == 1
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(110, 131))
+
+
+def test_pushdown_equality_and_exact_residual(spark, table_dir):
+    _zone_mapped_table(spark, table_dir)
+    one = spark.read.format("snapshot").load(table_dir).filter(F.col("k") == 250)
+    assert one.rdd.getNumPartitions() == 1
+    assert [(r["k"], r["v"]) for r in one.collect()] == [(250, "v250")]
+
+
+def test_pushdown_impossible_range_yields_empty_with_schema(spark, table_dir):
+    _zone_mapped_table(spark, table_dir)
+    none = spark.read.format("snapshot").load(table_dir).filter(F.col("k") > 10_000)
+    assert none.count() == 0
+    assert none.columns == ["k", "v"]
+
+
+def test_stream_reads_chain_incrementally_and_resumes(spark, table_dir, tmp_path):
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    snapshot_append(spark, table_dir, _rows(spark, [(2, "b")]))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_stream():
+        # parquet-via-foreachBatch sink: unlike memory, it supports
+        # checkpoint RECOVERY, which is the point of this test
+        q = (
+            spark.readStream.format("snapshot")
+            .load(table_dir)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return _as_dict(spark.read.parquet(out))
+
+    assert run_stream() == {1: "a", 2: "b"}
+    # new appends arrive as a NEW batch after restart: resume from the
+    # checkpointed version offset, not from scratch (no re-delivery of
+    # rows 1 and 2 — their keys appear exactly once in the sink)
+    snapshot_append(spark, table_dir, _rows(spark, [(3, "c")]))
+    assert run_stream() == {1: "a", 2: "b", 3: "c"}
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_refuses_rewritten_chain(spark, table_dir, tmp_path):
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "out2")
+
+    def start():
+        return (
+            spark.readStream.format("snapshot")
+            .load(table_dir)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(120)
+    # a full rewrite breaks the append-only chain: the next batch raises
+    snapshot_write(spark, table_dir, _rows(spark, [(9, "z")]), base_version=0)
+    q2 = start()
+    with pytest.raises(Exception, match="append-only"):
+        q2.awaitTermination(120)
+        if q2.exception() is not None:
+            raise q2.exception()
