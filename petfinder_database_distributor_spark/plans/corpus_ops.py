@@ -47,6 +47,7 @@ from petfinder_database_distributor_spark.operators.text import (
 )
 from petfinder_database_distributor_spark.plans.llm_pipeline import (
     _SHINGLES_SQL,
+    _TOKS_SQL,
 )
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
@@ -411,4 +412,86 @@ def domain_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(budget))
         .filter(F.col("cum_tok") <= F.col("budget"))
         .select("doc_id", "source", "n_tok", "cum_tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_score
+# ---------------------------------------------------------------------------
+
+# Hashed-feature linear classifier (the fastText/CCNet quality-model
+# inference shape): feature index = md5int(token) mod D (the hashing
+# trick — no vocabulary table to build, broadcast, or look up), weight =
+# a fixed integer mix of the index (Knuth multiplicative hash mod a
+# prime, centered), logit = mean token weight. The weights here are
+# derived, not learned — what the operator demonstrates is the INFERENCE
+# plumbing at scale: model application is pure per-row Column expressions
+# (zero Python, zero joins, zero shuffles before the final projection),
+# which is precisely how a real exported linear model (hashed n-grams ×
+# weight array) runs over 100 TB without a feature store. Exact-integer
+# end to end until one final division, so the oracle is bit-identical.
+_QC_D = 4096  # hashed feature buckets
+_QC_A = 2654435761  # Knuth multiplicative constant
+_QC_P = 1000003  # weight-mix prime
+_QC_C = (_QC_P - 1) // 2  # centering offset -> weights in [-C, C]
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH toks AS ({{toks}}),
+    per AS (
+      SELECT doc_id, lang, len(t) AS n_toks,
+             list_sum(list_transform(t, x ->
+               (({MD5INT_SQL.format(x='x')} % {_QC_D}) * {_QC_A})
+                 % {_QC_P} - {_QC_C}))::BIGINT AS num
+      FROM toks
+      WHERE doc_id IS NOT NULL AND len(t) > 0
+    )
+    SELECT doc_id, lang, n_toks::BIGINT AS n_toks,
+           num / ({_QC_P}.0 * n_toks) AS logit,
+           num > 0 AS keep
+    FROM per
+    """.format(toks=_TOKS_SQL),
+    doc="Quality-classifier inference over the corpus via the hashing "
+    "trick: md5int(token) mod 4096 indexes a deterministic weight table "
+    "(Knuth-mix mod prime, centered), the document logit is the mean "
+    "token weight, keep = logit > 0. The model application is pure "
+    "native Column expressions — no vocabulary broadcast, no feature "
+    "store join, no Python in the loop — the shape a real exported "
+    "linear quality model (fastText-style hashed n-grams) runs at "
+    "100 TB: embarrassingly parallel over the scan, zero shuffles "
+    "before the output projection. Integer-exact numerator with ONE "
+    "final IEEE division, so both engines produce bit-identical "
+    "doubles.",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    toks = tokens(F.col("text"))
+    num = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + ((md5int(x) % _QC_D) * F.lit(_QC_A)) % _QC_P
+        - _QC_C,
+    )
+    scored = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_toks"),
+            num.alias("num"),
+        )
+        .filter(F.col("n_toks") > 0)
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        (F.col("num") / (F.lit(float(_QC_P)) * F.col("n_toks"))).alias("logit"),
+        (F.col("num") > 0).alias("keep"),
     )
