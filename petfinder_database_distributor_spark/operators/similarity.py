@@ -424,3 +424,173 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(qid, cid, "rank", F.round(F.col("cos"), 6).alias("cos_r"))
     )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer inner product (ordered aggregate over quantized
+    vectors) — order-free because every partial is an exact int64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subvectors(vecs: DataFrame, vid: str, m_sub: int, sub_dim: int) -> DataFrame:
+    """(id, qe) -> (id, m, sv): the m-th ``sub_dim``-wide slice per row."""
+    sv_arr = F.array(
+        *[F.slice(F.col("qe"), m * sub_dim + 1, sub_dim) for m in range(m_sub)]
+    )
+    return vecs.select(F.col(vid), F.posexplode(sv_arr).alias("m", "sv"))
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame, vid: str) -> DataFrame:
+    """Nearest codeword per (vector, subspace) by exact integer L2
+    (``ip(s,s) - 2 ip(s,c) + ip(c,c)``; ties -> smaller codeword id).
+    The codebook is m_sub*n_codes rows — always broadcast."""
+    d = (
+        int_dot(F.col("sv"), F.col("sv"))
+        - 2 * int_dot(F.col("sv"), F.col("cw"))
+        + int_dot(F.col("cw"), F.col("cw"))
+    )
+    scored = subs.join(F.broadcast(cb), "m").select(
+        F.col(vid), "m", "sv", "j", d.alias("d")
+    )
+    best = scored.groupBy(vid, "m").agg(
+        F.min_by(F.struct("sv", "j"), F.struct("d", "j")).alias("b")
+    )
+    return best.select(
+        F.col(vid), "m", F.col("b.sv").alias("sv"), F.col("b.j").alias("j")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    rerank: int = 32,
+    scale: int = 1000,
+    qid: str = "query_id",
+    cid: str = "vec_id",
+    qvec: str = "qvec",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k with ADC (asymmetric distance
+    computation) and exact re-rank — the MEMORY-bound scale path: where
+    IVF cuts how many vectors a query touches, PQ cuts how many bytes
+    per vector. Each 64-dim float vector compresses to ``m_sub`` 4-bit
+    codes (here 8 codes = 4 bytes vs 256+ raw — a 64x footprint drop),
+    so at 100 TB the ADC scan reads a few bytes per vector and the full
+    precision embeddings are touched only for the ``rerank`` survivors.
+
+    Pipeline (all exact integer arithmetic, hence oracle-checkable even
+    though k-means is iterative):
+    1. train: per subspace m, codewords init from the first ``n_codes``
+       corpus vectors' m-th slices, one Lloyd round with exact integer
+       L2 assignment and mean-update RE-QUANTIZED to the vector scale
+       (``round(s/n)`` of exact integer sums) — integer codebooks make
+       every later distance exact, the same trick ivf_topk uses for
+       centroids;
+    2. encode: nearest codeword per (vector, subspace) -> ``m_sub``
+       small ints per vector (ONE groupBy shuffle of (id, m) rows);
+    3. ADC: each query precomputes its lookup table ip(q_m, c_{m,j})
+       (m_sub*n_codes ints — built against the broadcast codebook,
+       folded to a map per query); approx score of a corpus vector is
+       the sum of ``m_sub`` LUT lookups over its codes — a broadcast
+       crossJoin of the tiny query set against the (id, codes[]) table,
+       NO per-pair vector math and no shuffle before top-k;
+    4. re-rank: the top ``rerank`` by approx score join back to full
+       embeddings for the exact cosine; output matches the other ann_*
+       queries (query_id, vec_id, rank, cos_r) so recall is comparable.
+
+    The codebook (m_sub*n_codes rows) broadcasts everywhere; nothing in
+    training or search joins corpus-x-corpus.
+    """
+    qcorpus = corpus.select(
+        F.col(cid), quantize(F.col(cvec), scale).alias("qe")
+    ).persist()
+    subs = _pq_subvectors(qcorpus, cid, m_sub, sub_dim).persist()
+    cb0 = subs.filter(F.col(cid) < n_codes).select(
+        "m", F.col(cid).cast("int").alias("j"), F.col("sv").alias("cw")
+    )
+    assigned = _pq_assign(subs, cb0, cid)
+    dims = (
+        assigned.select("m", "j", F.posexplode("sv").alias("i", "v"))
+        .groupBy("m", "j", "i")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    # re-quantized mean: round(s/n) of exact integer sums stays on the
+    # vector scale, so encoding and ADC below are exact ints end to end
+    cb1 = (
+        dims.groupBy("m", "j")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s", "n"))),
+                lambda e: F.round(e["s"] / e["n"]).cast("long"),
+            ).alias("cw")
+        )
+        .localCheckpoint(eager=True)
+    )
+    codes = (
+        _pq_assign(subs, cb1, cid)
+        .groupBy(cid)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "j"))),
+                lambda e: e["j"],
+            ).alias("code")
+        )
+        .localCheckpoint(eager=True)
+    )
+    subs.unpersist()
+    qcorpus.unpersist()
+
+    qq = queries.select(F.col(qid), quantize(F.col(qvec), scale).alias("qe"))
+    qsubs = _pq_subvectors(qq, qid, m_sub, sub_dim)
+    lut_rows = qsubs.join(F.broadcast(cb1), "m").select(
+        F.col(qid),
+        (F.col("m") * n_codes + F.col("j")).cast("int").alias("slot"),
+        int_dot(F.col("sv"), F.col("cw")).alias("ip"),
+    )
+    luts = lut_rows.groupBy(qid).agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "ip"))).alias("lut")
+    )
+    seq = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("code"),
+            seq,
+            lambda j, m: F.element_at(
+                F.col("lut"), (m * n_codes + j).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    adc = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col(qid) != F.col(cid))
+        .select(F.col(qid), F.col(cid), approx.alias("approx"))
+    )
+    wr = Window.partitionBy(qid).orderBy(F.col("approx").desc(), F.col(cid))
+    cand = (
+        adc.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= rerank)
+        .select(qid, cid)
+    )
+    eq = queries.select(F.col(qid), as_double(F.col(qvec)).alias("qv"))
+    ec = corpus.select(F.col(cid), as_double(F.col(cvec)).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(eq), qid)
+        .join(ec, cid)
+        .select(F.col(qid), F.col(cid), cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(cid))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, cid, "rank", F.round(F.col("cos"), 6).alias("cos_r"))
+    )

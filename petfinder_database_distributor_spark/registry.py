@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "snapshot_source_scan",
     "stream_snapshot_source",
     "quality_classifier_score",
+    "ann_pq_adc_topk",
     "j2_asof_join",
     "j3_range_join",
     "g2_cube_marks",
@@ -127,7 +128,7 @@ PRIORITY: list[str] = [
     "p1_html_project",
     "ingest_frontend",
     "flagship_distributor_pipeline",
-    "dedup_ngram_jaccard_capped",
+    # (dedup_ngram_jaccard_capped displaced to the r8 refresh backlog by ann_pq_adc_topk)
     # (dedup_simhash displaced to the r8 refresh backlog by quality_classifier_score)
 ]
 

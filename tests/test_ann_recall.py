@@ -36,7 +36,14 @@ def ground_truth(spark):
 
 @pytest.mark.parametrize(
     "name,min_recall",
-    [("ann_lsh_topk", 0.85), ("ann_ivf_topk", 0.85)],
+    [
+        ("ann_lsh_topk", 0.85),
+        ("ann_ivf_topk", 0.85),
+        # 8 subspaces x 16 codewords = 4 bytes/vector (64x compression);
+        # measured 0.800 exactly — the price of the memory-bound path,
+        # recovered by raising `rerank` when the budget allows
+        ("ann_pq_adc_topk", 0.75),
+    ],
 )
 def test_ann_recall_at_5(spark, ground_truth, name, min_recall):
     approx = _topk_sets(spark, name)
