@@ -1101,3 +1101,64 @@ def stream_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "run_no")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "stream_snapshot_pipe",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n
+    FROM events
+    WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+      AND event_id % 3 IN (0, 1)
+    GROUP BY event_type
+    """,
+    doc="End-to-end exactly-once table-to-table streaming through the "
+    "format API alone: spark.readStream.format('snapshot') on table A "
+    "-> writeStream.format('snapshot') into table B. Each micro-batch "
+    "lands in B as ONE atomic append commit (new files + carried-"
+    "forward manifest + pointer swap) that also records the epoch id, "
+    "so a replayed epoch (sink committed, checkpoint didn't) is "
+    "detected against the current manifest and dropped — the public "
+    "txnAppId/txnVersion idempotent-sink pattern upgrading Spark's "
+    "at-least-once epoch delivery to exactly-once table state (replay "
+    "protection pinned in tests/test_snapshot_datasource.py). The "
+    "oracle states the net effect: B holds exactly A's rows.",
+)
+def stream_snapshot_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_write,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot_datasource import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_id", "event_type")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = f"{SCRATCH_ROOT}/snap_ds_pipe_{tag}"
+    shutil.rmtree(root, ignore_errors=True)  # deterministic per call
+    src, dst, ckpt = f"{root}/a", f"{root}/b", f"{root}/ckpt"
+    snapshot_write(spark, src, ev.filter(F.col("event_id") % 3 == 0))
+    snapshot_append(spark, src, ev.filter(F.col("event_id") % 3 == 1))
+    q = (
+        spark.readStream.format("snapshot")
+        .load(src)
+        .writeStream.format("snapshot")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(dst)
+    )
+    q.awaitTermination(300)
+    return (
+        snapshot_read(spark, dst)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -105,6 +105,7 @@ PRIORITY: list[str] = [
     # from the window end, which join the r8 refresh backlog:
     "snapshot_source_scan",
     "stream_snapshot_source",
+    "stream_snapshot_pipe",
     "quality_classifier_score",
     "ann_pq_adc_topk",
     "j2_asof_join",
@@ -126,8 +127,8 @@ PRIORITY: list[str] = [
     "p1_xpath_project",
     "p3_link_fanout_xpath",
     "p1_html_project",
-    "ingest_frontend",
     "flagship_distributor_pipeline",
+    # (ingest_frontend displaced to the r8 refresh backlog by stream_snapshot_pipe)
     # (dedup_ngram_jaccard_capped displaced to the r8 refresh backlog by ann_pq_adc_topk)
     # (dedup_simhash displaced to the r8 refresh backlog by quality_classifier_score)
 ]

@@ -7,6 +7,7 @@ ordinary reader/writer API instead of library calls::
     spark.read.format("snapshot").option("version", 3).load(dir)   # time travel
     df.write.format("snapshot").mode("append").save(table_dir)     # atomic commit
     spark.readStream.format("snapshot").load(table_dir)            # change feed
+    df.writeStream.format("snapshot").start(table_dir)             # exactly-once sink
 
 Why this matters at 100 TB: the DataFrame API is where Spark's planning
 hooks live. Routing the table format through a real DataSource buys
@@ -64,6 +65,7 @@ def make_snapshot_datasource():
         DataSource,
         DataSourceArrowWriter,
         DataSourceReader,
+        DataSourceStreamArrowWriter,
         DataSourceStreamReader,
         EqualTo,
         GreaterThan,
@@ -304,9 +306,17 @@ def make_snapshot_datasource():
             self.stats_cols = [c for c in (raw or "").split(",") if c]
 
         def _staging_dir(self):
+            # SHARED staging area, not keyed by writer identity: the
+            # streaming path materializes separate writer instances for
+            # the tasks and for the committer (each pickled from its own
+            # DataSource instantiation), so the only identity shared
+            # between write() and commit() is the commit MESSAGE. Staged
+            # files carry uuid names (collision-proof); commit moves
+            # exactly the names its messages list. Orphans from crashed
+            # jobs linger here untracked — nothing references them.
             import os
 
-            return os.path.join(self.table_dir, "_staging", self.token)
+            return os.path.join(self.table_dir, "_staging")
 
         def write(self, iterator):
             import os
@@ -343,6 +353,18 @@ def make_snapshot_datasource():
             return StagedFile(name=name, rows=rows)
 
         def commit(self, messages):
+            staged = sorted(
+                m.name for m in messages if m is not None and m.name is not None
+            )
+            self._commit_staged(staged)
+
+        def _commit_staged(self, staged, extra=None, batch_id=None):
+            """Publish the staged file set as the next version. ``extra``
+            lands in the manifest verbatim; ``batch_id`` (streaming)
+            makes the commit IDEMPOTENT — a replayed epoch whose id is
+            already recorded in the current manifest is dropped, staged
+            files deleted (the public txn-version pattern for
+            exactly-once streaming sinks)."""
             import json
             import os
 
@@ -355,14 +377,23 @@ def make_snapshot_datasource():
             )
 
             os.makedirs(os.path.join(self.table_dir, "_manifests"), exist_ok=True)
-            staged = sorted(
-                m.name for m in messages if m is not None and m.name is not None
-            )
             schema_dict = json.loads(self.schema_json)
             for f in schema_dict.get("fields", []):
                 f["nullable"] = True  # table-level contract, as snapshot_write
             for _attempt in range(5):
                 base = latest_version(self.table_dir)
+                if batch_id is not None and base is not None:
+                    last = read_manifest(self.table_dir, base).get(
+                        "last_stream_batch_id"
+                    )
+                    if last is not None and batch_id <= last:
+                        # replayed epoch: already durable, drop the stage
+                        for n in staged:
+                            try:
+                                os.remove(os.path.join(self._staging_dir(), n))
+                            except FileNotFoundError:
+                                pass
+                        return
                 version = (base if base is not None else -1) + 1
                 home = os.path.join(
                     self.table_dir, "data", f"v{version}", self.token
@@ -394,9 +425,16 @@ def make_snapshot_datasource():
                             manifest[carried] = prev[carried]
                     if "file_stats" in prev:
                         manifest["file_stats"] = dict(prev["file_stats"])
-                os.makedirs(os.path.dirname(home), exist_ok=True)
-                os.replace(self._staging_dir(), home)
-                if self.stats_cols:
+                if extra:
+                    manifest.update(extra)
+                if staged:  # an empty epoch commits metadata only
+                    os.makedirs(home, exist_ok=True)
+                    for n in staged:
+                        os.replace(
+                            os.path.join(self._staging_dir(), n),
+                            os.path.join(home, n),
+                        )
+                if self.stats_cols and staged:
                     stats = manifest.get("file_stats", {})
                     stats.update(
                         _collect_file_stats(
@@ -411,8 +449,11 @@ def make_snapshot_datasource():
                 except SnapshotConflictError:
                     # another blind writer landed first: move the staged
                     # files back and re-derive from the fresh base
-                    os.makedirs(os.path.dirname(self._staging_dir()), exist_ok=True)
-                    os.replace(home, self._staging_dir())
+                    for n in staged:
+                        os.replace(
+                            os.path.join(home, n),
+                            os.path.join(self._staging_dir(), n),
+                        )
             raise SnapshotConflictError(
                 f"gave up committing to {self.table_dir} after 5 attempts"
             )
@@ -451,9 +492,42 @@ def make_snapshot_datasource():
                     )
 
         def abort(self, messages):
-            import shutil
+            import os
 
-            shutil.rmtree(self._staging_dir(), ignore_errors=True)
+            for m in messages:
+                if m is not None and m.name is not None:
+                    try:
+                        os.remove(os.path.join(self._staging_dir(), m.name))
+                    except FileNotFoundError:
+                        pass
+
+    class SnapshotStreamWriter(SnapshotWriter, DataSourceStreamArrowWriter):
+        """``writeStream.format("snapshot")``: every micro-batch is one
+        atomic append commit (new files + carried-forward manifest, same
+        protocol as the batch writer), and the committed manifest records
+        the epoch id — a replayed epoch (sink committed, checkpoint
+        didn't) is detected and dropped, upgrading Spark's at-least-once
+        epoch delivery to an exactly-once TABLE state (the public
+        txnAppId/txnVersion idempotent-sink pattern). Readers see each
+        epoch appear atomically or not at all; a snapshot->snapshot pipe
+        (this sink fed by SnapshotStreamReader) is therefore end-to-end
+        exactly-once."""
+
+        def __init__(self, table_dir, schema, options):
+            SnapshotWriter.__init__(self, table_dir, schema, False, options)
+
+        def commit(self, messages, batchId):
+            staged = sorted(
+                m.name for m in messages if m is not None and m.name is not None
+            )
+            self._commit_staged(
+                staged,
+                extra={"last_stream_batch_id": batchId},
+                batch_id=batchId,
+            )
+
+        def abort(self, messages, batchId):
+            SnapshotWriter.abort(self, messages)
 
     # ---------------------------------------------------------------- stream
 
@@ -567,6 +641,14 @@ def make_snapshot_datasource():
 
         def streamReader(self, schema):
             return SnapshotStreamReader(self.options)
+
+        def streamWriter(self, schema, overwrite):
+            table_dir = self.options.get("path")
+            if not table_dir:
+                raise ValueError(
+                    "snapshot stream sink requires a path: .start(table_dir)"
+                )
+            return SnapshotStreamWriter(table_dir, schema, self.options)
 
     return SnapshotDataSource
 

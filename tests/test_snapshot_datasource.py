@@ -238,3 +238,64 @@ def test_stream_refuses_rewritten_chain(spark, table_dir, tmp_path):
         q2.awaitTermination(120)
         if q2.exception() is not None:
             raise q2.exception()
+
+
+def test_stream_sink_snapshot_to_snapshot_pipe(spark, table_dir, tmp_path):
+    """readStream(snapshot A) -> writeStream(snapshot B): each epoch lands
+    in B as one atomic append commit recording its epoch id; draining
+    twice moves exactly the new data — end-to-end exactly-once."""
+    src = f"{table_dir}_src"
+    shutil.rmtree(src, ignore_errors=True)
+    snapshot_write(spark, src, _rows(spark, [(1, "a")]))
+    snapshot_append(spark, src, _rows(spark, [(2, "b")]))
+    ckpt = str(tmp_path / "pipe_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot")
+            .load(src)
+            .writeStream.format("snapshot")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(table_dir)
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a", 2: "b"}
+    m = read_manifest(table_dir, latest_version(table_dir))
+    assert "last_stream_batch_id" in m
+    snapshot_append(spark, src, _rows(spark, [(3, "c")]))
+    drain()
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a", 2: "b", 3: "c"}
+    # sink rows arrived exactly once: total row count across B == 3
+    assert snapshot_read(spark, table_dir).count() == 3
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_sink_replayed_epoch_is_dropped(spark, table_dir, tmp_path):
+    """Replay protection: a second commit carrying an already-recorded
+    epoch id must be a no-op (the at-least-once upgrade). Simulated by
+    re-running a fresh query (batch ids restart at 0) over an unchanged
+    source with a FRESH checkpoint: same epoch id, same data — the sink
+    must not double-append."""
+    src = f"{table_dir}_src2"
+    shutil.rmtree(src, ignore_errors=True)
+    snapshot_write(spark, src, _rows(spark, [(1, "a")]))
+
+    def drain(ckpt):
+        q = (
+            spark.readStream.format("snapshot")
+            .load(src)
+            .writeStream.format("snapshot")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(table_dir)
+        )
+        q.awaitTermination(120)
+
+    drain(str(tmp_path / "ck_a"))
+    assert snapshot_read(spark, table_dir).count() == 1
+    drain(str(tmp_path / "ck_b"))  # fresh checkpoint -> batch 0 replayed
+    assert snapshot_read(spark, table_dir).count() == 1
+    shutil.rmtree(src, ignore_errors=True)
