@@ -112,6 +112,15 @@ SWEPT = [
     # null doc_id rows are excluded from the snapshot commit AND from the
     # delete-slice; null source/n_chars ride through both engines
     "snapshot_tombstone_delete",
+    # round-7 late: the format-API snapshot queries filter null ids/types
+    # at entry (null event rows never reach a commit); the classifier
+    # treats NULL text as 0 tokens (filtered by n_toks > 0); the PQ path
+    # excludes null id/vector rows like every vector-family query
+    "snapshot_source_scan",
+    "stream_snapshot_source",
+    "stream_snapshot_pipe",
+    "quality_classifier_score",
+    "ann_pq_adc_topk",
 ]
 
 

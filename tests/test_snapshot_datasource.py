@@ -299,3 +299,26 @@ def test_stream_sink_replayed_epoch_is_dropped(spark, table_dir, tmp_path):
     drain(str(tmp_path / "ck_b"))  # fresh checkpoint -> batch 0 replayed
     assert snapshot_read(spark, table_dir).count() == 1
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_pushdown_prunes_partitioned_manifest(spark, table_dir):
+    """EqualTo/In on the partition column of a partitioned manifest prune
+    whole partitions at planning time (manifest-key pruning, zero I/O)."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["red", "green", "blue"][i % 3]) for i in range(90)],
+        "k long, color string",
+    )
+    snapshot_write_partitioned(spark, table_dir, df, "color")
+    base = spark.read.format("snapshot").load(table_dir)
+    total = base.rdd.getNumPartitions()
+    one = base.filter(F.col("color") == "red")
+    assert one.rdd.getNumPartitions() < total
+    assert one.count() == 30
+    two = base.filter(F.col("color").isin("red", "blue"))
+    assert two.rdd.getNumPartitions() < total
+    assert two.count() == 60
+    assert sorted(r["k"] for r in one.collect()) == list(range(0, 90, 3))
