@@ -144,6 +144,19 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, "_manifests", f"v{version}.json")
 
 
+def _carry_forward(prev: dict) -> dict:
+    """Copy of ``prev`` safe to extend into the NEXT version's manifest:
+    per-commit transient flags must not ride along — a compaction's
+    ``data_change: false`` would mislabel the next genuine append as
+    layout-only (the streaming source would silently skip its rows), and
+    a streaming sink's recorded epoch id would make a later fresh-
+    checkpoint stream drop its first batch as a replay."""
+    out = dict(prev)
+    out.pop("data_change", None)
+    out.pop("last_stream_batch_id", None)
+    return out
+
+
 def read_manifest(table_dir: str, version: int) -> dict:
     with open(_manifest_path(table_dir, version)) as fh:
         return json.load(fh)
@@ -191,6 +204,7 @@ def snapshot_write(
     df: DataFrame,
     base_version: int | None = None,
     stats_cols: list[str] | None = None,
+    extra_manifest: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``; returns the new
     version number. ``base_version`` is the version this write derives from
@@ -228,6 +242,8 @@ def snapshot_write(
     }
     if stats_cols:
         manifest["file_stats"] = _collect_file_stats(table_dir, files, stats_cols)
+    if extra_manifest:
+        manifest.update(extra_manifest)
     _commit_metadata(table_dir, version, base_version, manifest)
     return version
 
@@ -345,7 +361,7 @@ def snapshot_delete(
         for n in os.listdir(tdir)
         if n.endswith(".parquet")
     )
-    manifest = dict(prev)  # carries files/partitions forward UNCHANGED
+    manifest = _carry_forward(prev)  # files/partitions forward UNCHANGED
     manifest["version"] = version
     manifest["tombstones"] = list(prev.get("tombstones", [])) + tfiles
     manifest["key_cols"] = key_cols
@@ -435,7 +451,7 @@ def snapshot_append(
         for name in os.listdir(data_dir)
         if name.endswith(".parquet")
     )
-    manifest = dict(prev)
+    manifest = _carry_forward(prev)
     manifest["version"] = version
     manifest["files"] = list(prev["files"]) + new_files
     manifest["n_files"] = len(manifest["files"])
@@ -504,8 +520,17 @@ def snapshot_compact(
     if base is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     current = snapshot_read(spark, table_dir, base)
+    # data_change=False (the public Delta flag): same rows, new layout —
+    # a STREAMING consumer of the chain skips this version instead of
+    # erroring on rewritten files, so compaction and live change-feed
+    # readers coexist (the snapshot stream source's per-version walk
+    # honors the flag).
     return snapshot_write(
-        spark, table_dir, current.coalesce(target_files), base_version=base
+        spark,
+        table_dir,
+        current.coalesce(target_files),
+        base_version=base,
+        extra_manifest={"data_change": False},
     )
 
 

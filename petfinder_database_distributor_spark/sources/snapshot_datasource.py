@@ -579,24 +579,42 @@ def make_snapshot_datasource():
                 read_manifest,
             )
 
+            # Per-VERSION walk (not an end-vs-start set difference): a
+            # commit stamped data_change=False (compaction — same rows,
+            # new layout) contributes nothing to the feed and just
+            # rebases the comparison set, so compaction and a live
+            # streaming consumer coexist — the public Delta dataChange
+            # rule. A data-changing commit that drops files is a
+            # merge/overwrite and still fails loudly. Caveat: a fresh
+            # stream (startingVersion before a compaction) reads the
+            # PRE-compaction files, so it needs them not yet vacuumed —
+            # same horizon rule as any time-travel read.
             end_manifest = read_manifest(self.table_dir, end["version"])
-            new_files = _manifest_files(end_manifest)
             if start["version"] >= 0:
-                old = set(
+                prev = set(
                     _manifest_files(read_manifest(self.table_dir, start["version"]))
                 )
-                dropped = old.difference(new_files)
+            else:
+                prev = set()
+            delta = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                m = read_manifest(self.table_dir, v)
+                files_v = _manifest_files(m)
+                if m.get("data_change", True) is False:
+                    prev = set(files_v)  # layout-only commit: skip
+                    continue
+                dropped = prev.difference(files_v)
                 if dropped:
                     raise ValueError(
-                        f"versions {start['version']}..{end['version']} of"
-                        f" {self.table_dir} are not append-only"
-                        f" ({len(dropped)} file(s) rewritten away) — the"
-                        " streaming source only reads append-only chains;"
-                        " use snapshot_cdc_diff for keyed changes"
+                        f"version {v} of {self.table_dir} rewrote"
+                        f" {len(dropped)} file(s) with data_change=true —"
+                        " the streaming source only reads append-only"
+                        " chains (compactions must stamp"
+                        " data_change=false); use snapshot_cdc_diff for"
+                        " keyed changes"
                     )
-                delta = [f for f in new_files if f not in old]
-            else:
-                delta = new_files
+                delta.extend(f for f in files_v if f not in prev)
+                prev = set(files_v)
             schema_json = json.dumps(end_manifest["schema"])
             tomb_keys, key_cols = _load_tombstones(self.table_dir, end_manifest)
             return [

@@ -322,3 +322,43 @@ def test_pushdown_prunes_partitioned_manifest(spark, table_dir):
     assert two.rdd.getNumPartitions() < total
     assert two.count() == 60
     assert sorted(r["k"] for r in one.collect()) == list(range(0, 90, 3))
+
+
+def test_stream_skips_compaction_commits(spark, table_dir, tmp_path):
+    """Compaction stamps data_change=false, so a live stream skips the
+    layout-only commit (no re-delivery, no error) and a fresh stream over
+    the full chain still sees every row exactly once."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_compact,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b")]))
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def drain(ckpt, out):
+        q = (
+            spark.readStream.format("snapshot")
+            .load(table_dir)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return _as_dict(spark.read.parquet(out))
+
+    assert drain(ckpt, out) == {1: "a", 2: "b"}
+    snapshot_compact(spark, table_dir)
+    snapshot_append(spark, table_dir, _rows(spark, [(3, "c")]))
+    # live stream: the compaction version contributes nothing; only the
+    # genuine append arrives, and nothing is re-delivered
+    assert drain(ckpt, out) == {1: "a", 2: "b", 3: "c"}
+    assert spark.read.parquet(out).count() == 3
+    # fresh stream over the whole chain (pre-compaction files retained):
+    # every row exactly once, the compacted layout never double-delivers
+    out2 = str(tmp_path / "out2")
+    assert drain(str(tmp_path / "ck2"), out2) == {1: "a", 2: "b", 3: "c"}
+    assert spark.read.parquet(out2).count() == 3
