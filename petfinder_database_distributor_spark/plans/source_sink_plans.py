@@ -1162,3 +1162,73 @@ def stream_snapshot_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "snapshot_zorder_optimize",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n
+    FROM (SELECT event_type, user_id % 1024 AS x,
+                 (extract('hour' FROM ts) * 60 + extract('minute' FROM ts)) // 2 AS y
+          FROM events
+          WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+            AND ts IS NOT NULL AND event_type IS NOT NULL)
+    WHERE x BETWEEN 100 AND 227 AND y BETWEEN 60 AND 239
+    GROUP BY event_type
+    """,
+    doc="OPTIMIZE ZORDER through the snapshot table: commit events in "
+    "arrival layout, rewrite range-clustered on a 10x10-bit Morton "
+    "interleave of (user bucket, halved minute-of-day) as a "
+    "data_change=false commit with zone maps on BOTH dimensions, then "
+    "read back through the snapshot DataSource with range predicates on "
+    "x AND y — pushed filters prune files against the manifest's "
+    "two-column zone maps at planning time, which only bites because "
+    "the Morton curve bounds each file to a quadrant of the plane "
+    "(clustering on one column alone leaves the other's per-file "
+    "min/max spanning the domain). Streaming consumers skip the "
+    "rewrite commit (same rows, new layout). Pruning effectiveness is "
+    "pinned in tests/test_zorder_layout.py; the oracle states the "
+    "filtered aggregate.",
+)
+def snapshot_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.plans.mining import _morton_sql
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_write,
+        snapshot_zorder,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot_datasource import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    tbl = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 1024).alias("x"),
+        F.expr("cast((hour(ts) * 60 + minute(ts)) div 2 AS bigint)").alias("y"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/snap_zorder_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
+    snapshot_write(spark, table_dir, tbl)
+    snapshot_zorder(
+        spark,
+        table_dir,
+        F.expr(_morton_sql("x", "y", "shiftright({v}, {i})")),
+        target_files=8,
+        stats_cols=["x", "y"],
+    )
+    scan = (
+        spark.read.format("snapshot")
+        .load(table_dir)
+        .filter(F.col("x").between(100, 227) & F.col("y").between(60, 239))
+    )
+    return scan.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

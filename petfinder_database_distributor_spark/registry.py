@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "snapshot_source_scan",
     "stream_snapshot_source",
     "stream_snapshot_pipe",
+    "snapshot_zorder_optimize",
     "quality_classifier_score",
     "ann_pq_adc_topk",
     "j2_asof_join",
@@ -126,7 +127,7 @@ PRIORITY: list[str] = [
     "transitions_grouped_pandas",
     "p1_xpath_project",
     "p3_link_fanout_xpath",
-    "p1_html_project",
+    # (p1_html_project displaced to the r8 refresh backlog by snapshot_zorder_optimize)
     "flagship_distributor_pipeline",
     # (ingest_frontend displaced to the r8 refresh backlog by stream_snapshot_pipe)
     # (dedup_ngram_jaccard_capped displaced to the r8 refresh backlog by ann_pq_adc_topk)

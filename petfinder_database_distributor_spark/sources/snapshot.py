@@ -502,6 +502,46 @@ def snapshot_merge(
     return snapshot_write(spark, table_dir, winner, base_version=base)
 
 
+def snapshot_zorder(
+    spark: SparkSession,
+    table_dir: str,
+    zkey,
+    target_files: int = 8,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE ZORDER as a snapshot commit: rewrite the current version
+    range-clustered on ``zkey`` (a Column — typically a Morton interleave
+    of two dimensions, see plans/mining.py::_morton_sql) into
+    ``target_files`` files, record zone maps for ``stats_cols``, and
+    stamp the manifest ``data_change=False`` (same rows, new layout — a
+    live streaming consumer skips the commit, exactly like compaction).
+
+    This is the composition that makes manifest-level data skipping BITE
+    on multiple columns at once: the Morton curve bounds every file to a
+    quadrant of the dimension plane, so a later filtered read through
+    ``snapshot_read_pruned`` or the ``snapshot`` DataSource prunes files
+    for range predicates on EITHER clustered column — at 100 TB the
+    difference between a layout optimization being cosmetic and it
+    cutting the scan by orders of magnitude. Readers of the prior
+    version keep their exact file list (serving-during-rewrite), and the
+    rewrite is one range shuffle + local sort, never a global sort."""
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    current = snapshot_read(spark, table_dir, base)
+    laid = current.repartitionByRange(target_files, zkey).sortWithinPartitions(
+        zkey
+    )
+    return snapshot_write(
+        spark,
+        table_dir,
+        laid,
+        base_version=base,
+        stats_cols=stats_cols,
+        extra_manifest={"data_change": False},
+    )
+
+
 def snapshot_compact(
     spark: SparkSession, table_dir: str, target_files: int = 1
 ) -> int:

@@ -53,3 +53,51 @@ def test_range_partition_by_morton_gives_disjoint_ranges(spark):
     for r in stats:
         assert r["max_x"] - r["min_x"] <= 255
         assert r["max_y"] - r["min_y"] <= 127
+
+
+def test_snapshot_zorder_prunes_both_dimensions(spark):
+    """After OPTIMIZE ZORDER, the snapshot DataSource prunes files for a
+    range predicate on EITHER Morton dimension — the two-column data-
+    skipping payoff single-column clustering can't give."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.plans.mining import _morton_sql
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_write,
+        snapshot_zorder,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot_datasource import (
+        register_snapshot_source,
+    )
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        SCRATCH_ROOT,
+    )
+
+    register_snapshot_source(spark)
+    d = f"{SCRATCH_ROOT}/zorder_prune_test"
+    shutil.rmtree(d, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1024, (i * 91) % 720) for i in range(4096)],
+        "k long, x long, y long",
+    )
+    snapshot_write(spark, d, df)
+    snapshot_zorder(
+        spark,
+        d,
+        F.expr(_morton_sql("x", "y", "shiftright({v}, {i})")),
+        target_files=8,
+        stats_cols=["x", "y"],
+    )
+    base = spark.read.format("snapshot").load(d)
+    total = base.rdd.getNumPartitions()
+    assert total == 8
+    x_narrow = base.filter(F.col("x").between(0, 127))
+    y_narrow = base.filter(F.col("y").between(0, 89))
+    assert x_narrow.rdd.getNumPartitions() < total
+    assert y_narrow.rdd.getNumPartitions() < total
+    # exactness survives pruning
+    assert x_narrow.count() == df.filter(F.col("x").between(0, 127)).count()
+    assert y_narrow.count() == df.filter(F.col("y").between(0, 89)).count()
+    shutil.rmtree(d, ignore_errors=True)
