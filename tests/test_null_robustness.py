@@ -121,6 +121,9 @@ SWEPT = [
     "stream_snapshot_pipe",
     "quality_classifier_score",
     "ann_pq_adc_topk",
+    # null user/ts/type rows are filtered before the commit (the Morton
+    # key needs both dimensions; a NULL key row would vanish silently)
+    "snapshot_zorder_optimize",
 ]
 
 
