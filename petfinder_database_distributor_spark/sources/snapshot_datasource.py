@@ -255,14 +255,21 @@ def make_snapshot_datasource():
             for col, (lo, hi) in self._bounds.items():
                 if lo is None and hi is None:
                     continue
-                survivors = set(
-                    prune_files(
-                        self.manifest,
-                        col,
-                        lo if lo is not None else float("-inf"),
-                        hi if hi is not None else float("inf"),
+                try:
+                    survivors = set(
+                        prune_files(
+                            self.manifest,
+                            col,
+                            lo if lo is not None else float("-inf"),
+                            hi if hi is not None else float("inf"),
+                        )
                     )
-                )
+                except TypeError:
+                    # non-numeric stats (dates, strings) can't compare
+                    # against the inf sentinels of a one-sided bound:
+                    # pruning is an optimization — degrade to keeping
+                    # the files, never fail the plan
+                    continue
                 files = [f for f in files if f in survivors]
             return files
 

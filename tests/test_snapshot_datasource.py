@@ -362,3 +362,22 @@ def test_stream_skips_compaction_commits(spark, table_dir, tmp_path):
     out2 = str(tmp_path / "out2")
     assert drain(str(tmp_path / "ck2"), out2) == {1: "a", 2: "b", 3: "c"}
     assert spark.read.parquet(out2).count() == 3
+
+
+def test_pushdown_on_string_stats_degrades_gracefully(spark, table_dir):
+    """One-sided bounds on non-numeric zone maps (inf sentinels don't
+    compare against strings) must degrade to a full scan, never fail the
+    plan; exactness is Spark's residual filter."""
+    df = spark.createDataFrame(
+        [(i, chr(97 + i % 26)) for i in range(100)], "k long, v string"
+    ).coalesce(2)
+    snapshot_write(spark, table_dir, df, stats_cols=["v"])
+    got = (
+        spark.read.format("snapshot")
+        .load(table_dir)
+        .filter(F.col("v") > "m")
+    )
+    assert got.count() == df.filter(F.col("v") > "m").count()
+    # two-sided bounds on strings DO prune (no sentinels involved)
+    eq = spark.read.format("snapshot").load(table_dir).filter(F.col("v") == "a")
+    assert eq.count() == df.filter(F.col("v") == "a").count()
