@@ -569,3 +569,24 @@ def test_ref_scalar_suite_stays_jvm_side(spark):
     assert "EvalPython" not in p
     assert "partial_sum" in p and "partial_count" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_pq_adc_broadcasts_luts_never_pairs_vectors(spark):
+    """PQ-ADC: the per-query LUT side of the scoring join broadcasts (the
+    corpus codes table is the only big side), and nothing in the plan
+    joins corpus-by-corpus — the memory-bound path must not reintroduce
+    an all-pairs vector join."""
+    p = plan_of(spark, "ann_pq_adc_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, (
+        "query LUTs must broadcast against the codes scan"
+    )
+    assert "SortMergeJoin" not in p, "no shuffle join on the ADC path"
+
+
+def test_classifier_is_expression_only(spark):
+    """quality_classifier_score must stay whole-stage-codegen expression
+    work: no joins, no exchanges before the output."""
+    p = plan_of(spark, "quality_classifier_score")
+    for op in ("Join", "Exchange"):
+        assert op not in p, f"classifier plan must not contain {op}: pure scan+project"
+    assert "codegen id" in p  # formatted-mode spelling of WholeStageCodegen spans
