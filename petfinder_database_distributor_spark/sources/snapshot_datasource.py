@@ -46,6 +46,18 @@ pickling), this source's executor path needs ``pyarrow`` and ``pyspark``
 importable in the Python workers — both ship with every Spark runtime.
 The table directory must be shared storage (as any Spark path is).
 
+Honest scale boundary: a Python DataSource scan crosses the JVM↔Python
+Arrow bridge per batch, so for BULK reads (TB-scale scans feeding joins
+and aggregations) :func:`..sources.snapshot.snapshot_read` remains the
+fast path — it resolves the same manifest and hands the explicit file
+list to Spark's NATIVE vectorized parquet reader (zero Python in the
+scan). This source earns its keep where the planning hooks matter more
+than raw scan throughput: pushed-filter file pruning for selective
+queries, the streaming change feed, the format-API ergonomics, and
+writes (the data plane of a write is Spark-native parquet encoding
+either way; only staging/commit metadata crosses to Python). The same
+division of labor applies in Delta-rs/PyIceberg bindings.
+
 Reference parity: the reference serves its CSV while rewriting it via
 tmp+fsync+rename (pet_scraper.py:468-488, server.py:299-307); this module
 is that guarantee at multi-file table granularity, surfaced through
