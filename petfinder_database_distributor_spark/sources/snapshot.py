@@ -105,6 +105,9 @@ def _commit_metadata(
     write), then manifest, then pointer. A racing writer fails HERE with
     its data staged in its own unique directory, touching nothing
     committed."""
+    import time
+
+    manifest.setdefault("committed_at", round(time.time(), 3))
     with _commit_lock(table_dir):
         _check_base(table_dir, base_version)
         _fsync_replace(
@@ -152,8 +155,9 @@ def _carry_forward(prev: dict) -> dict:
     a streaming sink's recorded epoch id would make a later fresh-
     checkpoint stream drop its first batch as a replay."""
     out = dict(prev)
-    out.pop("data_change", None)
-    out.pop("last_stream_batch_id", None)
+    for transient in ("data_change", "last_stream_batch_id", "operation",
+                      "committed_at"):
+        out.pop(transient, None)
     return out
 
 
@@ -244,6 +248,7 @@ def snapshot_write(
         manifest["file_stats"] = _collect_file_stats(table_dir, files, stats_cols)
     if extra_manifest:
         manifest.update(extra_manifest)
+    manifest.setdefault("operation", "write")
     _commit_metadata(table_dir, version, base_version, manifest)
     return version
 
@@ -365,6 +370,7 @@ def snapshot_delete(
     manifest["version"] = version
     manifest["tombstones"] = list(prev.get("tombstones", [])) + tfiles
     manifest["key_cols"] = key_cols
+    manifest["operation"] = "delete"
     _commit_metadata(table_dir, version, current, manifest)
     return version
 
@@ -457,6 +463,7 @@ def snapshot_append(
     manifest["n_files"] = len(manifest["files"])
     manifest["columns"] = list(df.columns)
     manifest["schema"] = _schema_dict(df)
+    manifest["operation"] = "append"
     if stats_cols:
         merged_stats = dict(prev.get("file_stats", {}))
         merged_stats.update(
@@ -499,7 +506,13 @@ def snapshot_merge(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return snapshot_write(spark, table_dir, winner, base_version=base)
+    return snapshot_write(
+        spark,
+        table_dir,
+        winner,
+        base_version=base,
+        extra_manifest={"operation": "merge"},
+    )
 
 
 def snapshot_zorder(
@@ -538,7 +551,7 @@ def snapshot_zorder(
         laid,
         base_version=base,
         stats_cols=stats_cols,
-        extra_manifest={"data_change": False},
+        extra_manifest={"data_change": False, "operation": "zorder"},
     )
 
 
@@ -570,7 +583,7 @@ def snapshot_compact(
         table_dir,
         current.coalesce(target_files),
         base_version=base,
-        extra_manifest={"data_change": False},
+        extra_manifest={"data_change": False, "operation": "compact"},
     )
 
 
@@ -882,6 +895,7 @@ def snapshot_write_partitioned(
         "partitions": partitions,
         "n_files": sum(len(v) for v in partitions.values()),
         "columns": df.columns,
+        "operation": "write-partitioned" if reuse is None else "merge-partitioned",
     }
     _commit_metadata(table_dir, version, base_version, manifest)
     return version
@@ -976,3 +990,71 @@ def _winner(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFr
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for a snapshot table: one row per retained
+    version with the commit's operation, file count, change kind, and
+    wall-clock commit time. Driver-side metadata only (manifests are
+    kilobytes); vacuumed versions no longer appear — history is bounded
+    by retention, same as the production formats."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    current = latest_version(table_dir)
+    rows = []
+    if current is not None:
+        for v in range(current + 1):
+            if not os.path.exists(_manifest_path(table_dir, v)):
+                continue  # vacuumed
+            m = read_manifest(table_dir, v)
+            rows.append(
+                (
+                    v,
+                    m.get("operation"),
+                    int(m.get("n_files", len(_manifest_files(m)))),
+                    bool(m.get("data_change", True)),
+                    len(m.get("tombstones", [])),
+                    float(m["committed_at"]) if "committed_at" in m else None,
+                )
+            )
+    schema = StructType(
+        [
+            StructField("version", LongType(), False),
+            StructField("operation", StringType(), True),
+            StructField("n_files", LongType(), False),
+            StructField("data_change", BooleanType(), False),
+            StructField("n_tombstone_files", LongType(), False),
+            StructField("committed_at", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def version_at_timestamp(table_dir: str, ts: float) -> int:
+    """Timestamp-based time travel: the newest retained version whose
+    commit time is <= ``ts`` (unix seconds). Raises if every retained
+    version is newer (the caller asked for history that predates
+    retention — same contract as the production formats)."""
+    current = latest_version(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    best = None
+    for v in range(current + 1):
+        if not os.path.exists(_manifest_path(table_dir, v)):
+            continue
+        at = read_manifest(table_dir, v).get("committed_at")
+        if at is not None and at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version of {table_dir} committed at or before"
+            f" {ts} (older versions may have been vacuumed)"
+        )
+    return best

@@ -160,13 +160,22 @@ def make_snapshot_datasource():
         from petfinder_database_distributor_spark.sources.snapshot import (
             latest_version,
             read_manifest,
+            version_at_timestamp,
         )
 
         table_dir = options.get("path")
         if not table_dir:
             raise ValueError("snapshot source requires a path: .load(table_dir)")
         opt_v = options.get("version")
-        v = latest_version(table_dir) if opt_v is None else int(opt_v)
+        opt_ts = options.get("timestampasof")
+        if opt_v is not None and opt_ts is not None:
+            raise ValueError("pass either version or timestampAsOf, not both")
+        if opt_ts is not None:
+            v = version_at_timestamp(table_dir, float(opt_ts))
+        elif opt_v is not None:
+            v = int(opt_v)
+        else:
+            v = latest_version(table_dir)
         if v is None:
             raise FileNotFoundError(f"no committed snapshot in {table_dir}")
         manifest = read_manifest(table_dir, v)
@@ -423,6 +432,7 @@ def make_snapshot_datasource():
                     "files": rel_new,
                     "columns": list(self.columns),
                     "schema": schema_dict,
+                    "operation": "overwrite" if self.overwrite else "append",
                 }
                 if not self.overwrite and base is not None:
                     prev = read_manifest(self.table_dir, base)
@@ -541,7 +551,10 @@ def make_snapshot_datasource():
             )
             self._commit_staged(
                 staged,
-                extra={"last_stream_batch_id": batchId},
+                extra={
+                    "last_stream_batch_id": batchId,
+                    "operation": "streaming-append",
+                },
                 batch_id=batchId,
             )
 

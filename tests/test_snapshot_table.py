@@ -889,3 +889,55 @@ def test_append_merges_file_stats(spark, table_dir):
     assert len(m["file_stats"]) == len(m["files"]) == 2
     assert len(prune_files(m, "k", 0, 50)) == 1
     assert len(prune_files(m, "k", 1050, 2000)) == 1
+
+
+def test_history_records_operations_and_commit_times(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_history,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    snapshot_append(spark, table_dir, _rows(spark, [(2, "b")]))
+    snapshot_merge(
+        spark, table_dir, _rows(spark, [(1, "a2")]), key_cols=["k"],
+        order_cols=["v"],
+    )
+    snapshot_compact(spark, table_dir)
+    h = {r["version"]: r for r in snapshot_history(spark, table_dir).collect()}
+    assert [h[v]["operation"] for v in range(4)] == [
+        "write", "append", "merge", "compact",
+    ]
+    assert h[3]["data_change"] is False  # compaction is layout-only
+    ats = [h[v]["committed_at"] for v in range(4)]
+    assert all(a is not None for a in ats)
+    assert ats == sorted(ats)  # commit times are monotone
+
+
+def test_timestamp_time_travel(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        read_manifest,
+        version_at_timestamp,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot_datasource import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    snapshot_write(
+        spark, table_dir, _rows(spark, [(2, "b")]), base_version=0
+    )
+    t0 = read_manifest(table_dir, 0)["committed_at"]
+    t1 = read_manifest(table_dir, 1)["committed_at"]
+    assert version_at_timestamp(table_dir, t0) == 0
+    assert version_at_timestamp(table_dir, t1 + 1) == 1
+    with pytest.raises(ValueError, match="at or before"):
+        version_at_timestamp(table_dir, t0 - 10)
+    old = (
+        spark.read.format("snapshot")
+        .option("timestampAsOf", t0)
+        .load(table_dir)
+    )
+    assert {r["k"]: r["v"] for r in old.collect()} == {1: "a"}
