@@ -158,6 +158,10 @@ def _carry_forward(prev: dict) -> dict:
     for transient in ("data_change", "last_stream_batch_id", "operation",
                       "committed_at"):
         out.pop(transient, None)
+    # NOT popped: "stream_txn" (the per-query-identity idempotence map of
+    # the streaming sink) must survive intervening commits, or a sink
+    # query replaying an epoch after someone else's delete/append would
+    # double-commit it.
     return out
 
 
@@ -308,13 +312,21 @@ def snapshot_read(
     manifest = read_manifest(table_dir, v)
     paths = [os.path.join(table_dir, rel) for rel in _manifest_files(manifest)]
     if not paths:
-        # An empty DataFrame commit can list zero part files (only
-        # *.parquet names are manifested). Mirror the partitioned
-        # reader's clean empty-table error instead of letting
-        # spark.read.parquet() fail with an unrelated no-paths message.
+        # An empty DataFrame commit lists zero part files (only *.parquet
+        # names are manifested), but the manifest records the committed
+        # schema — serve a 0-row frame with exactly that schema, the same
+        # contract snapshot_read_since already honors. Only pre-schema-
+        # recording manifests have nothing to serve an empty frame from.
+        if "schema" in manifest:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(manifest["schema"])
+            )
         raise FileNotFoundError(
             f"snapshot v{v} of {table_dir} has no data files (empty"
-            " table) — no schema to serve an empty frame from"
+            " table) and predates schema recording — no schema to serve"
+            " an empty frame from"
         )
     return _apply_tombstones(
         spark, table_dir, manifest, _manifest_reader(spark, manifest).parquet(*paths)
@@ -895,6 +907,7 @@ def snapshot_write_partitioned(
         "partitions": partitions,
         "n_files": sum(len(v) for v in partitions.values()),
         "columns": df.columns,
+        "schema": _schema_dict(df),
         "operation": "write-partitioned" if reuse is None else "merge-partitioned",
     }
     _commit_metadata(table_dir, version, base_version, manifest)
@@ -924,6 +937,12 @@ def snapshot_read_partitioned(
         for rel in parts[k]
     ]
     if not paths:  # empty selection — preserve schema via an empty frame
+        if "schema" in manifest:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(manifest["schema"])
+            )
         all_paths = [
             os.path.join(table_dir, rel)
             for fs in parts.values()
@@ -932,10 +951,13 @@ def snapshot_read_partitioned(
         if not all_paths:
             raise FileNotFoundError(
                 f"snapshot v{v} of {table_dir} has no data files (empty"
-                " table) — no schema to serve an empty frame from"
+                " table) and predates schema recording — no schema to"
+                " serve an empty frame from"
             )
         return spark.read.parquet(*all_paths).limit(0)
-    return _apply_tombstones(spark, table_dir, manifest, spark.read.parquet(*paths))
+    return _apply_tombstones(
+        spark, table_dir, manifest, _manifest_reader(spark, manifest).parquet(*paths)
+    )
 
 
 def snapshot_merge_partitioned(

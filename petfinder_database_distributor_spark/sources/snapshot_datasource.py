@@ -171,7 +171,7 @@ def make_snapshot_datasource():
         if opt_v is not None and opt_ts is not None:
             raise ValueError("pass either version or timestampAsOf, not both")
         if opt_ts is not None:
-            v = version_at_timestamp(table_dir, float(opt_ts))
+            v = version_at_timestamp(table_dir, _parse_timestamp(opt_ts))
         elif opt_v is not None:
             v = int(opt_v)
         else:
@@ -179,18 +179,41 @@ def make_snapshot_datasource():
         if v is None:
             raise FileNotFoundError(f"no committed snapshot in {table_dir}")
         manifest = read_manifest(table_dir, v)
+        return table_dir, v, manifest, _schema_json_of(table_dir, manifest)
+
+    def _parse_timestamp(opt_ts) -> float:
+        """timestampAsOf accepts both the production formats' conventional
+        timestamp-string form ("2026-08-15 00:00:00", ISO-8601) and raw
+        unix epoch seconds."""
+        try:
+            return float(opt_ts)
+        except (TypeError, ValueError):
+            from datetime import datetime
+
+            try:
+                return datetime.fromisoformat(str(opt_ts)).timestamp()
+            except ValueError:
+                raise ValueError(
+                    f"timestampAsOf {opt_ts!r} is neither epoch seconds"
+                    " nor an ISO-8601 timestamp"
+                ) from None
+
+    def _schema_json_of(table_dir, manifest) -> str:
+        """The manifest's recorded schema as JSON; pre-schema-recording
+        manifests fall back to footer inference from the first file (the
+        same fallback for batch and streaming reads)."""
+        import json
+
         if "schema" in manifest:
-            schema_json = json.dumps(manifest["schema"])
-        else:  # pre-schema-recording manifest: infer from the first file
-            import os
+            return json.dumps(manifest["schema"])
+        import os
 
-            import pyarrow.parquet as pq
-            from pyspark.sql.pandas.types import from_arrow_schema
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
 
-            first = _manifest_files(manifest)[0]
-            arrow = pq.read_schema(os.path.join(table_dir, first))
-            schema_json = from_arrow_schema(arrow).json()
-        return table_dir, v, manifest, schema_json
+        first = _manifest_files(manifest)[0]
+        arrow = pq.read_schema(os.path.join(table_dir, first))
+        return from_arrow_schema(arrow).json()
 
     def _manifest_files(manifest):
         if "partitions" in manifest:
@@ -386,13 +409,19 @@ def make_snapshot_datasource():
             )
             self._commit_staged(staged)
 
-        def _commit_staged(self, staged, extra=None, batch_id=None):
+        def _commit_staged(self, staged, extra=None, batch_id=None,
+                           txn_app_id=None):
             """Publish the staged file set as the next version. ``extra``
-            lands in the manifest verbatim; ``batch_id`` (streaming)
-            makes the commit IDEMPOTENT — a replayed epoch whose id is
-            already recorded in the current manifest is dropped, staged
-            files deleted (the public txn-version pattern for
-            exactly-once streaming sinks)."""
+            lands in the manifest verbatim; ``batch_id`` + ``txn_app_id``
+            (streaming) make the commit IDEMPOTENT per WRITER IDENTITY:
+            the manifest carries a ``stream_txn`` map of app id -> last
+            committed batch id, and a replayed epoch (same app id, batch
+            id not newer) is dropped with its staged files deleted — the
+            public txnAppId+txnVersion pattern. A DIFFERENT query
+            writing into the same table (fresh checkpoint => fresh app
+            id) always commits; keying on the batch id alone would
+            silently drop its early epochs (data loss, not replay
+            suppression)."""
             import json
             import os
 
@@ -410,18 +439,24 @@ def make_snapshot_datasource():
                 f["nullable"] = True  # table-level contract, as snapshot_write
             for _attempt in range(5):
                 base = latest_version(self.table_dir)
-                if batch_id is not None and base is not None:
-                    last = read_manifest(self.table_dir, base).get(
-                        "last_stream_batch_id"
-                    )
+                prev = (
+                    read_manifest(self.table_dir, base)
+                    if base is not None
+                    else None
+                )
+                stream_txn = dict(prev.get("stream_txn", {})) if prev else {}
+                if batch_id is not None and txn_app_id is not None:
+                    last = stream_txn.get(txn_app_id)
                     if last is not None and batch_id <= last:
-                        # replayed epoch: already durable, drop the stage
+                        # replayed epoch of THIS query: already durable,
+                        # drop the stage
                         for n in staged:
                             try:
                                 os.remove(os.path.join(self._staging_dir(), n))
                             except FileNotFoundError:
                                 pass
                         return
+                    stream_txn[txn_app_id] = batch_id
                 version = (base if base is not None else -1) + 1
                 home = os.path.join(
                     self.table_dir, "data", f"v{version}", self.token
@@ -434,8 +469,7 @@ def make_snapshot_datasource():
                     "schema": schema_dict,
                     "operation": "overwrite" if self.overwrite else "append",
                 }
-                if not self.overwrite and base is not None:
-                    prev = read_manifest(self.table_dir, base)
+                if not self.overwrite and prev is not None:
                     if "partitions" in prev:
                         raise ValueError(
                             "snapshot format append targets flat tables;"
@@ -454,6 +488,11 @@ def make_snapshot_datasource():
                             manifest[carried] = prev[carried]
                     if "file_stats" in prev:
                         manifest["file_stats"] = dict(prev["file_stats"])
+                if stream_txn and not self.overwrite:
+                    # carried even on non-streaming appends, so a batch
+                    # append interleaved with a streaming sink doesn't
+                    # reset the sink's idempotence record
+                    manifest["stream_txn"] = stream_txn
                 if extra:
                     manifest.update(extra)
                 if staged:  # an empty epoch commits metadata only
@@ -463,26 +502,37 @@ def make_snapshot_datasource():
                             os.path.join(self._staging_dir(), n),
                             os.path.join(home, n),
                         )
-                if self.stats_cols and staged:
-                    stats = manifest.get("file_stats", {})
-                    stats.update(
-                        _collect_file_stats(
-                            self.table_dir, rel_new, self.stats_cols
-                        )
-                    )
-                    manifest["file_stats"] = stats
-                manifest["n_files"] = len(manifest["files"])
+                # From here until the metadata commit lands, the staged
+                # files sit under data/v{N}/ where only this manifest
+                # would reference them: ANY failure (stats collection,
+                # manifest I/O, conflict) must move them back to
+                # _staging, or abort() can never find them and they are
+                # permanently orphaned under a version directory.
                 try:
+                    if self.stats_cols and staged:
+                        stats = manifest.get("file_stats", {})
+                        stats.update(
+                            _collect_file_stats(
+                                self.table_dir, rel_new, self.stats_cols
+                            )
+                        )
+                        manifest["file_stats"] = stats
+                    manifest["n_files"] = len(manifest["files"])
                     _commit_metadata(self.table_dir, version, base, manifest)
                     return
-                except SnapshotConflictError:
-                    # another blind writer landed first: move the staged
-                    # files back and re-derive from the fresh base
+                except BaseException as exc:
                     for n in staged:
-                        os.replace(
-                            os.path.join(home, n),
-                            os.path.join(self._staging_dir(), n),
-                        )
+                        try:
+                            os.replace(
+                                os.path.join(home, n),
+                                os.path.join(self._staging_dir(), n),
+                            )
+                        except FileNotFoundError:
+                            pass
+                    if not isinstance(exc, SnapshotConflictError):
+                        raise
+                    # another blind writer landed first: re-derive from
+                    # the fresh base and retry the put-if-absent commit
             raise SnapshotConflictError(
                 f"gave up committing to {self.table_dir} after 5 attempts"
             )
@@ -534,16 +584,28 @@ def make_snapshot_datasource():
         """``writeStream.format("snapshot")``: every micro-batch is one
         atomic append commit (new files + carried-forward manifest, same
         protocol as the batch writer), and the committed manifest records
-        the epoch id — a replayed epoch (sink committed, checkpoint
-        didn't) is detected and dropped, upgrading Spark's at-least-once
-        epoch delivery to an exactly-once TABLE state (the public
-        txnAppId/txnVersion idempotent-sink pattern). Readers see each
-        epoch appear atomically or not at all; a snapshot->snapshot pipe
-        (this sink fed by SnapshotStreamReader) is therefore end-to-end
+        (query identity, epoch id) — a replayed epoch OF THE SAME QUERY
+        (sink committed, checkpoint didn't) is detected and dropped,
+        upgrading Spark's at-least-once epoch delivery to an exactly-once
+        TABLE state (the public txnAppId/txnVersion idempotent-sink
+        pattern). Query identity defaults to the checkpoint location —
+        Spark's own definition of "the same query" (restarts reuse it,
+        fresh queries get a fresh one) — overridable with
+        ``option("txnAppId", ...)``; a writer with NEITHER gets a random
+        identity, i.e. honest at-least-once. Readers see each epoch
+        appear atomically or not at all; a snapshot->snapshot pipe (this
+        sink fed by SnapshotStreamReader) is therefore end-to-end
         exactly-once."""
 
         def __init__(self, table_dir, schema, options):
+            import uuid
+
             SnapshotWriter.__init__(self, table_dir, schema, False, options)
+            self.txn_app_id = (
+                options.get("txnappid")
+                or options.get("checkpointlocation")
+                or uuid.uuid4().hex
+            )
 
         def commit(self, messages, batchId):
             staged = sorted(
@@ -556,6 +618,7 @@ def make_snapshot_datasource():
                     "operation": "streaming-append",
                 },
                 batch_id=batchId,
+                txn_app_id=self.txn_app_id,
             )
 
         def abort(self, messages, batchId):
@@ -605,7 +668,9 @@ def make_snapshot_datasource():
             return {"version": latest_version(self.table_dir)}
 
         def partitions(self, start, end):
-            import json
+            import os
+
+            import pyarrow.parquet as pq
 
             from petfinder_database_distributor_spark.sources.snapshot import (
                 read_manifest,
@@ -621,6 +686,16 @@ def make_snapshot_datasource():
             # stream (startingVersion before a compaction) reads the
             # PRE-compaction files, so it needs them not yet vacuumed —
             # same horizon rule as any time-travel read.
+            #
+            # Tombstones are accumulated ACROSS the walk, not read off
+            # the end manifest: a zorder/compact MATERIALIZES pending
+            # deletes and emits a tombstone-free manifest, so an offset
+            # range spanning [delete, rewrite] would otherwise read the
+            # pre-rewrite files with an empty tombstone set and
+            # resurrect the deleted rows. A tombstone applies to every
+            # feed file introduced at or before the last version whose
+            # manifest still carried it (files appended AFTER the
+            # rewrite cleared it are genuinely new rows for the key).
             end_manifest = read_manifest(self.table_dir, end["version"])
             if start["version"] >= 0:
                 prev = set(
@@ -628,9 +703,15 @@ def make_snapshot_datasource():
                 )
             else:
                 prev = set()
-            delta = []
+            delta = []  # (rel, version that introduced it into the feed)
+            tomb_last_seen: dict = {}  # tombstone rel -> last version carrying it
+            key_cols: list = []
             for v in range(start["version"] + 1, end["version"] + 1):
                 m = read_manifest(self.table_dir, v)
+                if m.get("tombstones"):
+                    key_cols = m["key_cols"]
+                    for t in m["tombstones"]:
+                        tomb_last_seen[t] = v
                 files_v = _manifest_files(m)
                 if m.get("data_change", True) is False:
                     prev = set(files_v)  # layout-only commit: skip
@@ -645,14 +726,34 @@ def make_snapshot_datasource():
                         " data_change=false); use snapshot_cdc_diff for"
                         " keyed changes"
                     )
-                delta.extend(f for f in files_v if f not in prev)
+                delta.extend((f, v) for f in files_v if f not in prev)
                 prev = set(files_v)
-            schema_json = json.dumps(end_manifest["schema"])
-            tomb_keys, key_cols = _load_tombstones(self.table_dir, end_manifest)
-            return [
-                FileScan(self.table_dir, rel, schema_json, tomb_keys, key_cols)
-                for rel in delta
-            ] or [FileScan(self.table_dir, None, schema_json, [], [])]
+            schema_json = _schema_json_of(self.table_dir, end_manifest)
+            tomb_rows = {
+                rel: list(
+                    zip(
+                        *[
+                            pq.read_table(os.path.join(self.table_dir, rel))
+                            .column(c)
+                            .to_pylist()
+                            for c in key_cols
+                        ]
+                    )
+                )
+                for rel in tomb_last_seen
+            }
+            parts = []
+            for rel, v_intro in delta:
+                keys = [
+                    row
+                    for t, last in tomb_last_seen.items()
+                    if last >= v_intro
+                    for row in tomb_rows[t]
+                ]
+                parts.append(
+                    FileScan(self.table_dir, rel, schema_json, keys, key_cols)
+                )
+            return parts or [FileScan(self.table_dir, None, schema_json, [], [])]
 
         def read(self, part):
             if part.rel is None:

@@ -273,12 +273,54 @@ def test_stream_sink_snapshot_to_snapshot_pipe(spark, table_dir, tmp_path):
     shutil.rmtree(src, ignore_errors=True)
 
 
-def test_stream_sink_replayed_epoch_is_dropped(spark, table_dir, tmp_path):
-    """Replay protection: a second commit carrying an already-recorded
-    epoch id must be a no-op (the at-least-once upgrade). Simulated by
-    re-running a fresh query (batch ids restart at 0) over an unchanged
-    source with a FRESH checkpoint: same epoch id, same data — the sink
-    must not double-append."""
+def test_stream_sink_replay_is_per_query_identity(spark, table_dir):
+    """The idempotence contract is txnAppId+txnVersion, not batch id
+    alone: a replayed epoch of the SAME query (same checkpoint) is
+    dropped, but a DIFFERENT query's epoch with a matching batch id must
+    commit — keying on the batch id alone silently drops a fresh query's
+    early epochs (data loss, the round-7 advice finding)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    from petfinder_database_distributor_spark.sources.snapshot_datasource import (
+        make_snapshot_datasource,
+    )
+
+    cls = make_snapshot_datasource()
+    schema = StructType.fromDDL("k long, v string")
+    target = to_arrow_schema(schema)
+
+    def commit_epoch(ckpt, batch_id, rows):
+        ds = cls({"path": table_dir, "checkpointlocation": ckpt})
+        w = ds.streamWriter(schema, False)
+        msg = w.write(iter([pa.RecordBatch.from_pylist(rows, schema=target)]))
+        w.commit([msg], batch_id)
+
+    commit_epoch("ck_a", 0, [{"k": 1, "v": "a"}])
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a"}
+    # same query replays epoch 0 (sink committed, checkpoint didn't):
+    # dropped, staged file deleted
+    commit_epoch("ck_a", 0, [{"k": 1, "v": "a"}])
+    assert snapshot_read(spark, table_dir).count() == 1
+    assert os.listdir(os.path.join(table_dir, "_staging")) == []
+    # a DIFFERENT query's epoch 0 carries new data: must NOT be dropped
+    commit_epoch("ck_b", 0, [{"k": 2, "v": "b"}])
+    assert _as_dict(snapshot_read(spark, table_dir)) == {1: "a", 2: "b"}
+    # and the same query's NEXT epoch commits normally
+    commit_epoch("ck_a", 1, [{"k": 3, "v": "c"}])
+    assert _as_dict(snapshot_read(spark, table_dir)) == {
+        1: "a",
+        2: "b",
+        3: "c",
+    }
+
+
+def test_stream_sink_fresh_query_new_data_not_lost(spark, table_dir, tmp_path):
+    """End-to-end shape of the advice scenario: a fresh-checkpoint query
+    (batch ids restart at 0) writing into an existing sink table must
+    deliver its data — under batch-id-only keying its epoch 0 was
+    silently dropped."""
     src = f"{table_dir}_src2"
     shutil.rmtree(src, ignore_errors=True)
     snapshot_write(spark, src, _rows(spark, [(1, "a")]))
@@ -296,8 +338,13 @@ def test_stream_sink_replayed_epoch_is_dropped(spark, table_dir, tmp_path):
 
     drain(str(tmp_path / "ck_a"))
     assert snapshot_read(spark, table_dir).count() == 1
-    drain(str(tmp_path / "ck_b"))  # fresh checkpoint -> batch 0 replayed
-    assert snapshot_read(spark, table_dir).count() == 1
+    snapshot_append(spark, src, _rows(spark, [(2, "b")]))
+    # fresh checkpoint: a NEW query re-reads the whole chain as batch 0;
+    # its rows land (at-least-once across distinct queries — dedup across
+    # queries is a merge concern, silent loss never is)
+    drain(str(tmp_path / "ck_b"))
+    got = snapshot_read(spark, table_dir)
+    assert got.filter(F.col("k") == 2).count() == 1
     shutil.rmtree(src, ignore_errors=True)
 
 
@@ -381,3 +428,112 @@ def test_pushdown_on_string_stats_degrades_gracefully(spark, table_dir):
     # two-sided bounds on strings DO prune (no sentinels involved)
     eq = spark.read.format("snapshot").load(table_dir).filter(F.col("v") == "a")
     assert eq.count() == df.filter(F.col("v") == "a").count()
+
+
+def test_stream_no_resurrection_across_materializing_rewrite(
+    spark, table_dir, tmp_path
+):
+    """A delete followed by a compaction (which materializes the
+    tombstones and emits a tombstone-free data_change=false manifest)
+    must not resurrect the deleted row for a stream whose offset range
+    spans both commits: tombstones apply per the versions that carried
+    them, not per the END manifest (round-7 advice finding)."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_compact,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    snapshot_delete(
+        spark, table_dir, spark.createDataFrame([(2,)], "k long"), ["k"]
+    )
+    snapshot_compact(spark, table_dir)  # materializes the delete
+    assert read_manifest(table_dir, latest_version(table_dir)).get(
+        "tombstones", []
+    ) == []
+    # a LATER append of the deleted key is a genuinely new row (the
+    # tombstone was cleared before the file was introduced)
+    snapshot_append(spark, table_dir, _rows(spark, [(2, "b2")]))
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snapshot")
+        .load(table_dir)
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _as_dict(spark.read.parquet(out)) == {1: "a", 3: "c", 2: "b2"}
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_timestamp_as_of_accepts_iso_strings(spark, table_dir):
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    committed = read_manifest(table_dir, 0)["committed_at"]
+    from datetime import datetime
+
+    iso = datetime.fromtimestamp(committed + 1).isoformat(sep=" ")
+    got = (
+        spark.read.format("snapshot")
+        .option("timestampAsOf", iso)
+        .load(table_dir)
+    )
+    assert _as_dict(got) == {1: "a"}
+    # epoch-seconds form still works
+    got2 = (
+        spark.read.format("snapshot")
+        .option("timestampAsOf", str(committed + 1))
+        .load(table_dir)
+    )
+    assert _as_dict(got2) == {1: "a"}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="neither epoch seconds nor"):
+        spark.read.format("snapshot").option(
+            "timestampAsOf", "not-a-time"
+        ).load(table_dir).collect()
+
+
+def test_stream_partitioned_chain_reads_with_recorded_schema(
+    spark, table_dir, tmp_path
+):
+    """Streaming a partitioned chain no longer KeyErrors on the absent
+    manifest schema: partitioned manifests now record it (and pre-schema
+    manifests fall back to footer inference via the shared resolver)."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, "red")], "k long, color string"
+    )
+    snapshot_write_partitioned(spark, table_dir, df, "color")
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snapshot")
+        .load(table_dir)
+        .writeStream.foreachBatch(
+            lambda d, _id: d.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+def test_empty_table_reads_serve_manifest_schema(spark, table_dir):
+    """Committing an empty DataFrame yields a readable 0-row table with
+    the committed schema — both through the library reader and the
+    format API (round-7 verdict 'what's wrong' #1)."""
+    empty = spark.createDataFrame([], "k long, v string")
+    snapshot_write(spark, table_dir, empty)
+    got = snapshot_read(spark, table_dir)
+    assert got.count() == 0
+    assert got.columns == ["k", "v"]
+    fmt = spark.read.format("snapshot").load(table_dir)
+    assert fmt.count() == 0
+    assert fmt.columns == ["k", "v"]
