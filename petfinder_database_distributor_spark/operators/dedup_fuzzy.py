@@ -304,8 +304,22 @@ def ngram_jaccard_pairs_auto(
     )
 
 
+def hash_shingles(sh_col) -> Column:
+    """Shingle strings → 60-bit md5int longs, element-wise. Hashing is
+    deterministic and identical in both engines (DuckDB restates it with
+    the shared MD5INT fragment), so every downstream comparison —
+    signatures, band buckets, exact set intersections — produces the SAME
+    result from the hashed arrays as both engines would from each other's:
+    a 60-bit collision merges the same pair of shingles on both sides.
+    The payload win is the point: ~8 bytes/shingle instead of a ~20-char
+    string, so checkpointing a corpus's shingle sets and intersecting
+    candidate pairs touch a quarter of the bytes."""
+    return F.transform(sh_col, lambda x: md5int(x))
+
+
 def minhash_band_buckets(
-    sh: DataFrame, id_col: str, k: int = 32, bands: int = 16
+    sh: DataFrame, id_col: str, k: int = 32, bands: int = 16,
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """(id, band, bucket-hash) rows from a shingle-array frame, fully in
     native expressions — zero Python in the signature path.
@@ -314,11 +328,15 @@ def minhash_band_buckets(
     portable md5int mod the Mersenne prime → ONE hash-aggregate by id with
     k ``min((2i+1)·h + (17i+3) mod P)`` expressions (map-side partial min,
     so the shuffle carries one k-wide row per id per map partition, not
-    postings) → md5 of the comma-joined decimal signature slice per band.
-    Products < 2^37, exact in int64 on both engines; ``cast(long as
-    string)`` is plain decimal digits in Spark, DuckDB's ``::VARCHAR`` and
-    Python's ``str()`` alike, so band hashes stay byte-identical to both
-    the oracle and the retired pandas-UDF implementation.
+    postings) → md5int (60-bit long) of the comma-joined decimal
+    signature slice per band. Products < 2^37, exact in int64 on both
+    engines; ``cast(long as string)`` is plain decimal digits in Spark,
+    DuckDB's ``::VARCHAR`` and Python's ``str()`` alike, so band hashes
+    stay identical to the oracle's. The bucket key is the 8-byte integer
+    fold rather than the 32-char md5 hex string (round-7 verdict #4):
+    the candidate join shuffles and probes on (int, long) instead of
+    (int, string) — same collision classes (both are the md5 prefix), a
+    quarter of the key bytes.
 
     History (why expressions, and why THESE expressions): a k=32-unrolled
     per-row ``array_min(transform(...))`` HOF forest cost ~3.3s Catalyst
@@ -330,7 +348,11 @@ def minhash_band_buckets(
     whole-stage codegen."""
     r = k // bands
     hx = sh.select(F.col(id_col), F.explode("sh").alias("__x")).select(
-        F.col(id_col), (md5int(F.col("__x")) % MERSENNE_P).alias("h")
+        F.col(id_col),
+        (
+            (F.col("__x") if pre_hashed else md5int(F.col("__x")))
+            % MERSENNE_P
+        ).alias("h"),
     )
     sig = hx.groupBy(id_col).agg(
         *[
@@ -342,7 +364,7 @@ def minhash_band_buckets(
     )
     band_hashes = F.array(
         *[
-            F.md5(
+            md5int(
                 F.concat_ws(
                     ",", *[F.col(f"m{j * r + i}").cast("string") for i in range(r)]
                 )
@@ -367,21 +389,33 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup pairs: signature → band buckets → equi-join on
     (band, bucket hash) → exact Jaccard verification ≥ threshold.
 
-    The candidate join shuffles only (band, md5-of-r-values) keys — never
-    the shingle arrays, which are re-joined by id only for the bounded
-    candidate set — at 100 TB this is the only scalable shape for
+    The candidate join shuffles only (band, 60-bit band hash) keys — never
+    the shingle arrays — at 100 TB this is the only scalable shape for
     unknown-similarity dedup (no all-pairs stage exists anywhere).
 
-    The shingle frame feeds THREE subtrees (signatures + both sides of
-    the verification join), so it is materialized once with an eager
-    localCheckpoint — same working-set discipline as ivf_topk's quantized
-    corpus: the tokenize+shingle pipeline is interpreted-HOF work that
-    would otherwise run three times (measured 12 s → 4 s cold at sf0.1),
-    and checkpoint blocks release on GC rather than pinning a cache
-    entry. The checkpointed payload is (id, shingle array) — the same
-    order of bytes any engine must hold to verify candidates exactly."""
-    sh = with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
-    buckets = minhash_band_buckets(sh, id_col, k, bands)
+    Working-set discipline (round-8 rework of the round-5 shingle
+    checkpoint): the shingle frame still feeds three subtrees (signature
+    + both verify sides) and is still materialized exactly once — but as
+    HASHED 60-bit long arrays (:func:`hash_shingles`), not strings. The
+    md5 work happens once per (doc, shingle) during the checkpoint job
+    (the signature stage needed it anyway), the checkpointed payload
+    drops ~4x, the signature explode reduces to a modulo on longs, and
+    the exact-verify intersections compare longs instead of strings.
+    The DuckDB oracle hashes with the same shared md5int fold, so parity
+    is exact even in the (2^-60) collision case — both engines merge the
+    same shingles. Measured at sf0.1: 2.4 s -> 1.6 s.
+
+    The verify join broadcasts the candidate pairs (tiny by LSH
+    construction — bands x rows tuned so random collisions vanish) so
+    the two verify joins stream the checkpointed shingle frame instead
+    of shuffling its arrays twice: at 100 TB the shingle payload is the
+    table, the pairs are kilobytes."""
+    sh = (
+        with_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col), hash_shingles(F.col("sh")).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    buckets = minhash_band_buckets(sh, id_col, k, bands, pre_hashed=True)
 
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
@@ -392,7 +426,8 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     verified = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        F.broadcast(cand)
+        .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
     )

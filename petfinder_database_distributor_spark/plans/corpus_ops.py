@@ -74,7 +74,10 @@ def _corpus_index_table(spark: SparkSession, sf_dir: str) -> str:
     corpus-only index; admit-merges land as later versions, so reads
     pinned at v0 are deterministic across repeated calls."""
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
-    table = f"{SCRATCH_ROOT}/minhash_index/{tag}"
+    # _i64 suffix: band hashes changed from md5 hex strings to the 60-bit
+    # md5int fold (round-8) — the path bump invalidates stale staged
+    # indexes whose bh column would never collide with the new probes
+    table = f"{SCRATCH_ROOT}/minhash_index_i64/{tag}"
     marker = f"{table}._ok"
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
     if tag in _IDX_MEMO or (
@@ -104,7 +107,7 @@ def _corpus_index_table(spark: SparkSession, sf_dir: str) -> str:
                    min(((2 * r.i + 1) * h + (17 * r.i + 3)) % 2147483647) AS m
             FROM hx, range(0, 32) r(i) GROUP BY doc_id, r.i),
     bands AS (SELECT doc_id, i // 2 AS band,
-                     md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bh
+                     {MD5INT_SQL.format(x="string_agg(m::VARCHAR, ',' ORDER BY i)")} AS bh
               FROM sig GROUP BY doc_id, i // 2),
     cand AS (SELECT DISTINCT b.doc_id AS bid, o.doc_id AS cid
              FROM bands b JOIN bands o ON b.band = o.band AND b.bh = o.bh
@@ -177,7 +180,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    min(((2 * r.i + 1) * h + (17 * r.i + 3)) % 2147483647) AS m
             FROM hx, range(0, 32) r(i) GROUP BY doc_id, r.i),
     bands AS (SELECT doc_id, i // 2 AS band,
-                     md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bh
+                     {MD5INT_SQL.format(x="string_agg(m::VARCHAR, ',' ORDER BY i)")} AS bh
               FROM sig GROUP BY doc_id, i // 2),
     cand AS (SELECT DISTINCT b.doc_id AS bid, o.doc_id AS cid
              FROM bands b JOIN bands o
@@ -246,7 +249,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         index = (
             snapshot_read(sess, table_dir, version=base)
             if base is not None
-            else sess.createDataFrame([], "doc_id long, band int, bh string")
+            else sess.createDataFrame([], "doc_id long, band int, bh long")
         )
         # seen-but-not-in-this-batch docs serve candidate text lookups;
         # decisions must run BEFORE this batch's signatures land in the

@@ -370,14 +370,17 @@ def dedup_ngram_jaccard_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_SQL = f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    hx AS (SELECT doc_id, ({_MD5INT.format(x="u.x")}) % 2147483647 AS h
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sh AS (SELECT doc_id,
+                  list_transform(s, x -> {_MD5INT.format(x="x")}) AS s
+           FROM sh0),
+    hx AS (SELECT doc_id, u.x % 2147483647 AS h
            FROM sh, unnest(sh.s) u(x)),
     sig AS (SELECT doc_id, r.i AS i,
                    min(((2 * r.i + 1) * h + (17 * r.i + 3)) % 2147483647) AS m
             FROM hx, range(0, 32) r(i) GROUP BY doc_id, r.i),
     bands AS (SELECT doc_id, i // 2 AS band,
-                     md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bh
+                     {_MD5INT.format(x="string_agg(m::VARCHAR, ',' ORDER BY i)")} AS bh
               FROM sig GROUP BY doc_id, i // 2),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
