@@ -815,6 +815,12 @@ _PQ_ASSIGN = """
     FROM sv s JOIN {cb} c ON s.m = c.m) WHERE rn = 1
 """
 
+_PQ_UPDATE = """
+  SELECT m, j, list(round(s / n)::BIGINT ORDER BY i) AS cw FROM (
+     SELECT a.m, a.j, r.i, sum(a.sv[r.i + 1]) AS s, count(*) AS n
+     FROM {assigned} a, range(0, 8) r(i) GROUP BY 1, 2, 3) GROUP BY m, j
+"""
+
 
 @register(
     "ann_pq_adc_topk",
@@ -826,9 +832,7 @@ _PQ_ASSIGN = """
            FROM q, range(0, 8) r(m)),
     cb0 AS (SELECT m, vec_id::INT AS j, sv AS cw FROM sv WHERE vec_id < 16),
     a0 AS ({_PQ_ASSIGN.format(cb="cb0")}),
-    cb1 AS (SELECT m, j, list(round(s / n)::BIGINT ORDER BY i) AS cw FROM (
-       SELECT a.m, a.j, r.i, sum(a.sv[r.i + 1]) AS s, count(*) AS n
-       FROM a0 a, range(0, 8) r(i) GROUP BY 1, 2, 3) GROUP BY m, j),
+    cb1 AS ({_PQ_UPDATE.format(assigned="a0")}),
     codes AS ({_PQ_ASSIGN.format(cb="cb1")}),
     qsv AS (SELECT vec_id AS query_id, m, sv FROM sv WHERE vec_id < 8),
     lut AS (SELECT qs.query_id, qs.m, c.j, list_inner_product(qs.sv, c.cw) AS ip
@@ -839,7 +843,7 @@ _PQ_ASSIGN = """
             GROUP BY 1, 2),
     cand AS (SELECT query_id, vec_id FROM (
        SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-              ORDER BY approx DESC, vec_id) AS rn FROM adc) WHERE rn <= 32),
+              ORDER BY approx DESC, vec_id) AS rn FROM adc) WHERE rn <= 64),
     scored AS (SELECT cand.query_id, cand.vec_id,
                       {_COS_SQL.format(a="eq.embedding", b="ec.embedding")} AS cos
                FROM cand JOIN embeddings eq ON eq.vec_id = cand.query_id
@@ -855,9 +859,10 @@ _PQ_ASSIGN = """
     "MEMORY-bound ANN scale path (IVF cuts vectors touched per query; "
     "PQ cuts bytes per vector: 8 subspace codes ≈ 4 bytes vs 256+ raw, "
     "so a 100 TB corpus ADC-scans from a few bytes/vector and touches "
-    "full embeddings only for the 32 re-rank survivors). Per-subspace "
+    "full embeddings only for the 64 re-rank survivors). Per-subspace "
     "codebooks train with one exact-integer Lloyd round (means "
-    "re-quantized to the vector scale — the ivf_topk trick), queries "
+    "re-quantized to the vector scale — the ivf_topk trick; a second "
+    "round measurably HURT recall, see operators/similarity.py), queries "
     "precompute integer LUTs against the broadcast codebook, and the "
     "approx score is 8 LUT lookups per corpus vector; recall@5 vs "
     "brute force is pinned in tests/test_ann_recall.py.",
