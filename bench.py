@@ -76,6 +76,7 @@ def compact_summary(
     total: float,
     sf,
     max_bytes: int = 1800,
+    calibration: dict | None = None,
 ) -> str:
     """One compact JSON line (< ``max_bytes``) printed AFTER the full record:
     total + the headline set + the top-15 slowest queries + error count.
@@ -104,6 +105,8 @@ def compact_summary(
         "headline": {n: timings.get(n) for n in HEADLINE if n in timings},
         "top15": top15,
     }
+    if calibration:
+        out["calibration"] = calibration
     line = json.dumps(out)
     for shed in ("top15", "headline"):
         if len(line) <= max_bytes:
@@ -111,6 +114,32 @@ def compact_summary(
         out.pop(shed)
         line = json.dumps(out)
     return line
+
+
+def calibration(spark) -> dict:
+    """Machine-load calibration recorded with every run (round-7 verdict
+    #3: the r7 driver bench read 3.2x an idle re-run of identical code and
+    nothing in the artifact could prove it was load, not regression).
+
+    ``floor_sec`` is the best-of-3 wall of a fixed reference job
+    (``spark.range(10**7).count()`` — pure JVM, no I/O, no Python), i.e.
+    the per-job floor THIS machine sustains RIGHT NOW; ``loadavg`` is the
+    OS 1/5/15-minute run queue. To compare two rounds, normalize totals by
+    the floor ratio (or just reject a comparison whose floors differ >2x).
+    """
+    floor = min(
+        _time_once(lambda: spark.range(10**7).count()) for _ in range(3)
+    )
+    return {
+        "floor_sec": round(floor, 3),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+
+
+def _time_once(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -147,6 +176,7 @@ def main() -> None:
     # slowdown still shows in both passes. Pass 2 is also the honest
     # steady-state number: plan compilation (Catalyst analysis + codegen)
     # is measured cold in pass 1 and cached after.
+    cal = calibration(spark)
     timings, errors = run_queries(spark, specs, names, sf_dir)
     total = round(sum(t for t in timings.values() if t is not None), 4)
     out = {
@@ -155,13 +185,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration": cal,
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
     # Trailing compact record — the driver's 2000-char tail capture always
     # contains this line whole (the full line above is ~3 KB and truncates).
-    print(compact_summary(timings, errors, total, out["sf"]))
+    print(compact_summary(timings, errors, total, out["sf"], calibration=cal))
 
 
 if __name__ == "__main__":

@@ -1232,3 +1232,133 @@ def snapshot_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x").between(100, 227) & F.col("y").between(60, 239))
     )
     return scan.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "snapshot_time_travel",
+    oracle="""
+    SELECT 1 AS version_read, event_id, event_type FROM events
+    WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+      AND event_id % 3 IN (0, 1)
+    """,
+    doc="Timestamp time travel through the format API: three commits build "
+    "an events chain (base write + two appends), snapshot_history exposes "
+    "each version's wall-clock commit time (one row per retained manifest, "
+    "driver-side metadata only), and the read is spark.read.format("
+    "'snapshot').option('timestampAsOf', <ISO-8601 of v1's commit>) — the "
+    "DataSource resolves the newest version committed at or before that "
+    "instant (sources/snapshot.py version_at_timestamp) and serves exactly "
+    "v1's file set, so the post-v1 append is invisible. version_read pins "
+    "the resolution itself (= 1), not just the row set; the interplay with "
+    "retention is pinned separately in tests/test_snapshot_table.py "
+    "(time travel to a vacuumed version raises, it never silently serves a "
+    "newer one). At 100 TB this is the audit/repro primitive: a training "
+    "run records one timestamp and re-reads byte-identical input forever "
+    "after, at zero storage cost beyond retained manifests.",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from datetime import datetime
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_history,
+        snapshot_write,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot_datasource import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_id", "event_type")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/snap_timetravel_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
+    snapshot_write(spark, table_dir, ev.filter(F.col("event_id") % 3 == 0))
+    snapshot_append(spark, table_dir, ev.filter(F.col("event_id") % 3 == 1))
+    snapshot_append(spark, table_dir, ev.filter(F.col("event_id") % 3 == 2))
+    # one 3-row metadata pull: the history table IS driver-side manifests.
+    # The probe instant is the MIDPOINT of v1's and v2's commit times (ms
+    # apart), not v1's instant itself — isoformat() truncates to
+    # microseconds, and a truncated "exactly at v1" probe could land a
+    # hair BEFORE the commit and resolve v0 (flaky off-by-one).
+    hist = {
+        r["version"]: r["committed_at"]
+        for r in snapshot_history(spark, table_dir).collect()
+    }
+    as_of = datetime.fromtimestamp((hist[1] + hist[2]) / 2).isoformat()
+    scan = (
+        spark.read.format("snapshot")
+        .option("timestampAsOf", as_of)
+        .load(table_dir)
+    )
+    # pin WHICH version the resolver picks, not only its rows: an
+    # instant between v1 and v2 must never serve v2's file set
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        version_at_timestamp,
+    )
+
+    resolved = version_at_timestamp(
+        table_dir, datetime.fromisoformat(as_of).timestamp()
+    )
+    return scan.select(
+        F.lit(resolved).alias("version_read"), "event_id", "event_type"
+    )
+
+
+@register(
+    "snapshot_partitioned_source_scan",
+    oracle="""
+    SELECT user_id % 8 AS bucket, count(*)::BIGINT AS n,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events
+    WHERE user_id IS NOT NULL AND user_id % 8 IN (2, 5)
+    GROUP BY user_id % 8
+    """,
+    doc="Partition pruning through the format API: a PARTITIONED snapshot "
+    "(manifest maps partition value -> immutable file list, sources/"
+    "snapshot.py snapshot_write_partitioned) read via spark.read.format("
+    "'snapshot') with bucket IN (2,5). Spark 4.1's Python filter pushdown "
+    "hands the In predicate to pushFilters, which intersects it with the "
+    "manifest's partition keys at PLANNING time — files of the other six "
+    "partitions never become input partitions (count pinned in tests/"
+    "test_snapshot_datasource.py), no file listing, no footer I/O. The "
+    "filter is also returned to Spark for exact re-apply, so manifest "
+    "pruning only skips, never decides correctness. This is the "
+    "DataSource twin of the library-path snapshot_read_partitioned "
+    "(Iceberg-style metadata pruning at 100 TB: the scan starts from "
+    "exactly the needed partitions' files).",
+)
+def snapshot_partitioned_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_write_partitioned,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot_datasource import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", (F.col("user_id") % 8).alias("bucket"))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/snap_part_ds_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
+    snapshot_write_partitioned(spark, table_dir, ev, "bucket")
+    scan = (
+        spark.read.format("snapshot")
+        .load(table_dir)
+        .filter(F.col("bucket").isin(2, 5))
+    )
+    return scan.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -56,82 +56,69 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
-    # -- r7 window (50 entries): every query's driver row goes green-and-
-    # recent this round. Slots 1-15 are the LAST never-sampled names in
-    # the registry (the r6 window drained the other 47; these 15 are the
-    # r5/r6 late registrations plus the renamed jaccard baseline — all
-    # green every run in the sf0.01 exact-scale local gate). Slot 16 is
-    # events_funnel: its first-ever driver row (r6) was a value-hash
-    # mismatch on DECIMAL(38,0) REPRESENTATION (DuckDB→pandas float64 vs
-    # Spark Decimal), fixed by emitting the lag as its exact digit
-    # string; the re-sample must confirm. Slots 17-50 re-sample the 34
-    # stalest rows (latest = r4), oldest-coverage-first policy; the 7
-    # r4 names left out (trivial ref_* scalar/filter checks +
-    # topk_orders_global) open the r8 window. Queries ADDED this round
-    # displace entries from the end of the window (new code needs a row
-    # more than a stable r4 query needs a refresh).
-    "export_roundtrip_jsonl",
-    "sketch_hll_by_group",
-    "w3_rank_family",
-    "unpivot_event_metrics",
-    "quality_percentile_filter",
-    "export_roundtrip_orc",
-    "validate_constraints",
-    "parquet_schema_evolution",
-    "j7_runtime_bloom_join",
-    "dedup_ngram_jaccard_baseline",
-    "dedup_cluster_components_labelprop",
-    "snapshot_merge_upsert",
-    "url_canonical_dedup",
-    "snapshot_partitioned_upsert",
-    "stream_snapshot_merge",
-    "events_funnel",
-    # round-7 registrations (new code needs a row first; they displace
-    # the r4 refreshes dedup_levenshtein / merge_partitioned_upsert /
-    # embedding_dim_stats / sketch_histogram_quantiles, which open the
-    # r8 window with the other held-back r4 names):
-    "dedup_incremental_batch",
-    "domain_budget_sample",
-    "snapshot_tombstone_delete",
-    "stream_incremental_dedup",
-    "snapshot_cdc_diff",
-    "snapshot_incremental_read",
-    "snapshot_evolve_columns",
-    "mv_incremental_maintenance",
-    "snapshot_pruned_scan",
-    # round-7 late registrations (snapshot Python DataSource: format-API
-    # batch scan with pushdown pruning + streaming change-feed source);
-    # they displace dedup_simhash_pairs / dedup_embedding_cosine_exact
-    # from the window end, which join the r8 refresh backlog:
-    "snapshot_source_scan",
-    "stream_snapshot_source",
-    "stream_snapshot_pipe",
-    "snapshot_zorder_optimize",
-    "quality_classifier_score",
-    "ann_pq_adc_topk",
-    "j2_asof_join",
-    "j3_range_join",
-    "g2_cube_marks",
-    "set_ops_customers",
-    "json_props_extract",
-    "sessionize_events",
-    "agg_percentiles",
-    "pivot_event_types",
-    "window_range_frame",
-    "agg_salted_twophase",
-    "j4_salted_join",
-    "q17_sql_correlated",
-    "q4_sql_exists",
-    "q13_sql_outer_count",
-    "variant_props_extract",
-    "transitions_grouped_pandas",
-    "p1_xpath_project",
-    "p3_link_fanout_xpath",
-    # (p1_html_project displaced to the r8 refresh backlog by snapshot_zorder_optimize)
-    "flagship_distributor_pipeline",
-    # (ingest_frontend displaced to the r8 refresh backlog by stream_snapshot_pipe)
-    # (dedup_ngram_jaccard_capped displaced to the r8 refresh backlog by ann_pq_adc_topk)
-    # (dedup_simhash displaced to the r8 refresh backlog by quality_classifier_score)
+    # -- r8 window (50 entries). Head: queries REGISTERED this round (new
+    # code needs its first external row). Then the refresh backlog,
+    # strictly oldest-coverage-first: all 22 names whose newest driver
+    # row is r4 (including the six the r7 verdict explicitly named as
+    # displaced), then as many r5-era names as fit — substantive
+    # operators (streaming, dedup, ANN, multimodal, source machinery)
+    # ahead of simple relational/text shapes, since the latter have been
+    # structurally frozen for four rounds and carry the identical local
+    # hash gate every run. The r5 names that don't fit (plain TPC-H
+    # picks, text scalar family, w1/w2 windows, export CSV) open the r9
+    # window.
+    "snapshot_time_travel",
+    "snapshot_partitioned_source_scan",
+    "snapshot_restore",
+    "snapshot_point_lookup",
+    "ann_ivf_pq_topk",
+    "bpe_encode_segments",
+    "dedup_span_overlap",
+    # --- r4-era rows (22, three rounds stale — the whole cohort):
+    "p1_html_project",
+    "ingest_frontend",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine_exact",
+    "dedup_levenshtein",
+    "merge_partitioned_upsert",
+    "embedding_dim_stats",
+    "sketch_histogram_quantiles",
+    "sketch_cms_term_counts",
+    "tfidf_top_terms",
+    "udtf_chunk_documents",
+    "mm_binary_metadata",
+    "mm_resize",
+    "topk_orders_global",
+    "ref_key_dedup",
+    "ref_liveness_filter",
+    "ref_nonblank_key",
+    "ref_null_ratio_filter",
+    "ref_placeholder_filter",
+    "ref_worklist_urls",
+    # --- r5-era rows (21 of 45 fit; substantive-first):
+    "stream_dedup_replay",
+    "stream_session_windows",
+    "stream_stateful_counters",
+    "stream_stream_interval_join",
+    "stream_upsert_merge",
+    "dedup_apply_corpus",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard_salted",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "g1_datasource_ingest",
+    "j1_semi_anti_join",
+    "j5_bucketed_join",
+    "j6_dpp_join",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "search_bm25_topk",
+    "decontamination_check",
+    "s1_fetch_extract",
 ]
 
 

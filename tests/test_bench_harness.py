@@ -83,6 +83,23 @@ def test_compact_summary_fits_tail_capture_and_parses(spark):
     )[14]
 
 
+def test_calibration_probe_records_floor_and_load(spark):
+    """Round-7 verdict #3: the r7 driver bench read 3.2x an idle re-run of
+    identical code and the artifact couldn't prove load vs regression. The
+    parsed block now carries a machine-load calibration: a fixed reference
+    job's best-of-3 floor plus os.getloadavg(), and the compact tail line
+    keeps it even under the shed-to-fit loop."""
+    from bench import calibration, compact_summary
+
+    cal = calibration(spark)
+    assert cal["floor_sec"] > 0
+    assert len(cal["loadavg"]) == 3
+    timings = {f"q{i}": i / 7.0 for i in range(100)}
+    line = compact_summary(timings, {}, total=1.0, sf=0.1, calibration=cal)
+    assert len(line) <= 1800
+    assert json.loads(line)["calibration"]["floor_sec"] == cal["floor_sec"]
+
+
 def test_bench_failed_query_not_retried_in_pass_two(spark):
     calls = {"n": 0}
 

@@ -537,3 +537,29 @@ def test_empty_table_reads_serve_manifest_schema(spark, table_dir):
     fmt = spark.read.format("snapshot").load(table_dir)
     assert fmt.count() == 0
     assert fmt.columns == ["k", "v"]
+
+
+def test_timestamp_before_retention_raises_never_serves_newer(spark, table_dir):
+    """Time travel to a vacuumed horizon fails loudly: an instant that
+    predates every RETAINED version raises instead of silently serving a
+    newer version's data (the audit/repro contract of timestamp reads)."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_vacuum,
+    )
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "a")]))
+    v0_at = read_manifest(table_dir, 0)["committed_at"]
+    snapshot_append(spark, table_dir, _rows(spark, [(2, "b")]))
+    snapshot_append(spark, table_dir, _rows(spark, [(3, "c")]))
+    assert snapshot_vacuum(table_dir, keep_last=2) == [0]
+    with pytest.raises(Exception, match="no retained version"):
+        spark.read.format("snapshot").option(
+            "timestampAsOf", str(v0_at)
+        ).load(table_dir).collect()
+    # instants at or after a retained commit still resolve normally
+    got = (
+        spark.read.format("snapshot")
+        .option("timestampAsOf", str(read_manifest(table_dir, 1)["committed_at"]))
+        .load(table_dir)
+    )
+    assert _as_dict(got) == {1: "a", 2: "b"}
