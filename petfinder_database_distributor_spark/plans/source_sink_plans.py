@@ -1362,3 +1362,62 @@ def snapshot_partitioned_source_scan(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "snapshot_restore",
+    oracle="""
+    SELECT 3 AS version_read, c_custkey AS k, c_name AS name
+    FROM customer
+    WHERE c_custkey IS NOT NULL AND c_custkey % 3 = 0
+    """,
+    doc="RESTORE as roll-forward (sources/snapshot.py snapshot_restore — "
+    "Delta RESTORE / Iceberg rollback shape): commit a base version, an "
+    "upsert-merge that mangles names, and a tombstone delete, then "
+    "restore to v0 — ONE manifest write pointing at v0's immutable "
+    "files, no data copied (file-list identity pinned in tests/"
+    "test_snapshot_table.py), bad versions retained for audit and still "
+    "time-travelable. Reading LATEST afterwards must return exactly the "
+    "base content; version_read pins that the restore is a NEW version "
+    "(v3), not history rewritten. Non-vacuous by construction: without "
+    "the restore, the latest state is the mangled+deleted one and the "
+    "hash check fails. At 100 TB this is the recover-from-bad-pipeline "
+    "primitive: undoing a poisoned commit costs kilobytes of metadata "
+    "and zero I/O, and vacuum safety is inherited (the restore manifest "
+    "re-pins the old files).",
+)
+def snapshot_restore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_restore,
+        snapshot_write,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull() & (F.col("c_custkey") % 3 == 0)
+    )
+    base = cust.select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name"))
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/snap_restore_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
+    snapshot_write(spark, table_dir, base)
+    snapshot_merge(
+        spark,
+        table_dir,
+        base.filter(F.col("k") % 2 == 0).withColumn(
+            "name", F.concat(F.lit("zzz-mangled-"), F.col("name"))
+        ),
+        key_cols=["k"],
+        order_cols=["name"],
+    )
+    snapshot_delete(
+        spark, table_dir, base.filter(F.col("k") % 5 == 0).select("k"), ["k"]
+    )
+    v = snapshot_restore(table_dir, 0)
+    return snapshot_read(spark, table_dir).select(
+        F.lit(v).alias("version_read"), "k", "name"
+    )

@@ -1080,3 +1080,49 @@ def version_at_timestamp(table_dir: str, ts: float) -> int:
             f" {ts} (older versions may have been vacuumed)"
         )
     return best
+
+
+def snapshot_restore(table_dir: str, to_version: int) -> int:
+    """RESTORE: commit a NEW version whose content is exactly
+    ``to_version``'s — the recover-from-bad-write primitive of the
+    production formats (Delta RESTORE / Iceberg rollback). Metadata only:
+    the new manifest points at the old version's immutable files, so
+    restoring a 100 TB table costs one manifest write, and the bad
+    versions stay in history for audit until retention expires them
+    (roll FORWARD, never rewrite history — time travel to the bad
+    version keeps working).
+
+    Safe against vacuum by construction: ``to_version``'s manifest must
+    still be retained (reads it; raises FileNotFoundError otherwise),
+    and retained manifests pin their files against vacuum. Concurrency:
+    the commit goes through the same base re-verification as every
+    writer — if someone commits between reading ``latest_version`` and
+    the pointer swap, this raises ``SnapshotConflictError`` rather than
+    silently undoing their write."""
+    current = latest_version(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if to_version > current:
+        raise ValueError(
+            f"cannot restore {table_dir} to v{to_version}: table is at"
+            f" v{current}"
+        )
+    old = read_manifest(table_dir, to_version)  # raises if vacuumed
+    manifest = _carry_forward(old)
+    # stream_txn must survive a restore from CURRENT, not the restore
+    # target: a streaming sink's idempotence record reflects epochs that
+    # happened, and a restore doesn't un-happen them.
+    cur_txn = read_manifest(table_dir, current).get("stream_txn")
+    if cur_txn:
+        manifest["stream_txn"] = cur_txn
+    elif "stream_txn" in manifest:
+        del manifest["stream_txn"]
+    manifest["version"] = current + 1
+    manifest["operation"] = "restore"
+    manifest["restored_from"] = to_version
+    # data_change=true relative to the pre-restore state: a streaming
+    # consumer mid-chain would otherwise silently skip the content
+    # flip. (It will correctly REFUSE a restore that drops files — the
+    # append-only contract; keyed consumers use snapshot_cdc_diff.)
+    _commit_metadata(table_dir, current + 1, current, manifest)
+    return current + 1

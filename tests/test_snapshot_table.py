@@ -941,3 +941,72 @@ def test_timestamp_time_travel(spark, table_dir):
         .load(table_dir)
     )
     assert {r["k"]: r["v"] for r in old.collect()} == {1: "a"}
+
+
+def test_restore_rolls_forward_to_old_content(spark, table_dir):
+    """RESTORE commits a NEW version with the target version's exact file
+    set: the bad commits stay in history (time travel unaffected), the
+    restored state is the latest, and no data files are copied."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_restore,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    snapshot_write(spark, table_dir, base)
+    snapshot_merge(
+        spark,
+        table_dir,
+        spark.createDataFrame([(2, "zz")], "k long, v string"),
+        key_cols=["k"],
+        order_cols=["v"],
+    )
+    snapshot_delete(
+        spark, table_dir, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    assert {r["k"]: r["v"] for r in snapshot_read(spark, table_dir).collect()} == {
+        2: "zz",
+        3: "c",
+    }
+    v = snapshot_restore(table_dir, 0)
+    assert v == 3
+    assert {r["k"]: r["v"] for r in snapshot_read(spark, table_dir).collect()} == {
+        1: "a",
+        2: "b",
+        3: "c",
+    }
+    # no data copied: v3's manifest points at v0's files verbatim
+    m0, m3 = read_manifest(table_dir, 0), read_manifest(table_dir, 3)
+    assert m3["files"] == m0["files"]
+    assert m3["operation"] == "restore" and m3["restored_from"] == 0
+    assert m3.get("data_change", True) is True
+    # history intact: the bad versions still time-travel
+    assert {r["k"]: r["v"] for r in snapshot_read(spark, table_dir, version=2).collect()} == {
+        2: "zz",
+        3: "c",
+    }
+
+
+def test_restore_refuses_future_and_vacuumed_versions(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_restore,
+        snapshot_vacuum,
+    )
+
+    snapshot_write(spark, table_dir, spark.createDataFrame([(1, "a")], "k long, v string"))
+    snapshot_append(spark, table_dir, spark.createDataFrame([(2, "b")], "k long, v string"))
+    snapshot_append(spark, table_dir, spark.createDataFrame([(3, "c")], "k long, v string"))
+    with pytest.raises(ValueError, match="cannot restore"):
+        snapshot_restore(table_dir, 9)
+    assert snapshot_vacuum(table_dir, keep_last=2) == [0]
+    with pytest.raises(FileNotFoundError):
+        snapshot_restore(table_dir, 0)
+    # retained target still restores
+    v = snapshot_restore(table_dir, 1)
+    assert {r["k"] for r in snapshot_read(spark, table_dir).collect()} == {1, 2}
+    # restore target's files are pinned against the NEXT vacuum by the
+    # new manifest referencing them
+    snapshot_vacuum(table_dir, keep_last=1)
+    assert {r["k"] for r in snapshot_read(spark, table_dir, version=v).collect()} == {1, 2}
