@@ -1421,3 +1421,60 @@ def snapshot_restore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, table_dir).select(
         F.lit(v).alias("version_read"), "k", "name"
     )
+
+
+@register(
+    "snapshot_point_lookup",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderpriority AS priority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey IN (1, 2, 3, 4, 5, 6, 7, 32, 33)
+    """,
+    doc="Needle-in-the-table point lookup with BLOOM file skipping "
+    "(sources/snapshot.py bloom sidecars — the Delta bloom-index / "
+    "Iceberg puffin idea): orders land hash-scrambled across 8 files "
+    "(repartition by key hash), which makes zone maps useless — every "
+    "file's o_orderkey min/max spans the whole domain, so min/max "
+    "pruning keeps all 8. The commit records a per-file bloom sidecar "
+    "(~16 bits/row, k=4 -> fpp ~0.24%; manifest carries only the "
+    "pointer, staying kilobytes at any file count) and the read is "
+    "spark.read.format('snapshot') with an IN-list that Spark pushes "
+    "to the source: files whose blooms can't contain any probe key "
+    "never become input partitions (count pinned in tests/"
+    "test_snapshot_datasource.py). Exactness is Spark's re-apply of "
+    "the predicate — blooms only skip. At 100 TB this turns a k-key "
+    "lookup from 'open every footer whose range spans the key' into "
+    "O(k) file reads.",
+)
+def snapshot_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_write,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot_datasource import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .repartition(8, "k")  # hash-scrambled: zone maps span everything
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/snap_bloom_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
+    snapshot_write(spark, table_dir, orders, bloom_cols=["k"], stats_cols=["k"])
+    keys = [1, 2, 3, 4, 5, 6, 7, 32, 33]
+    return (
+        spark.read.format("snapshot")
+        .load(table_dir)
+        .filter(F.col("k").isin(keys))
+    )

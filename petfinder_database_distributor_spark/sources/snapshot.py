@@ -206,6 +206,153 @@ def _collect_file_stats(
     return out
 
 
+_BLOOM_K = 4  # probes per value; sizing targets ~16 bits/row -> fpp ~0.24%
+
+
+def _bloom_hash(value) -> int:
+    """One stable 128-bit hash per value, identical however the value
+    arrives (a pyarrow ``to_pylist`` element at write time, a pushed
+    Spark filter literal at read time): canonicalize to ``str`` and md5.
+    Integer-valued floats collapse to the integer form so ``col = 5``
+    finds a DOUBLE 5.0; genuinely fractional floats are hashed on their
+    shortest-round-trip repr (both engines produce the same repr for the
+    same IEEE double). NULLs never enter a bloom — a null-equality
+    predicate matches nothing anyway."""
+    import hashlib
+
+    if isinstance(value, bool):
+        value = int(value)
+    elif isinstance(value, float) and value.is_integer():
+        value = int(value)
+    return int.from_bytes(
+        hashlib.md5(str(value).encode("utf-8")).digest(), "big"
+    )
+
+
+def _bloom_positions(value, m_bits: int, k: int = _BLOOM_K) -> list:
+    h = _bloom_hash(value)
+    return [(h >> (29 * i)) % m_bits for i in range(k)]
+
+
+def _bloom_size_bits(n_rows: int) -> int:
+    """~16 bits per distinct value, power-of-two, floor 8 KiB: with k=4
+    probes that's fpp = (1 - e^(-4/16))^4 ~= 0.24% — a point lookup
+    keeps ~1 in 400 non-matching files. Sized per FILE from its own row
+    count, so the guarantee holds at any file size."""
+    return max(8192, 1 << (int(n_rows) * 16 - 1).bit_length())
+
+
+def _collect_file_blooms(
+    table_dir: str, rel_files: list[str], bloom_cols: list[str]
+) -> dict:
+    """Per-file bloom filters for ``bloom_cols``, written as SIDECAR
+    files next to each data file (``<file>.bloom`` JSON) — the manifest
+    records only the pointer, staying kilobytes however many files the
+    table has (the production formats' choice: Delta bloom index files,
+    Iceberg puffin). Zone maps answer range predicates on CLUSTERED
+    columns; blooms answer point lookups on HIGH-CARDINALITY columns
+    whose values interleave across every file — the case where min/max
+    spans everything and prunes nothing. Cost: one column read per file
+    at commit time (here driver-side; in the distributed writer the same
+    bitset folds inside each write task). Returns {data_rel: bloom_rel}."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, str] = {}
+    for rel in rel_files:
+        path = os.path.join(table_dir, rel)
+        cols = [
+            c
+            for c in bloom_cols
+            if c in pq.read_schema(path).names
+        ]
+        if not cols:
+            continue
+        tbl = pq.read_table(path, columns=cols)
+        per_col = {}
+        for col in cols:
+            values = [v for v in tbl.column(col).to_pylist() if v is not None]
+            m = _bloom_size_bits(max(1, len(values)))
+            bits = bytearray(m // 8)
+            for v in values:
+                for p in _bloom_positions(v, m):
+                    bits[p >> 3] |= 1 << (p & 7)
+            per_col[col] = {"m": m, "k": _BLOOM_K, "bits": bytes(bits).hex()}
+        bloom_rel = rel + ".bloom"
+        _fsync_replace(
+            os.path.join(table_dir, bloom_rel) + "._tmp",
+            os.path.join(table_dir, bloom_rel),
+            json.dumps(per_col),
+        )
+        out[rel] = bloom_rel
+    return out
+
+
+def bloom_prune_files(table_dir: str, manifest: dict, col: str, values) -> list[str]:
+    """The files of ``manifest`` that MIGHT contain any of ``values`` in
+    ``col`` per their committed bloom sidecars. Files without a bloom for
+    the column are kept — like zone maps, blooms only SKIP, they never
+    decide correctness (the reader re-applies the exact predicate). Cost:
+    O(files) sidecar reads of driver-side metadata, no data pages."""
+    blooms = manifest.get("file_blooms", {})
+    kept = []
+    for rel in _manifest_files(manifest):
+        bloom_rel = blooms.get(rel)
+        if bloom_rel is None:
+            kept.append(rel)
+            continue
+        with open(os.path.join(table_dir, bloom_rel)) as fh:
+            per_col = json.load(fh)
+        b = per_col.get(col)
+        if b is None:
+            kept.append(rel)
+            continue
+        bits = bytes.fromhex(b["bits"])
+        if any(
+            all(
+                bits[p >> 3] & (1 << (p & 7))
+                for p in _bloom_positions(v, b["m"], b["k"])
+            )
+            for v in values
+            if v is not None
+        ):
+            kept.append(rel)
+    return kept
+
+
+def snapshot_read_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    values,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup with bloom file skipping: resolve the manifest, keep
+    only files whose bloom might contain one of ``values``, scan those,
+    and re-apply the exact IN predicate (blooms admit false positives,
+    never false negatives — over the committed values — so the result is
+    exact). The needle-in-100TB shape: a k-row lookup touches O(k) files
+    instead of every file whose zone map happens to span the key."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = read_manifest(table_dir, v)
+    vals = list(values)
+    kept = bloom_prune_files(table_dir, manifest, col, vals)
+    if not kept:
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(manifest["schema"])
+        )
+        return empty.filter(empty[col].isin(vals))
+    df = _manifest_reader(spark, manifest).parquet(
+        *[os.path.join(table_dir, rel) for rel in kept]
+    )
+    return _apply_tombstones(spark, table_dir, manifest, df).filter(
+        df[col].isin(vals)
+    )
+
+
 def snapshot_write(
     spark: SparkSession,
     table_dir: str,
@@ -213,6 +360,7 @@ def snapshot_write(
     base_version: int | None = None,
     stats_cols: list[str] | None = None,
     extra_manifest: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``; returns the new
     version number. ``base_version`` is the version this write derives from
@@ -250,6 +398,11 @@ def snapshot_write(
     }
     if stats_cols:
         manifest["file_stats"] = _collect_file_stats(table_dir, files, stats_cols)
+    if bloom_cols:
+        manifest["file_blooms"] = _collect_file_blooms(
+            table_dir, files, bloom_cols
+        )
+        manifest["bloom_cols"] = list(bloom_cols)
     if extra_manifest:
         manifest.update(extra_manifest)
     manifest.setdefault("operation", "write")
@@ -482,6 +635,14 @@ def snapshot_append(
             _collect_file_stats(table_dir, new_files, stats_cols)
         )
         manifest["file_stats"] = merged_stats
+    if prev.get("bloom_cols"):
+        # bloom indexing is a TABLE property once declared: every append
+        # keeps the lookup contract or the skipping silently weakens
+        merged_blooms = dict(prev.get("file_blooms", {}))
+        merged_blooms.update(
+            _collect_file_blooms(table_dir, new_files, prev["bloom_cols"])
+        )
+        manifest["file_blooms"] = merged_blooms
     _commit_metadata(table_dir, version, current, manifest)
     return version
 
@@ -524,6 +685,14 @@ def snapshot_merge(
         winner,
         base_version=base,
         extra_manifest={"operation": "merge"},
+        # bloom indexing is a table property: a rewrite re-derives the
+        # sidecars for its new files or point-lookup skipping silently
+        # dies at the first merge
+        bloom_cols=(
+            read_manifest(table_dir, base).get("bloom_cols")
+            if base is not None
+            else None
+        ),
     )
 
 
@@ -564,6 +733,7 @@ def snapshot_zorder(
         base_version=base,
         stats_cols=stats_cols,
         extra_manifest={"data_change": False, "operation": "zorder"},
+        bloom_cols=read_manifest(table_dir, base).get("bloom_cols"),
     )
 
 
@@ -596,6 +766,7 @@ def snapshot_compact(
         current.coalesce(target_files),
         base_version=base,
         extra_manifest={"data_change": False, "operation": "compact"},
+        bloom_cols=read_manifest(table_dir, base).get("bloom_cols"),
     )
 
 
@@ -636,6 +807,9 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
         # retained manifest may reference tombstones first committed by
         # an expired version — same sharing rule as data files
         retained_refs.update(m.get("tombstones", []))
+        # bloom sidecars live next to their data file and share its
+        # lifetime: referenced by a retained manifest -> retained
+        retained_refs.update(m.get("file_blooms", {}).values())
     vacuumed = []
     for v in range(cutoff):
         # Walk the DATA directory whenever it exists, independent of the

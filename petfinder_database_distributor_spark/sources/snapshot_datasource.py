@@ -229,12 +229,15 @@ def make_snapshot_datasource():
             )
             # col -> [lo, hi] bounds accumulated from pushed filters
             # (None = unbounded on that side); partition values pinned by
-            # EqualTo/In on the partition column.
+            # EqualTo/In on the partition column; col -> candidate value
+            # set for bloom-indexed point lookups.
             self._bounds: dict = {}
             self._part_values = None
+            self._bloom_values: dict = {}
 
         def pushFilters(self, filters):
             part_col = self.manifest.get("partition_col")
+            bloom_cols = set(self.manifest.get("bloom_cols", []))
             stats_cols = set()
             for per_file in self.manifest.get("file_stats", {}).values():
                 stats_cols.update(per_file)
@@ -275,6 +278,16 @@ def make_snapshot_datasource():
                         tighten(col, hi=f.value)
                     elif isinstance(f, In):
                         tighten(col, lo=min(f.value), hi=max(f.value))
+                if col in bloom_cols and isinstance(f, (EqualTo, In)):
+                    # point-lookup candidates for bloom file skipping;
+                    # conjunctive filters INTERSECT candidate sets
+                    vals = (
+                        {f.value} if isinstance(f, EqualTo) else set(f.value)
+                    )
+                    prev = self._bloom_values.get(col)
+                    self._bloom_values[col] = (
+                        vals if prev is None else prev & vals
+                    )
             # Every filter goes back to Spark for exact evaluation: zone
             # maps and partition keys only SKIP files that cannot match —
             # an optimization, never the correctness filter. (Open-sided
@@ -314,6 +327,17 @@ def make_snapshot_datasource():
                     # pruning is an optimization — degrade to keeping
                     # the files, never fail the plan
                     continue
+                files = [f for f in files if f in survivors]
+            for col, vals in self._bloom_values.items():
+                from petfinder_database_distributor_spark.sources.snapshot import (
+                    bloom_prune_files,
+                )
+
+                survivors = set(
+                    bloom_prune_files(
+                        self.table_dir, self.manifest, col, sorted(vals)
+                    )
+                )
                 files = [f for f in files if f in survivors]
             return files
 

@@ -563,3 +563,32 @@ def test_timestamp_before_retention_raises_never_serves_newer(spark, table_dir):
         .load(table_dir)
     )
     assert _as_dict(got) == {1: "a", 2: "b"}
+
+
+def test_pushdown_bloom_prunes_point_lookup(spark, table_dir):
+    """EqualTo/In on a bloom-indexed column prune at PLANNING time even
+    when zone maps are useless (hash-scrambled layout: every file's
+    min/max spans the whole domain). Partition count = surviving files."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_write,
+    )
+
+    df = (
+        spark.range(4000)
+        .selectExpr("id * 2654435761 % 1000003 AS k", "id AS payload")
+        .repartition(8)
+    )
+    snapshot_write(spark, table_dir, df, bloom_cols=["k"], stats_cols=["k"])
+    probe = (7 * 2654435761) % 1000003
+    scan = spark.read.format("snapshot").load(table_dir)
+    hit = scan.filter(F.col("k") == probe)
+    assert hit.rdd.getNumPartitions() <= 2  # 1 true file + rare fp
+    assert [(r["k"], r["payload"]) for r in hit.collect()] == [(probe, 7)]
+    # absent key: near-total skip, zero rows (exact re-apply by Spark)
+    miss = scan.filter(F.col("k") == 999983)
+    assert miss.rdd.getNumPartitions() <= 2
+    assert miss.count() == 0
+    # IN-list unions candidates; conjunctive equalities intersect
+    probes = [(i * 2654435761) % 1000003 for i in (3, 11)]
+    got = scan.filter(F.col("k").isin(probes)).collect()
+    assert sorted(r["payload"] for r in got) == [3, 11]

@@ -1010,3 +1010,78 @@ def test_restore_refuses_future_and_vacuumed_versions(spark, table_dir):
     # new manifest referencing them
     snapshot_vacuum(table_dir, keep_last=1)
     assert {r["k"] for r in snapshot_read(spark, table_dir, version=v).collect()} == {1, 2}
+
+
+def test_bloom_point_lookup_prunes_and_stays_exact(spark, table_dir):
+    """Bloom file skipping: a high-cardinality key hash-scrambled across
+    files defeats zone maps (every file's min/max spans everything), but
+    the committed per-file blooms keep only files that might contain the
+    probe keys — and the lookup re-applies the exact predicate, so false
+    positives cost I/O, never correctness."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        bloom_prune_files,
+        snapshot_read_lookup,
+        snapshot_write,
+    )
+
+    n = 4000
+    df = (
+        spark.range(n)
+        .selectExpr("id * 2654435761 % 1000003 AS k", "id AS payload")
+        .repartition(8)
+    )
+    snapshot_write(spark, table_dir, df, bloom_cols=["k"], stats_cols=["k"])
+    m = read_manifest(table_dir, 0)
+    assert len(m["files"]) == 8 and set(m["file_blooms"]) == set(m["files"])
+    # a present key: bloom keeps its true file (maybe + rare fp), and the
+    # lookup returns exactly its row
+    probe = (7 * 2654435761) % 1000003
+    kept = bloom_prune_files(table_dir, m, "k", [probe])
+    assert 1 <= len(kept) <= 2, kept
+    got = snapshot_read_lookup(spark, table_dir, "k", [probe]).collect()
+    assert [(r["k"], r["payload"]) for r in got] == [(probe, 7)]
+    # an absent key prunes to ~nothing and returns NO rows even through
+    # bloom false positives (exact re-apply)
+    assert snapshot_read_lookup(spark, table_dir, "k", [999983]).count() == 0
+    # zone maps alone would keep every file for this probe (scrambled
+    # layout): bloom is what makes the point lookup O(matching files)
+    from petfinder_database_distributor_spark.sources.snapshot import prune_files
+
+    assert len(prune_files(m, "k", probe, probe)) == 8
+
+
+def test_bloom_survives_append_merge_and_vacuum(spark, table_dir):
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_merge,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    df1 = spark.range(100).selectExpr("id AS k", "id AS v").repartition(2)
+    snapshot_write(spark, table_dir, df1, bloom_cols=["k"])
+    # append inherits the table's bloom columns without re-stating them
+    df2 = spark.range(100, 200).selectExpr("id AS k", "id AS v").repartition(2)
+    snapshot_append(spark, table_dir, df2)
+    m1 = read_manifest(table_dir, 1)
+    assert set(m1["file_blooms"]) == set(m1["files"])
+    assert m1["bloom_cols"] == ["k"]
+    # merge rewrites every file and re-derives sidecars for the new set
+    upd = spark.createDataFrame([(5, 500)], "k long, v long")
+    snapshot_merge(spark, table_dir, upd, key_cols=["k"], order_cols=["v"])
+    m2 = read_manifest(table_dir, 2)
+    assert set(m2["file_blooms"]) == set(m2["files"])
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_read_lookup,
+    )
+
+    got = {r["k"]: r["v"] for r in snapshot_read_lookup(spark, table_dir, "k", [5, 150]).collect()}
+    assert got == {5: 500, 150: 150}
+    # vacuum: expired versions' sidecars go with their data files;
+    # retained ones survive (they're manifest-referenced)
+    m0_blooms = list(read_manifest(table_dir, 0)["file_blooms"].values())
+    snapshot_vacuum(table_dir, keep_last=1)
+    for rel in m2["file_blooms"].values():
+        assert os.path.exists(os.path.join(table_dir, rel)), rel
+    for rel in m0_blooms:  # expired sidecars reclaimed with their files
+        assert not os.path.exists(os.path.join(table_dir, rel)), rel
