@@ -605,3 +605,201 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(qid, cid, "rank", F.round(F.col("cos"), 6).alias("cos_r"))
     )
+
+
+def _update_int(assigned: DataFrame, vid: str) -> DataFrame:
+    """Elementwise-mean centroid update kept ON the integer vector scale
+    (``round(s/n)`` of exact int sums) so residuals below stay exact
+    integers — the same re-quantization trick as the PQ codebook update."""
+    dims = (
+        assigned.select("centroid_id", F.posexplode("qe").alias("pos", "v"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return dims.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+            lambda e: F.round(e["s"] / e["n"]).cast("long"),
+        ).alias("icvec")
+    )
+
+
+def _assign_int(vecs: DataFrame, centroids: DataFrame, vid: str) -> DataFrame:
+    """Nearest integer centroid by cosine (scale-invariant, so integer
+    centroids rank identically to their /scale doubles); ties -> smaller
+    centroid_id. Same max_by shape as :func:`_assign`."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        F.col(vid),
+        "qe",
+        "centroid_id",
+        cosine(_qd(F.col("qe")), _qd(F.col("icvec"))).alias("cos"),
+    )
+    best = scored.groupBy(vid).agg(
+        F.max_by(
+            F.struct("qe", "centroid_id"),
+            F.struct(F.col("cos"), (-F.col("centroid_id")).alias("neg_id")),
+        ).alias("best")
+    )
+    return best.select(
+        F.col(vid),
+        F.col("best.qe").alias("qe"),
+        F.col("best.centroid_id").alias("centroid_id"),
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    iters: int = 1,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    rerank: int = 64,
+    scale: int = 1000,
+    qid: str = "query_id",
+    cid: str = "vec_id",
+    qvec: str = "qvec",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ ANN top-k — the two scale levers COMPOSED, as the big
+    vector systems ship them (FAISS IVFPQ, SPANN-style): IVF bounds how
+    many vectors a query touches (only ``nprobe`` of ``n_clusters``
+    cells are scanned), PQ bounds how many bytes each touched vector
+    costs (``m_sub`` 4-bit codes of its RESIDUAL against its cell
+    centroid). At 100 TB: corpus partitioned by cell, a query's work is
+    nprobe cell scans of a few bytes/vector, full embeddings touched
+    only for the ``rerank`` survivors.
+
+    Residual encoding is what makes the composition better than either
+    half: within a cell, vectors share their centroid's direction, so
+    residuals are small and the per-subspace codebook spends its 16
+    codewords on the REMAINING variance. All integer arithmetic
+    (quantized vectors, re-quantized integer centroids and codewords),
+    hence deterministic and oracle-checkable like ivf_topk/pq_adc_topk.
+
+    Scoring: ip(q, centroid + decoded_residual) = ip(q, centroid) +
+    sum_m LUT_q[m, code_m] where LUT_q is the query's subvector-x-
+    codeword table — ONE tiny LUT per query reused across every probed
+    cell, plus one integer dot per (query, cell). Ranking by this
+    integer score, then exact-cosine re-rank of the top ``rerank``."""
+    qcorpus = corpus.select(
+        F.col(cid), quantize(F.col(cvec), scale).alias("qe")
+    ).persist()
+    centroids = qcorpus.filter(F.col(cid) < n_clusters).select(
+        F.col(cid).cast("int").alias("centroid_id"), F.col("qe").alias("icvec")
+    )
+    for _ in range(iters):
+        assigned = _assign_int(qcorpus, centroids, cid)
+        centroids = _update_int(assigned, cid).localCheckpoint(eager=True)
+    ivf = _assign_int(qcorpus, centroids, cid).localCheckpoint(eager=True)
+    qcorpus.unpersist()
+
+    # residuals against the assigned cell's integer centroid
+    resid = ivf.join(F.broadcast(centroids), "centroid_id").select(
+        F.col(cid),
+        "centroid_id",
+        F.zip_with("qe", "icvec", lambda x, c: x - c).alias("qe"),
+    ).persist()
+    subs = _pq_subvectors(resid, cid, m_sub, sub_dim).persist()
+    cb = subs.filter(F.col(cid) < n_codes).select(
+        "m", F.col(cid).cast("int").alias("j"), F.col("sv").alias("cw")
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subs, cb, cid)
+        dims = (
+            assigned.select("m", "j", F.posexplode("sv").alias("i", "v"))
+            .groupBy("m", "j", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cb = (
+            dims.groupBy("m", "j")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "s", "n"))),
+                    lambda e: F.round(e["s"] / e["n"]).cast("long"),
+                ).alias("cw")
+            )
+            .localCheckpoint(eager=True)
+        )
+    codes = (
+        _pq_assign(subs, cb, cid)
+        .groupBy(cid)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "j"))),
+                lambda e: e["j"],
+            ).alias("code")
+        )
+        .join(resid.select(cid, "centroid_id"), cid)
+        .localCheckpoint(eager=True)
+    )
+    subs.unpersist()
+    resid.unpersist()
+
+    qq = queries.select(F.col(qid), quantize(F.col(qvec), scale).alias("qe"))
+    # cell probes: rank cells by cosine, keep nprobe, carry the exact
+    # integer correction term ip(q, centroid) for the ADC score
+    probe_scored = qq.crossJoin(F.broadcast(centroids)).select(
+        F.col(qid),
+        F.col("qe"),
+        "centroid_id",
+        cosine(_qd(F.col("qe")), _qd(F.col("icvec"))).alias("pcos"),
+        int_dot(F.col("qe"), F.col("icvec")).alias("ipqc"),
+    )
+    wp = Window.partitionBy(qid).orderBy(F.col("pcos").desc(), F.col("centroid_id"))
+    probes = (
+        probe_scored.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col(qid), "qe", "centroid_id", "ipqc")
+    )
+    # one LUT per query (m_sub x n_codes ints), built from the FULL query
+    # slices: ip(q, centroid + resid) = ip(q, c) + sum_m ip(q_m, cw_m)
+    qsubs = _pq_subvectors(qq, qid, m_sub, sub_dim)
+    lut_rows = qsubs.join(F.broadcast(cb), "m").select(
+        F.col(qid),
+        (F.col("m") * n_codes + F.col("j")).cast("int").alias("slot"),
+        int_dot(F.col("sv"), F.col("cw")).alias("ip"),
+    )
+    luts = lut_rows.groupBy(qid).agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "ip"))).alias("lut")
+    )
+    seq = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    resid_ip = F.aggregate(
+        F.zip_with(
+            F.col("code"),
+            seq,
+            lambda j, m: F.element_at(
+                F.col("lut"), (m * n_codes + j).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    adc = (
+        probes.join(F.broadcast(luts), qid)
+        .join(codes, "centroid_id")
+        .filter(F.col(qid) != F.col(cid))
+        .select(F.col(qid), F.col(cid), (F.col("ipqc") + resid_ip).alias("approx"))
+    )
+    wr = Window.partitionBy(qid).orderBy(F.col("approx").desc(), F.col(cid))
+    cand = (
+        adc.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= rerank)
+        .select(qid, cid)
+    )
+    eq = queries.select(F.col(qid), as_double(F.col(qvec)).alias("qv"))
+    ec = corpus.select(F.col(cid), as_double(F.col(cvec)).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(eq), qid)
+        .join(ec, cid)
+        .select(F.col(qid), F.col(cid), cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(cid))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, cid, "rank", F.round(F.col("cos"), 6).alias("cos_r"))
+    )

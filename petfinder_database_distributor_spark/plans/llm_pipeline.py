@@ -822,6 +822,103 @@ _PQ_UPDATE = """
 """
 
 
+_IVFPQ_ASSIGN = f"""
+  SELECT vec_id, qe, centroid_id FROM (
+    SELECT v.vec_id, v.qe, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_COS.format(a="v.qe", b="c.icvec")} DESC,
+                                       c.centroid_id) AS rn
+    FROM {{vecs}} v, {{cents}} c) WHERE rn = 1
+"""
+
+_IVFPQ_UPDATE = """
+  SELECT centroid_id, list(round(s / n)::BIGINT ORDER BY i) AS icvec FROM (
+    SELECT centroid_id, r.i, sum(qe[r.i + 1]) AS s, count(*) AS n
+    FROM {assigned}, range(0, 64) r(i) GROUP BY 1, 2) GROUP BY 1
+"""
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qe
+               FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    c0 AS (SELECT vec_id::INT AS centroid_id, qe AS icvec FROM q WHERE vec_id < 16),
+    a1 AS ({_IVFPQ_ASSIGN.format(vecs="q", cents="c0")}),
+    c1 AS ({_IVFPQ_UPDATE.format(assigned="a1")}),
+    ivf AS ({_IVFPQ_ASSIGN.format(vecs="q", cents="c1")}),
+    resid AS (SELECT f.vec_id,
+                     list_transform(range(64), i -> f.qe[i + 1] - c.icvec[i + 1]) AS re
+              FROM ivf f JOIN c1 c USING (centroid_id)),
+    sv AS (SELECT vec_id, r.m, re[r.m*8+1 : r.m*8+8] AS sv
+           FROM resid, range(0, 8) r(m)),
+    cb0 AS (SELECT m, vec_id::INT AS j, sv AS cw FROM sv WHERE vec_id < 16),
+    a0 AS ({_PQ_ASSIGN.format(cb="cb0")}),
+    cb1 AS ({_PQ_UPDATE.format(assigned="a0")}),
+    codes AS ({_PQ_ASSIGN.format(cb="cb1")}),
+    qq AS (SELECT vec_id AS query_id, qe FROM q WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, centroid_id, ipqc FROM (
+        SELECT qq.query_id, c.centroid_id,
+               list_inner_product(qq.qe, c.icvec)::BIGINT AS ipqc,
+               row_number() OVER (PARTITION BY qq.query_id
+                                  ORDER BY {_IVF_COS.format(a="qq.qe", b="c.icvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM qq, c1 c) WHERE rn <= 4),
+    qsv AS (SELECT vec_id AS query_id, r.m, qe[r.m*8+1 : r.m*8+8] AS sv
+            FROM q, range(0, 8) r(m) WHERE vec_id < 8),
+    lut AS (SELECT qs.query_id, qs.m, c.j,
+                   list_inner_product(qs.sv, c.cw)::BIGINT AS ip
+            FROM qsv qs JOIN cb1 c ON qs.m = c.m),
+    adc AS (SELECT p.query_id, f.vec_id,
+                   (max(p.ipqc) + sum(l.ip))::BIGINT AS approx
+            FROM probes p
+            JOIN ivf f USING (centroid_id)
+            JOIN codes cd ON cd.vec_id = f.vec_id
+            JOIN lut l ON l.query_id = p.query_id
+                      AND l.m = cd.m AND l.j = cd.j
+            WHERE p.query_id <> f.vec_id
+            GROUP BY 1, 2),
+    cand AS (SELECT query_id, vec_id FROM (
+       SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx DESC, vec_id) AS rn FROM adc) WHERE rn <= 64),
+    scored AS (SELECT cand.query_id, cand.vec_id,
+                      {_COS_SQL.format(a="eq.embedding", b="ec.embedding")} AS cos
+               FROM cand JOIN embeddings eq ON eq.vec_id = cand.query_id
+                         JOIN embeddings ec ON ec.vec_id = cand.vec_id)
+    SELECT query_id, vec_id, rank, round(cos, 6) AS cos_r
+    FROM (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="IVF+PQ ANN top-5 — the two scale levers composed (FAISS-IVFPQ "
+    "shape): a 16-cell inverted file bounds VECTORS TOUCHED per query "
+    "(4-probe), per-cell RESIDUAL product quantization bounds BYTES PER "
+    "VECTOR (8 codes vs 256+ raw), so a query's work is nprobe "
+    "cell-scans of a few bytes/vector + one tiny per-query LUT; exact "
+    "cosine re-rank of the top-64. Residual encoding spends the "
+    "codebook on within-cell variance, the part plain PQ wastes on the "
+    "centroid direction. All exact integer arithmetic (quantized "
+    "vectors, re-quantized integer centroids AND codewords), so the "
+    "iterative pipeline is bit-reproducible cross-engine; recall@5 is "
+    "pinned in tests/test_ann_recall.py. operators/similarity.py::"
+    "ivf_pq_topk.",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_pq_topk(queries, emb, k=5)
+
+
 @register(
     "ann_pq_adc_topk",
     oracle=f"""
