@@ -826,3 +826,101 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode_segments
+# ---------------------------------------------------------------------------
+
+# Fixed inference-time merge table (priority-ordered, includes the
+# second-order th+e -> the so real BPE layering is exercised). Training
+# such a table is bpe_first_merges; APPLYING a shipped table is what an
+# inference pipeline does per document, so the rules are literals here —
+# which is also what makes the encode expressible as a chain of literal
+# replaces in BOTH engines.
+_BPE_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("o", "n"),
+    ("r", "e"),
+    ("a", "t"),
+]
+
+
+def _bpe_encode_col(w):
+    """word -> '|'-delimited BPE segmentation. Each rule is applied as
+    replace() TWICE: occurrences sharing a delimiter ('|t|h|t|h|') are
+    non-overlapping-leftmost for the scanner, so one pass merges
+    alternating occurrences and the second catches the survivors — after
+    pass one, remaining occurrences are non-adjacent, so two passes are
+    a fixpoint. Both engines' replace() is leftmost non-overlapping
+    all-occurrences, so the segmentation is bit-identical cross-engine."""
+    e = F.concat(F.lit("|"), F.regexp_replace(w, "(.)", "$1|"))
+    for a, b in _BPE_MERGES:
+        pat, rep = F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
+        e = F.replace(F.replace(e, pat, rep), pat, rep)
+    return e
+
+
+def _bpe_encode_sql(col: str) -> str:
+    e = f"'|' || regexp_replace({col}, '(.)', '\\1|', 'g')"
+    for a, b in _BPE_MERGES:
+        pat, rep = f"'|{a}|{b}|'", f"'|{a}{b}|'"
+        e = f"replace(replace({e}, {pat}, {rep}), {pat}, {rep})"
+    return e
+
+
+@register(
+    "bpe_encode_segments",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(replace(replace(trim(coalesce(text, '')), 'İ', 'i'), 'Σ', 'σ')), '\\s+'),
+                         x -> x <> '' AND NOT contains(x, '|')) AS t
+      FROM documents WHERE doc_id IS NOT NULL),
+    words AS (SELECT doc_id, u.w FROM toks, unnest(toks.t) u(w)),
+    enc AS (SELECT doc_id, w, {_bpe_encode_sql("w")} AS seg FROM words)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(length(w))::BIGINT AS n_char_tokens,
+           sum(length(seg) - length(replace(seg, '|', '')) - 1)::BIGINT
+             AS n_bpe_tokens
+    FROM enc GROUP BY doc_id
+    """,
+    doc="Inference-time BPE tokenization: apply a FIXED priority-ordered "
+    "merge table (the shipped-vocabulary half of byte-pair encoding; "
+    "training the table is bpe_first_merges) to every word and count "
+    "the resulting segments per document — the token-budget arithmetic "
+    "every LLM data pipeline runs before packing. Each merge rule is a "
+    "literal replace() applied twice over a '|'-delimited char "
+    "segmentation (two passes are a fixpoint for delimiter-sharing "
+    "runs, see _bpe_encode_col), so the whole encode is a pure codegen "
+    "expression chain — one narrow projection, one doc_id hash-agg, no "
+    "UDF, no shuffle before the aggregate. Layered rules (t+h, then "
+    "th+e) exercise real BPE merge ordering. Words containing the "
+    "delimiter char are excluded by contract in both engines.",
+)
+def bpe_encode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda x: ~x.contains("|"))
+        ).alias("w"),
+    )
+    seg = _bpe_encode_col(F.col("w"))
+    n_seg = (
+        F.length(seg) - F.length(F.replace(seg, F.lit("|"), F.lit(""))) - 1
+    )
+    return words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("n_char_tokens"),
+        F.sum(n_seg).alias("n_bpe_tokens"),
+    )

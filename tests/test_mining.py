@@ -170,3 +170,37 @@ def test_pagerank_no_driver_collect_shape(spark):
     top-k (TakeOrderedAndProject), not a full sort."""
     plan = pagerank_partsupp(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_encode_two_pass_replace_is_fixpoint(spark):
+    """The doubled-replace trick: delimiter-sharing runs ('ththth') merge
+    completely in two passes, layered rules apply in priority order, and
+    the segment count matches a reference greedy-merge implementation."""
+    from petfinder_database_distributor_spark.plans.mining import (
+        _BPE_MERGES,
+        _bpe_encode_col,
+    )
+    from pyspark.sql import functions as F
+
+    words = ["ththth", "the", "theater", "innin", "xat", "q", "rere", "thethethe"]
+
+    def ref_encode(w):
+        segs = list(w)
+        for a, b in _BPE_MERGES:
+            out, i = [], 0
+            while i < len(segs):
+                if i + 1 < len(segs) and segs[i] == a and segs[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(segs[i])
+                    i += 1
+            segs = out
+        return segs
+
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", _bpe_encode_col(F.col("w")).alias("seg")
+    )
+    got = {r["w"]: r["seg"].strip("|").split("|") for r in df.collect()}
+    for w in words:
+        assert got[w] == ref_encode(w), (w, got[w], ref_encode(w))
