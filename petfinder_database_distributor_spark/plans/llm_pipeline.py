@@ -2584,3 +2584,107 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("pct_rank") >= 0.25) | (F.col("n_lang") == 1))
         .drop("n_lang")
     )
+
+
+@register(
+    "dedup_span_overlap",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    chunks AS (
+      SELECT doc_id, m.m AS pos,
+             {MD5INT_SQL.format(x="array_to_string(t[m.m + 1 : m.m + 8], ' ')")} AS h
+      FROM toks, unnest(range(len(t) - 7)) m(m)
+      WHERE len(t) >= 8),
+    capped AS (
+      SELECT * FROM chunks
+      WHERE h IN (SELECT h FROM chunks GROUP BY h
+                  HAVING count(*) BETWEEN 2 AND 32)),
+    hits AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, a.pos - b.pos AS d
+      FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, d, pos_a,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, d
+                                        ORDER BY pos_a) AS run_id
+      FROM (SELECT DISTINCT doc_a, doc_b, pos_a, d FROM hits))
+    SELECT doc_a, doc_b,
+           min(pos_a)::BIGINT AS start_a,
+           (min(pos_a) - d)::BIGINT AS start_b,
+           count(*)::BIGINT AS n_chunks,
+           (count(*) + 7)::BIGINT AS span_tokens
+    FROM runs GROUP BY doc_a, doc_b, d, run_id
+    HAVING count(*) >= 5
+    """,
+    doc="Exact repeated-SPAN detection across documents — the substring "
+    "dedup of Lee et al. 2022 ('Deduplicating Training Data Makes "
+    "Language Models Better') in bulk-relational form: stride-1 8-token "
+    "chunks hashed to the 60-bit md5int primitive, a df-capped postings "
+    "self-join (2 <= df <= 32 — singleton chunks can't pair, hot "
+    "boilerplate chunks are dedup_boilerplate_strip's job and would "
+    "explode the join quadratically), then maximal diagonal runs: "
+    "within a doc pair, matches on the same alignment d = pos_a - pos_b "
+    "with consecutive positions ARE a shared contiguous span, recovered "
+    "by the classic pos - row_number() run-id trick (one window over "
+    "the candidate pairs, never the corpus). Spans of >= 5 chunks "
+    "(>= 12 shared tokens) survive. The whole plan is: narrow chunk "
+    "projection -> one count shuffle (df cap) -> one equi-join on the "
+    "hash -> one (doc_a, doc_b, d)-keyed window — every stage bounded "
+    "by true near-dup density, nothing all-pairs. At 100 TB the output "
+    "feeds span EXCISION (cut the repeated bytes, keep the rest), which "
+    "document-level dedup can't do.",
+)
+def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from petfinder_database_distributor_spark.operators.text import md5int, tokens
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    chunks = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 7),
+                    lambda m: md5int(F.concat_ws(" ", F.slice(F.col("t"), m, 8))),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    counts = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    capped = chunks.join(
+        counts.filter(F.col("df").between(2, 32)).select("h"), "h"
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    hits = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("d")
+        )
+        .dropDuplicates(["doc_a", "doc_b", "pos_a", "d"])
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
+    runs = hits.withColumn(
+        "run_id", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "d", "run_id")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.min("pos_a") - F.col("d")).alias("start_b"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            (F.count(F.lit(1)) + 7).alias("span_tokens"),
+        )
+        .filter(F.col("n_chunks") >= 5)
+        .select("doc_a", "doc_b", "start_a", "start_b", "n_chunks", "span_tokens")
+    )
