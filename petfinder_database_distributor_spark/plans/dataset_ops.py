@@ -543,3 +543,48 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query time: only the open day touches raw events
     fresh = daily(ev.filter(day == last_day))
     return closed.unionByName(fresh)
+
+
+@register(
+    "sample_priority_topk",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           round(n_chars / ((({_MD5INT.format(x="'pri:' || doc_id")}) % 1000000 + 1)
+                            / 1000000.0), 6) AS priority
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id IS NOT NULL
+    ORDER BY priority DESC, doc_id
+    LIMIT 200
+    """,
+    doc="Priority sampling (Duffield-Lund-Thorup): a weighted sample "
+    "WITHOUT replacement of exactly k=200 documents — priority = weight "
+    "/ u with u a salted-hash uniform in (0, 1], keep the k largest. "
+    "Complements sample_weighted (Bernoulli: expected-size, "
+    "with-independent-coins): fixed-size samples are what a training-mix "
+    "builder actually schedules. Deterministic AND bit-identical "
+    "cross-engine by construction — the uniform is an integer hash "
+    "scaled by one IEEE division and the priority one more division, "
+    "both CORRECTLY-ROUNDED operations (unlike pow/log, which the "
+    "textbook u^(1/w) key of A-Res reservoir sampling needs and which "
+    "carry no cross-libm guarantee). The plan is a narrow projection + "
+    "global top-k = TakeOrderedAndProject — bounded state k at any "
+    "corpus size, no sort, no shuffle beyond the k-row gather; the "
+    "(k+1)-th priority is the tau threshold for unbiased subset-sum "
+    "estimation downstream.",
+)
+def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+        & F.col("doc_id").isNotNull()
+    )
+    u = (
+        md5int(F.concat(F.lit("pri:"), F.col("doc_id").cast("string"))) % 1000000
+        + 1
+    ) / F.lit(1000000.0)
+    pri = F.round(F.col("n_chars") / u, 6)
+    return (
+        docs.select("doc_id", "n_chars", pri.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(200)
+    )

@@ -2688,3 +2688,59 @@ def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chunks") >= 5)
         .select("doc_a", "doc_b", "start_a", "start_b", "n_chunks", "span_tokens")
     )
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH q AS (SELECT list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qe
+               FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+    SELECT i.i AS i, j.j AS j,
+           sum(qe[i.i + 1] * qe[j.j + 1])::BIGINT AS s,
+           count(*)::BIGINT AS n
+    FROM q, unnest(range(64)) i(i), unnest(range(64)) j(j)
+    WHERE j.j >= i.i
+    GROUP BY 1, 2
+    """,
+    doc="Distributed PCA, the part that actually touches data: the exact "
+    "integer Gram matrix X^T X of the quantized embedding corpus, upper "
+    "triangle as (i, j, sum, n) rows. ONE corpus pass, and the aggregate "
+    "state is bounded by d(d+1)/2 = 2080 keys — at 100 TB the shuffle "
+    "carries 2080 partials per task regardless of corpus size (map-side "
+    "combine collapses the per-row pair explosion before the exchange), "
+    "after which the eigendecomposition is an O(d^3) driver/NumPy step "
+    "on a 64x64 matrix, the same split every large-scale PCA uses "
+    "(compute covariance distributed, decompose locally). Integer "
+    "products of 1000-scaled values are exact int64s (|qe| <= ~1000, "
+    "n*1e6 << 2^63), so the matrix is bit-identical cross-engine — the "
+    "eigen step is deliberately NOT in the query (LAPACK results carry "
+    "sign/ordering ambiguity no oracle can pin).",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.similarity import quantize
+
+    emb = _load_embeddings(spark, sf_dir)
+    qe = quantize(F.col("embedding"), 1000)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(63)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(F.col("qe"), i.cast("int") + 1)
+                        * F.element_at(F.col("qe"), j.cast("int") + 1)
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        emb.select(qe.alias("qe"))
+        .select(F.explode(pairs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s"), F.count(F.lit(1)).alias("n"))
+    )

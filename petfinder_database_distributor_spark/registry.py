@@ -74,6 +74,10 @@ PRIORITY: list[str] = [
     "ann_ivf_pq_topk",
     "bpe_encode_segments",
     "dedup_span_overlap",
+    "sample_priority_topk",
+    "embedding_gram_matrix",
+    # (these two displace decontamination_check / s1_fetch_extract from
+    # the window end into the r9 refresh backlog)
     # --- r4-era rows (22, three rounds stale — the whole cohort):
     "p1_html_project",
     "ingest_frontend",
@@ -117,8 +121,6 @@ PRIORITY: list[str] = [
     "mm_decode_features",
     "mm_frame_sample",
     "search_bm25_topk",
-    "decontamination_check",
-    "s1_fetch_extract",
 ]
 
 

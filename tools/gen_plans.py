@@ -48,6 +48,10 @@ SHOW = {
     "domain_budget_sample": "one hash-exchange by domain + in-partition "
     "window cumsum; the token budget is a single-row broadcast — no "
     "second shuffle, no driver collect",
+    "dedup_span_overlap": "substring dedup as bulk relations: chunk "
+    "projection -> df-cap count shuffle -> ONE hash equi-join on the "
+    "chunk hash -> one (pair, alignment)-keyed window; no all-pairs "
+    "operator, candidate volume bounded by the df cap",
 }
 
 
