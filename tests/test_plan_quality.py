@@ -590,3 +590,41 @@ def test_classifier_is_expression_only(spark):
     for op in ("Join", "Exchange"):
         assert op not in p, f"classifier plan must not contain {op}: pure scan+project"
     assert "codegen id" in p  # formatted-mode spelling of WholeStageCodegen spans
+
+
+def test_span_overlap_bucketed_join_only(spark):
+    """Substring-span dedup joins postings on the chunk hash — never an
+    all-pairs operator — and its run-detection window keys on the doc
+    pair + alignment, not the corpus."""
+    p = plan_of(spark, "dedup_span_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_priority_sample_uses_bounded_topk(spark):
+    """Fixed-size weighted sampling is a global top-k: TakeOrderedAndProject
+    (k rows of state per task), never a full Sort."""
+    p = plan_of(spark, "sample_priority_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_gram_matrix_bounded_agg_no_window_no_join(spark):
+    """The Gram pass is projection -> explode -> ONE hash aggregate with
+    d(d+1)/2 keys: no join, no window, and exactly one data exchange
+    (the 2080-key partial-agg shuffle) + the result-collect exchange."""
+    import re
+
+    p = plan_of(spark, "embedding_gram_matrix")
+    assert "Join" not in p and "Window" not in p
+    assert len(re.findall(r"Exchange \(\d+\)", p)) <= 2, p
+
+
+def test_bpe_encode_narrow_until_doc_agg(spark):
+    """The BPE encode chain is pure codegen: no Python evaluator anywhere,
+    and the only shuffles are ensure_parallelism's round-robin split of
+    the single-file scan + the per-doc aggregate."""
+    import re
+
+    p = plan_of(spark, "bpe_encode_segments")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert len(re.findall(r"Exchange \(\d+\)", p)) <= 2, p
