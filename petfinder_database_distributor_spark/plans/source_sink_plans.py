@@ -1478,3 +1478,66 @@ def snapshot_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(table_dir)
         .filter(F.col("k").isin(keys))
     )
+
+
+@register(
+    "snapshot_clone_cow",
+    oracle="""
+    SELECT c_custkey AS k, c_name AS src_name,
+           CASE WHEN c_custkey % 2 = 0 THEN 'z-' || c_name
+                ELSE c_name END AS clone_name
+    FROM customer
+    WHERE c_custkey IS NOT NULL AND c_custkey % 3 = 0
+    """,
+    doc="Zero-copy shallow clone with copy-on-write (sources/snapshot.py "
+    "snapshot_clone — the Delta shallow-clone shape): the clone's v0 "
+    "manifest points at the source's immutable files by absolute path "
+    "(no bytes copied, O(metadata)), then an upsert-merge into the "
+    "CLONE rewrites half the names — entirely into clone-owned files — "
+    "while the source stays byte-identical. The query reads BOTH tables "
+    "afterwards and emits (key, src_name, clone_name): a CoW leak into "
+    "the source or a no-op clone merge each breaks the value hash. "
+    "Clone vacuum can never reclaim source files (it only walks its own "
+    "data dirs); the reverse caveat — source vacuum dangles clones past "
+    "retention — is pinned in tests/test_snapshot_table.py. At 100 TB "
+    "this is the experiment-branch primitive: fork a table for a "
+    "pipeline trial at metadata cost, merge or drop the fork later.",
+)
+def snapshot_clone_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_clone,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isNotNull() & (F.col("c_custkey") % 3 == 0))
+        .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name"))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    src = f"{SCRATCH_ROOT}/snap_clone_src_{tag}"
+    dst = f"{SCRATCH_ROOT}/snap_clone_dst_{tag}"
+    shutil.rmtree(src, ignore_errors=True)  # deterministic per call
+    shutil.rmtree(dst, ignore_errors=True)
+    snapshot_write(spark, src, base)
+    snapshot_clone(src, dst)
+    snapshot_merge(
+        spark,
+        dst,
+        base.filter(F.col("k") % 2 == 0).withColumn(
+            "name", F.concat(F.lit("z-"), F.col("name"))
+        ),
+        key_cols=["k"],
+        order_cols=["name"],
+    )
+    src_now = snapshot_read(spark, src).select(
+        "k", F.col("name").alias("src_name")
+    )
+    clone_now = snapshot_read(spark, dst).select(
+        "k", F.col("name").alias("clone_name")
+    )
+    return src_now.join(clone_now, "k")

@@ -76,8 +76,9 @@ PRIORITY: list[str] = [
     "dedup_span_overlap",
     "sample_priority_topk",
     "embedding_gram_matrix",
-    # (these two displace decontamination_check / s1_fetch_extract from
-    # the window end into the r9 refresh backlog)
+    "snapshot_clone_cow",
+    # (these three displace decontamination_check / s1_fetch_extract /
+    # search_bm25_topk from the window end into the r9 refresh backlog)
     # --- r4-era rows (22, three rounds stale — the whole cohort):
     "p1_html_project",
     "ingest_frontend",
@@ -120,7 +121,6 @@ PRIORITY: list[str] = [
     "j6_dpp_join",
     "mm_decode_features",
     "mm_frame_sample",
-    "search_bm25_topk",
 ]
 
 

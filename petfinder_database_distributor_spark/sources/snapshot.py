@@ -1300,3 +1300,61 @@ def snapshot_restore(table_dir: str, to_version: int) -> int:
     # append-only contract; keyed consumers use snapshot_cdc_diff.)
     _commit_metadata(table_dir, current + 1, current, manifest)
     return current + 1
+
+
+def snapshot_clone(
+    src_dir: str, dst_dir: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE: create ``dst_dir`` as a new table whose v0 manifest
+    points at the source version's immutable files by ABSOLUTE path —
+    zero data copied, O(metadata) cost (the Delta shallow-clone shape).
+    Writes to the clone are copy-on-write by construction: appends add
+    the clone's OWN (relative-path) files next to the absolute source
+    refs, merges/compactions rewrite fully into clone-owned files, and
+    the source never observes any of it. The clone's vacuum only ever
+    walks the clone's own data directories, so it can't reclaim source
+    files; tombstones/stats/bloom sidecars are carried with their paths
+    rewritten, so merge-on-read deletes and file skipping keep working
+    through the clone.
+
+    The honest caveat (same as the public formats'): the SOURCE's vacuum
+    does not know about clones — vacuuming the source past the cloned
+    version leaves the clone with dangling file references and its reads
+    fail with the underlying missing-file error. Cloning is for
+    experiments/branches WITHIN the source's retention window; promote
+    with a deep copy (read + write) if the clone must outlive it."""
+    src_v = latest_version(src_dir) if version is None else version
+    if src_v is None:
+        raise FileNotFoundError(f"no committed snapshot in {src_dir}")
+    if latest_version(dst_dir) is not None:
+        raise ValueError(f"clone target {dst_dir} already exists")
+    m = read_manifest(src_dir, src_v)
+
+    def _abs(rel: str) -> str:
+        return os.path.abspath(os.path.join(src_dir, rel))
+
+    clone = _carry_forward(m)
+    clone.pop("stream_txn", None)  # sink idempotence records are per-table
+    if "partitions" in m:
+        clone["partitions"] = {
+            val: [_abs(f) for f in fs] for val, fs in m["partitions"].items()
+        }
+    else:
+        clone["files"] = [_abs(f) for f in m["files"]]
+    if "tombstones" in m:
+        clone["tombstones"] = [_abs(t) for t in m["tombstones"]]
+    if "file_stats" in m:
+        clone["file_stats"] = {
+            _abs(rel): stats for rel, stats in m["file_stats"].items()
+        }
+    if "file_blooms" in m:
+        clone["file_blooms"] = {
+            _abs(rel): _abs(b) for rel, b in m["file_blooms"].items()
+        }
+    clone["version"] = 0
+    clone["operation"] = "clone"
+    clone["clone_source"] = os.path.abspath(src_dir)
+    clone["clone_source_version"] = src_v
+    os.makedirs(os.path.join(dst_dir, "_manifests"), exist_ok=True)
+    _commit_metadata(dst_dir, 0, None, clone)
+    return 0

@@ -1085,3 +1085,94 @@ def test_bloom_survives_append_merge_and_vacuum(spark, table_dir):
         assert os.path.exists(os.path.join(table_dir, rel)), rel
     for rel in m0_blooms:  # expired sidecars reclaimed with their files
         assert not os.path.exists(os.path.join(table_dir, rel)), rel
+
+
+def test_shallow_clone_zero_copy_and_cow(spark, table_dir):
+    """Shallow clone: v0 of the clone points at the source's files by
+    absolute path (zero bytes copied); writes to the clone are
+    copy-on-write and invisible to the source; merge-on-read tombstones
+    survive the clone boundary."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append,
+        snapshot_clone,
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    src = table_dir
+    dst = table_dir + "_clone"
+    shutil.rmtree(dst, ignore_errors=True)
+    try:
+        snapshot_write(
+            spark, src, spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+        )
+        snapshot_delete(spark, src, spark.createDataFrame([(3,)], "k long"), ["k"])
+        assert snapshot_clone(src, dst) == 0
+        # zero-copy: the clone owns no data files, and reads the source's
+        # post-tombstone state
+        assert not os.path.isdir(os.path.join(dst, "data"))
+        assert {r["k"]: r["v"] for r in snapshot_read(spark, dst).collect()} == {
+            1: "a",
+            2: "b",
+        }
+        # CoW append: clone gains its own files, source never changes
+        snapshot_append(spark, dst, spark.createDataFrame([(9, "z")], "k long, v string"))
+        assert {r["k"] for r in snapshot_read(spark, dst).collect()} == {1, 2, 9}
+        assert {r["k"] for r in snapshot_read(spark, src).collect()} == {1, 2}
+        assert latest_version(src) == 1
+        # CoW merge: a full rewrite lands entirely in clone-owned files
+        snapshot_merge(
+            spark,
+            dst,
+            spark.createDataFrame([(1, "z1")], "k long, v string"),
+            key_cols=["k"],
+            order_cols=["v"],
+        )
+        m = read_manifest(dst, 2)
+        assert all(not os.path.isabs(f) for f in m["files"])
+        assert {r["k"]: r["v"] for r in snapshot_read(spark, dst).collect()} == {
+            1: "z1",
+            2: "b",
+            9: "z",
+        }
+        assert {r["k"]: r["v"] for r in snapshot_read(spark, src).collect()} == {
+            1: "a",
+            2: "b",
+        }
+        # target-exists guard
+        with pytest.raises(ValueError, match="already exists"):
+            snapshot_clone(src, dst)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_clone_dangles_after_source_vacuum(spark, table_dir):
+    """The documented caveat: the source's vacuum doesn't know about
+    clones, so vacuuming past the cloned version leaves dangling refs and
+    the clone's read fails on the missing files (never silently serves
+    something else)."""
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_clone,
+        snapshot_merge,
+        snapshot_vacuum,
+    )
+
+    src, dst = table_dir, table_dir + "_clone2"
+    shutil.rmtree(dst, ignore_errors=True)
+    try:
+        snapshot_write(spark, src, spark.createDataFrame([(1, "a")], "k long, v string"))
+        snapshot_clone(src, dst)
+        # two merges rewrite the source's files; vacuum reclaims v0's
+        for val in ("b", "c"):
+            snapshot_merge(
+                spark,
+                src,
+                spark.createDataFrame([(1, val)], "k long, v string"),
+                key_cols=["k"],
+                order_cols=["v"],
+            )
+        assert snapshot_vacuum(src, keep_last=2) == [0]
+        with pytest.raises(Exception):
+            snapshot_read(spark, dst).collect()
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
