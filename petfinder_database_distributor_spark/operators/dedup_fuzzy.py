@@ -415,7 +415,15 @@ def minhash_lsh_pairs(
         .select(F.col(id_col), hash_shingles(F.col("sh")).alias("sh"))
         .localCheckpoint(eager=True)
     )
-    buckets = minhash_band_buckets(sh, id_col, k, bands, pre_hashed=True)
+    # The bucket frame feeds BOTH sides of the candidate self-join;
+    # without this checkpoint the full signature subtree (explode +
+    # k-way min aggregate + band hashes) executes twice — DataFrame
+    # reuse is lineage, not materialization (visible as two duplicate
+    # aggregation subtrees in the r7 plan). (id, band, bh) rows are a
+    # fraction of the shingle payload, so the materialization is cheap.
+    buckets = minhash_band_buckets(
+        sh, id_col, k, bands, pre_hashed=True
+    ).localCheckpoint(eager=True)
 
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
