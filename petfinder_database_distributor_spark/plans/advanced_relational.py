@@ -15,6 +15,7 @@ from petfinder_database_distributor_spark.operators.joins import (
 )
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.util import int_div
 
 
 @register(
@@ -684,4 +685,300 @@ def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_events", "total_value", "max_value"],
         "metric",
         "metric_value",
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT user_id, (epoch_us(ts) // 604800000000)::BIGINT AS week
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    first_week AS (
+      SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1)
+    SELECT f.cohort_week, (a.week - f.cohort_week)::BIGINT AS week_offset,
+           count(DISTINCT a.user_id)::BIGINT AS n_active
+    FROM act a JOIN first_week f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix — the canonical product-analytics query: "
+    "users cohorted by their FIRST active week (epoch-week integers, "
+    "epoch_us // (7*86400e6) — TZ-free by the repo's convention, no "
+    "date_trunc locale traps), counted distinct per (cohort, offset) "
+    "cell. Plan: one user-week dedup agg, a per-user min (both user-"
+    "keyed — a single logical shuffle key), a broadcast-sized join back "
+    "(first_week is |users| rows, Spark broadcasts it under AQE), and "
+    "the final bounded agg (|cohorts| x |offsets| cells). At 100 TB "
+    "this is two passes over the events scan with every aggregate "
+    "map-side partial — the naive per-user window over raw events "
+    "would sort the corpus; the dedup-first shape reduces before it "
+    "ranks.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    act = (
+        ev.select(
+            "user_id",
+            int_div(F.unix_micros("ts"), 604800000000).alias("week"),
+        )
+        .distinct()
+    )
+    first_week = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(first_week, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    pair AS (
+      SELECT a.p AS part_a, b.p AS part_b, count(*)::BIGINT AS pair_orders
+      FROM lines a JOIN lines b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2),
+    per_part AS (SELECT p, count(*)::BIGINT AS n_orders FROM lines GROUP BY 1),
+    total AS (SELECT count(DISTINCT o)::BIGINT AS n FROM lines)
+    SELECT part_a, part_b, pair_orders,
+           pa.n_orders AS orders_a, pb.n_orders AS orders_b,
+           round(pair_orders * total.n / (pa.n_orders * pb.n_orders), 6)
+             AS lift
+    FROM pair
+    JOIN per_part pa ON pa.p = part_a
+    JOIN per_part pb ON pb.p = part_b
+    CROSS JOIN total
+    ORDER BY pair_orders DESC, part_a, part_b
+    LIMIT 200
+    """,
+    doc="Market-basket pair mining (association rules, the support/lift "
+    "half of Apriori): parts co-purchased within an order, with per-part "
+    "supports and lift = P(a,b)/(P(a)P(b)) — one multiply and one "
+    "correctly-rounded IEEE division, so the score is bit-identical "
+    "cross-engine. The pair join is SELF-JOIN ON THE ORDER KEY, whose "
+    "fan-out is bounded by basket size (TPC-H <= 7 lines/order), never "
+    "corpus^2 — the same bounded-blocking argument as the dedup family; "
+    "per-part supports are |parts| rows (broadcast back), the order "
+    "total is a 1-row broadcast, and the top-200 is "
+    "TakeOrderedAndProject. At 100 TB: one orderkey shuffle + bounded "
+    "per-key pair expansion + a parts-sized aggregate — the classic "
+    "co-occurrence-mining shape.",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("part_a"))
+    b = li.select("o", F.col("p").alias("part_b"))
+    pair = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+    )
+    per_part = li.groupBy("p").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = li.agg(F.countDistinct("o").alias("n"))
+    lift = F.round(
+        F.col("pair_orders") * F.col("n") / (F.col("orders_a") * F.col("orders_b")),
+        6,
+    )
+    return (
+        pair.join(
+            F.broadcast(per_part.select(F.col("p").alias("part_a"), F.col("n_orders").alias("orders_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(per_part.select(F.col("p").alias("part_b"), F.col("n_orders").alias("orders_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a", "part_b", "pair_orders", "orders_a", "orders_b",
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("pair_orders"), "part_a", "part_b")
+        .limit(200)
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             count(*) OVER w AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) OVER w AS q
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, c AS value_cents, n::BIGINT AS n_window,
+           s::BIGINT AS sum_cents
+    FROM ev
+    WHERE n = 8 AND (n*c - s)*(n*c - s) > 4*(n*q - s*s)
+    """,
+    doc="Streaming-style anomaly detection as a batch window: flag events "
+    "more than 2 trailing-window standard deviations from the trailing "
+    "mean (window = previous 8 events per user, event excluded from its "
+    "own baseline). The z-score test is CROSS-MULTIPLIED into pure "
+    "integer arithmetic — (n*x - S)^2 > 4*(n*Q - S^2) over cent-"
+    "quantized values — so there is no sqrt, no division, no float "
+    "anywhere: bit-identical cross-engine by construction, the same "
+    "discipline as the decimal-exact aggregates. One user-keyed shuffle "
+    "whose sort rides the exchange; at 100 TB this is a single window "
+    "pass, and the same trailing-(n, S, Q) state machine transfers "
+    "verbatim to applyInPandasWithState for the streaming twin.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    c = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, -1)
+    )
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        c.alias("c"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(c).over(w).alias("s"),
+        F.sum(c * c).over(w).alias("q"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return stats.filter((F.col("n") == 8) & (dev * dev > 4 * var_n2)).select(
+        "event_id",
+        "user_id",
+        F.col("c").alias("value_cents"),
+        F.col("n").alias("n_window"),
+        F.col("s").alias("sum_cents"),
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM lines a JOIN lines b ON a.o = b.o AND a.p < b.p),
+    deg AS (
+      SELECT x, count(*)::BIGINT AS d FROM (
+        SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+    dir AS (
+      SELECT CASE WHEN du.d * 1000000 + e.u < dv.d * 1000000 + e.v
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.d * 1000000 + e.u < dv.d * 1000000 + e.v
+                  THEN dv.d * 1000000 + e.v ELSE du.d * 1000000 + e.u
+             END AS dst_rank,
+             CASE WHEN du.d * 1000000 + e.u < dv.d * 1000000 + e.v
+                  THEN e.v ELSE e.u END AS dst
+      FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+    wedge AS (
+      SELECT a.dst AS v, b.dst AS w
+      FROM dir a JOIN dir b ON a.src = b.src AND a.dst_rank < b.dst_rank),
+    tri AS (
+      SELECT count(*)::BIGINT AS n_triangles
+      FROM wedge JOIN e ON (e.u = least(wedge.v, wedge.w)
+                        AND e.v = greatest(wedge.v, wedge.w)))
+    SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+           (SELECT count(*) FROM e)::BIGINT AS n_edges,
+           (SELECT count(*) FROM wedge)::BIGINT AS n_wedges,
+           n_triangles
+    FROM tri
+    """,
+    doc="Triangle counting over the co-purchase graph (parts adjacent iff "
+    "they share an order) with the DEGREE-ORDERED node-iterator — the "
+    "algorithm that makes triangles tractable at scale: every edge is "
+    "directed from its lower-(degree, id) endpoint to the higher one, "
+    "wedges are built only at each edge's cheap end, and a wedge closes "
+    "into a triangle iff the (v, w) edge exists (one more equi-join). "
+    "Directing by degree bounds per-node wedge fan-out by O(sqrt(m)) "
+    "instead of max-degree^2 — the difference between a hub node "
+    "generating d^2 wedges and the bounded form, i.e. the skew story "
+    "for graphs. Every count is an exact integer; rank = deg*1e6 + id "
+    "is a single BIGINT carrying the lexicographic (degree, id) order "
+    "through both engines identically. Plan: bounded basket self-join "
+    "-> degree agg (|nodes| rows, broadcast back) -> wedge equi-join on "
+    "src -> closure equi-join on the undirected pair.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degrees, wedges AND closure
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        e.join(F.broadcast(deg.select(F.col("x").alias("u"), F.col("d").alias("du"))), "u")
+        .join(F.broadcast(deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))), "v")
+        .select(
+            "u", "v",
+            (F.col("du") * 1000000 + F.col("u")).alias("ru"),
+            (F.col("dv") * 1000000 + F.col("v")).alias("rv"),
+        )
+    )
+    dir_e = ranked.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.greatest("ru", "rv").alias("dst_rank"),
+    )
+    w1 = dir_e.select("src", F.col("dst").alias("v"), F.col("dst_rank").alias("r1"))
+    w2 = dir_e.select("src", F.col("dst").alias("w"), F.col("dst_rank").alias("r2"))
+    wedge = (
+        w1.join(w2, "src")
+        .filter(F.col("r1") < F.col("r2"))
+        .select("v", "w")
+    ).localCheckpoint(eager=True)
+    ec = e.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    closure = wedge.join(
+        ec,
+        (F.col("cu") == F.least("v", "w")) & (F.col("cv") == F.greatest("v", "w")),
+    )
+    n_tri = closure.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = wedge.agg(F.count(F.lit(1)).alias("n_wedges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )

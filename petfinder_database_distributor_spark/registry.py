@@ -77,8 +77,14 @@ PRIORITY: list[str] = [
     "sample_priority_topk",
     "embedding_gram_matrix",
     "snapshot_clone_cow",
-    # (these three displace decontamination_check / s1_fetch_extract /
-    # search_bm25_topk from the window end into the r9 refresh backlog)
+    "events_retention_cohorts",
+    "market_basket_pairs",
+    "events_anomaly_zscore",
+    "graph_triangle_count",
+    # (the 14 r8 registrations displace decontamination_check /
+    # s1_fetch_extract / search_bm25_topk / dedup_exact /
+    # ann_bruteforce_topk / mm_decode_features / mm_frame_sample from
+    # the window end into the r9 refresh backlog)
     # --- r4-era rows (22, three rounds stale — the whole cohort):
     "p1_html_project",
     "ingest_frontend",
@@ -102,7 +108,7 @@ PRIORITY: list[str] = [
     "ref_null_ratio_filter",
     "ref_placeholder_filter",
     "ref_worklist_urls",
-    # --- r5-era rows (21 of 45 fit; substantive-first):
+    # --- r5-era rows (14 of 45 fit; substantive-first):
     "stream_dedup_replay",
     "stream_session_windows",
     "stream_stateful_counters",
@@ -110,17 +116,13 @@ PRIORITY: list[str] = [
     "stream_upsert_merge",
     "dedup_apply_corpus",
     "dedup_embedding_cosine",
-    "dedup_exact",
     "dedup_ngram_jaccard_salted",
-    "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "g1_datasource_ingest",
     "j1_semi_anti_join",
     "j5_bucketed_join",
     "j6_dpp_join",
-    "mm_decode_features",
-    "mm_frame_sample",
 ]
 
 

@@ -628,3 +628,33 @@ def test_bpe_encode_narrow_until_doc_agg(spark):
     p = plan_of(spark, "bpe_encode_segments")
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert len(re.findall(r"Exchange \(\d+\)", p)) <= 2, p
+
+
+def test_basket_and_triangles_never_all_pairs(spark):
+    """Co-occurrence mining self-joins on the ORDER key (fan-out bounded
+    by basket size) and triangle counting joins degree-ordered wedges on
+    equi-keys: no cartesian anywhere; the only BroadcastNestedLoopJoins
+    are the 1-row scalar assemblies (cross, build side = one aggregate
+    row)."""
+    for name in ("market_basket_pairs", "graph_triangle_count"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+
+
+def test_retention_cohorts_single_key_shuffles(spark):
+    """The cohort matrix reduces (user, week) FIRST: no window over raw
+    events anywhere in the plan (the naive per-user rank would sort the
+    corpus)."""
+    p = plan_of(spark, "events_retention_cohorts")
+    assert "Window" not in p
+
+
+def test_anomaly_zscore_pure_integer_window(spark):
+    """The z-score test is cross-multiplied into integers: one user-keyed
+    window, no sqrt/pow/divide in the plan."""
+    import re
+
+    p = plan_of(spark, "events_anomaly_zscore")
+    assert len(re.findall(r"Window \(\d+\)", p)) == 1, "exactly one window op"
+    for fn in ("SQRT", "POWER", "sqrt(", "pow("):
+        assert fn not in p, fn
