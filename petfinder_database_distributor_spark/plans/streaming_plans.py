@@ -476,3 +476,50 @@ def stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.unix_micros("ts").alias("last_ts_us"),
     )
+
+
+@register(
+    "stream_anomaly_zscore",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             count(*) OVER w AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) OVER w AS q
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, c AS value_cents, n::BIGINT AS n_window,
+           s::BIGINT AS sum_cents
+    FROM ev
+    WHERE n = 8 AND (n*c - s)*(n*c - s) > 4*(n*q - s*s)
+    """,
+    doc="The z-score anomaly detector as a LIVE stateful stream "
+    "(applyInPandasWithState, streaming/incremental.py::"
+    "stateful_anomaly_flags): per-user state is the trailing 8 "
+    "cent-quantized values — O(window) bytes per key forever, the "
+    "bounded-state requirement of an unbounded stream — and each "
+    "arriving event is tested with the same cross-multiplied "
+    "pure-integer comparison as the batch twin (events_anomaly_zscore), "
+    "so the stream's lifetime output is BIT-EQUAL to the batch window "
+    "query: the oracle is literally the same SQL. Time-contiguous "
+    "micro-batches make arrival order event-time order across batches; "
+    "an in-batch sort imposes it within one. This is the operator shape "
+    "a 100 TB event firehose needs for online outlier flagging: one "
+    "user-keyed state store, no rescans, no windows over history.",
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        stateful_anomaly_flags,
+    )
+
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4, contiguous=True)
+    ev = read_event_stream(spark, stage, max_files=2).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    return _run_to_memory(stateful_anomaly_flags(ev), "update")

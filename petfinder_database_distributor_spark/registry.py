@@ -80,8 +80,9 @@ PRIORITY: list[str] = [
     "events_retention_cohorts",
     "market_basket_pairs",
     "events_anomaly_zscore",
+    "stream_anomaly_zscore",
     "graph_triangle_count",
-    # (the 14 r8 registrations displace decontamination_check /
+    # (the 15 r8 registrations displace decontamination_check /
     # s1_fetch_extract / search_bm25_topk / dedup_exact /
     # ann_bruteforce_topk / mm_decode_features / mm_frame_sample from
     # the window end into the r9 refresh backlog)
@@ -108,7 +109,7 @@ PRIORITY: list[str] = [
     "ref_null_ratio_filter",
     "ref_placeholder_filter",
     "ref_worklist_urls",
-    # --- r5-era rows (14 of 45 fit; substantive-first):
+    # --- r5-era rows (13 of 45 fit; substantive-first):
     "stream_dedup_replay",
     "stream_session_windows",
     "stream_stateful_counters",
@@ -122,7 +123,6 @@ PRIORITY: list[str] = [
     "g1_datasource_ingest",
     "j1_semi_anti_join",
     "j5_bucketed_join",
-    "j6_dpp_join",
 ]
 
 

@@ -405,3 +405,56 @@ def read_document_stream(
         .option("maxFilesPerTrigger", max_files)
         .parquet(stage_dir)
     )
+
+
+def stateful_anomaly_flags(stream: DataFrame, window: int = 8) -> DataFrame:
+    """The batch z-score anomaly test (plans/advanced_relational.py::
+    events_anomaly_zscore) as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``): per user, keep the trailing ``window``
+    cent-quantized values as state (a bounded array — O(window) bytes per
+    key forever), and flag an arriving event when its deviation from the
+    trailing mean exceeds 2 trailing standard deviations. The test is the
+    same cross-multiplied pure-integer comparison as the batch twin —
+    (n*x - S)^2 > 4*(n*Q - S^2) — so no float ever enters state or
+    output, and the streaming result is BIT-EQUAL to the batch query
+    whenever arrival order is event-time order (the time-contiguous
+    staging guarantees it across batches; an explicit in-batch sort
+    guarantees it within one)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (vals,) = state.get if state.exists else ([],)
+        vals = list(vals)
+        out = []
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        # arrival order within a micro-batch is partition-arbitrary; the
+        # contract is event-time order, so impose it before folding state
+        batch = batch.sort_values(["ts", "event_id"])
+        cents = batch["value"].mul(100).round().astype("int64")
+        for eid, c in zip(batch["event_id"].astype("int64"), cents):
+            if len(vals) >= window:
+                w = vals[-window:]
+                n, s = window, sum(w)
+                q = sum(x * x for x in w)
+                dev = n * int(c) - s
+                if dev * dev > 4 * (n * q - s * s):
+                    out.append((int(eid), int(key[0]), int(c), n, s))
+            vals = (vals + [int(c)])[-window:]
+        state.update((vals,))
+        yield pd.DataFrame(
+            out,
+            columns=["event_id", "user_id", "value_cents", "n_window", "sum_cents"],
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_id long, user_id long, value_cents long,"
+            " n_window long, sum_cents long"
+        ),
+        stateStructType="vals array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
