@@ -2635,12 +2635,21 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document-level dedup can't do.",
 )
 def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    from petfinder_database_distributor_spark.operators.text import md5int, tokens
     from petfinder_database_distributor_spark.util import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return _span_overlap_frame(docs)
+
+
+def _span_overlap_frame(docs: DataFrame) -> DataFrame:
+    """Shared core of dedup_span_overlap / corpus_span_excision: maximal
+    cross-document repeated spans as (doc_a, doc_b, start_a, start_b,
+    n_chunks, span_tokens) — see the registration docstring above for the
+    algorithm and its bounds."""
+    from pyspark.sql.window import Window
+
+    from petfinder_database_distributor_spark.operators.text import md5int, tokens
+
     toks = tokens(F.col("text"))
     chunks = (
         docs.select("doc_id", toks.alias("t"))
@@ -2766,4 +2775,89 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = emb.select(qe.alias("qe")).mapInPandas(gram_batches, out_schema)
     return partials.groupBy("i", "j").agg(
         F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
+
+
+@register(
+    "corpus_span_excision",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    chunks AS (
+      SELECT doc_id, m.m AS pos,
+             {MD5INT_SQL.format(x="array_to_string(t[m.m + 1 : m.m + 8], ' ')")} AS h
+      FROM toks, unnest(range(len(t) - 7)) m(m)
+      WHERE len(t) >= 8),
+    capped AS (
+      SELECT * FROM chunks
+      WHERE h IN (SELECT h FROM chunks GROUP BY h
+                  HAVING count(*) BETWEEN 2 AND 32)),
+    hits AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, a.pos - b.pos AS d
+      FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, d, pos_a,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, d
+                                        ORDER BY pos_a) AS run_id
+      FROM (SELECT DISTINCT doc_a, doc_b, pos_a, d FROM hits)),
+    spans AS (
+      SELECT doc_a, doc_b, (min(pos_a) - d)::BIGINT AS start_b,
+             count(*)::BIGINT AS n_chunks
+      FROM runs GROUP BY doc_a, doc_b, d, run_id
+      HAVING count(*) >= 5),
+    dead AS (
+      SELECT DISTINCT doc_b AS doc_id, start_b + r.i AS pos
+      FROM spans, unnest(range(n_chunks + 7)) r(i))
+    SELECT t.doc_id,
+           len(t.t)::BIGINT AS n_tokens_before,
+           (len(t.t) - coalesce(dd.n_dead, 0))::BIGINT AS n_tokens_after
+    FROM toks t
+    LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n_dead
+               FROM dead GROUP BY 1) dd USING (doc_id)
+    WHERE t.doc_id IS NOT NULL
+    """,
+    doc="Span EXCISION — the action dedup_span_overlap's output exists "
+    "for (Lee et al. 2022 cut repeated substrings rather than dropping "
+    "documents): every detected shared span is removed from the "
+    "HIGHER-id document of its pair (the lower id stays canonical, the "
+    "same keep-min convention as the dedup family), and the query "
+    "reports per-document token counts before/after. Overlapping spans "
+    "from different pairs union position-wise (explode span -> distinct "
+    "(doc, pos) -> one anti-semantics count join), so double-covered "
+    "tokens are excised once — interval union as bulk relations, no "
+    "per-doc loops. Cost is bounded by TOTAL SPAN LENGTH (true "
+    "duplication mass), not corpus size; docs without spans pass "
+    "through via the left join. At 100 TB this is the byte-recovery "
+    "step document-level dedup can't do: near-identical docs keep their "
+    "unique tails, only the repeated middle dies.",
+)
+def corpus_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+    from petfinder_database_distributor_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    )
+    spans = _span_overlap_frame(docs)
+    dead = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("n_chunks") + F.lit(6),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dead"))
+    )
+    per_doc = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+    return per_doc.join(dead, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens_before"),
+        (F.col("n") - F.coalesce(F.col("n_dead"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_after"),
     )

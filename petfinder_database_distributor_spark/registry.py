@@ -74,6 +74,7 @@ PRIORITY: list[str] = [
     "ann_ivf_pq_topk",
     "bpe_encode_segments",
     "dedup_span_overlap",
+    "corpus_span_excision",
     "sample_priority_topk",
     "embedding_gram_matrix",
     "snapshot_clone_cow",
@@ -82,7 +83,7 @@ PRIORITY: list[str] = [
     "events_anomaly_zscore",
     "stream_anomaly_zscore",
     "graph_triangle_count",
-    # (the 15 r8 registrations displace decontamination_check /
+    # (the 16 r8 registrations displace decontamination_check /
     # s1_fetch_extract / search_bm25_topk / dedup_exact /
     # ann_bruteforce_topk / mm_decode_features / mm_frame_sample from
     # the window end into the r9 refresh backlog)
@@ -109,7 +110,7 @@ PRIORITY: list[str] = [
     "ref_null_ratio_filter",
     "ref_placeholder_filter",
     "ref_worklist_urls",
-    # --- r5-era rows (13 of 45 fit; substantive-first):
+    # --- r5-era rows (12 of 45 fit; substantive-first):
     "stream_dedup_replay",
     "stream_session_windows",
     "stream_stateful_counters",
@@ -120,7 +121,6 @@ PRIORITY: list[str] = [
     "dedup_ngram_jaccard_salted",
     "ann_ivf_topk",
     "ann_lsh_topk",
-    "g1_datasource_ingest",
     "j1_semi_anti_join",
     "j5_bucketed_join",
 ]
