@@ -933,12 +933,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select("o", F.col("p").alias("u"))
     b = li.select("o", F.col("p").alias("v"))
+    from pyspark.storagelevel import StorageLevel
+
+    # e feeds degrees, wedges AND closure; wedge feeds closure + count.
+    # Both are materialized ONCE — but DISK_ONLY, never in the driver
+    # JVM's memory store: the co-purchase graph is dense (TPC-H orders
+    # draw parts uniformly), so the wedge set is tens of millions of
+    # rows at moderate SF (~334 MB deserialized at sf0.01) and a
+    # MEMORY_AND_DISK checkpoint pins most of a small driver heap until
+    # the ContextCleaner gets around to it — measured as THE cause of a
+    # mid-window OOM in a default-1GiB 50-query session. Disk blocks
+    # cost a re-read, not residency.
     e = (
         a.join(b, "o")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint(eager=True)  # feeds degrees, wedges AND closure
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     deg = (
         e.select(F.col("u").alias("x"))
@@ -966,7 +977,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         w1.join(w2, "src")
         .filter(F.col("r1") < F.col("r2"))
         .select("v", "w")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     ec = e.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
     closure = wedge.join(
         ec,
