@@ -767,8 +767,9 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-engine. The pair join is SELF-JOIN ON THE ORDER KEY, whose "
     "fan-out is bounded by basket size (TPC-H <= 7 lines/order), never "
     "corpus^2 — the same bounded-blocking argument as the dedup family; "
-    "per-part supports are |parts| rows (broadcast back), the order "
-    "total is a 1-row broadcast, and the top-200 is "
+    "per-part supports are |parts| rows (AQE broadcasts them back "
+    "while small — no mandatory hint, |parts| grows with the corpus), "
+    "the order total is a 1-row broadcast, and the top-200 is "
     "TakeOrderedAndProject. At 100 TB: one orderkey shuffle + bounded "
     "per-key pair expansion + a parts-sized aggregate — the classic "
     "co-occurrence-mining shape.",
@@ -795,12 +796,15 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
+        # per_part is |parts| rows — corpus-growing, so no mandatory
+        # F.broadcast() hint: AQE broadcasts while small, degrades to a
+        # shuffle join instead of a driver OOM at 100 TB part counts
         pair.join(
-            F.broadcast(per_part.select(F.col("p").alias("part_a"), F.col("n_orders").alias("orders_a"))),
+            per_part.select(F.col("p").alias("part_a"), F.col("n_orders").alias("orders_a")),
             "part_a",
         )
         .join(
-            F.broadcast(per_part.select(F.col("p").alias("part_b"), F.col("n_orders").alias("orders_b"))),
+            per_part.select(F.col("p").alias("part_b"), F.col("n_orders").alias("orders_b")),
             "part_b",
         )
         .crossJoin(F.broadcast(total))
@@ -889,17 +893,17 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT x, count(*)::BIGINT AS d FROM (
         SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
     dir AS (
-      SELECT CASE WHEN du.d * 1000000 + e.u < dv.d * 1000000 + e.v
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v)
                   THEN e.u ELSE e.v END AS src,
-             CASE WHEN du.d * 1000000 + e.u < dv.d * 1000000 + e.v
-                  THEN dv.d * 1000000 + e.v ELSE du.d * 1000000 + e.u
-             END AS dst_rank,
-             CASE WHEN du.d * 1000000 + e.u < dv.d * 1000000 + e.v
-                  THEN e.v ELSE e.u END AS dst
+             CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                  THEN e.v ELSE e.u END AS dst,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                  THEN dv.d ELSE du.d END AS dst_d
       FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
     wedge AS (
       SELECT a.dst AS v, b.dst AS w
-      FROM dir a JOIN dir b ON a.src = b.src AND a.dst_rank < b.dst_rank),
+      FROM dir a JOIN dir b ON a.src = b.src
+       AND (a.dst_d, a.dst) < (b.dst_d, b.dst)),
     tri AS (
       SELECT count(*)::BIGINT AS n_triangles
       FROM wedge JOIN e ON (e.u = least(wedge.v, wedge.w)
@@ -924,11 +928,16 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Directing by degree bounds per-node wedge fan-out by O(sqrt(m)) "
     "instead of max-degree^2 — the difference between a hub node "
     "generating d^2 wedges and the bounded form, i.e. the skew story "
-    "for graphs. Every count is an exact integer; rank = deg*1e6 + id "
-    "is a single BIGINT carrying the lexicographic (degree, id) order "
-    "through both engines identically. Plan: bounded basket self-join "
-    "-> degree agg (|nodes| rows, broadcast back) -> wedge equi-join on "
-    "src -> closure equi-join on the undirected pair.",
+    "for graphs. Every count is an exact integer; the (degree, id) "
+    "order is compared as a true TWO-KEY ordering in both engines "
+    "(Spark boolean pair-compare, DuckDB row-value compare) — an "
+    "arithmetic encoding like deg*1e6+id silently collides once ids "
+    "exceed the multiplier (TPC-H SF>=5 has >1e6 parts), corrupting "
+    "wedge direction at exactly the scales that matter. Plan: bounded "
+    "basket self-join -> degree agg (|nodes| rows; AQE broadcasts it "
+    "back while small — no mandatory hint, |nodes| grows with the "
+    "corpus) -> wedge equi-join on src -> closure equi-join on the "
+    "undirected pair.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
@@ -965,25 +974,35 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # deg has |nodes| rows — tiny at test SF but corpus-growing, so no
+    # mandatory F.broadcast() hint: AQE picks the broadcast join while it
+    # fits and degrades to shuffle instead of OOM when it doesn't
     ranked = (
-        e.join(F.broadcast(deg.select(F.col("x").alias("u"), F.col("d").alias("du"))), "u")
-        .join(F.broadcast(deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))), "v")
-        .select(
-            "u", "v",
-            (F.col("du") * 1000000 + F.col("u")).alias("ru"),
-            (F.col("dv") * 1000000 + F.col("v")).alias("rv"),
-        )
+        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    # true two-key (degree, id) ordering — an arithmetic rank encoding
+    # collides once ids outgrow the multiplier and silently drops wedges
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     dir_e = ranked.select(
-        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.greatest("ru", "rv").alias("dst_rank"),
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
     )
-    w1 = dir_e.select("src", F.col("dst").alias("v"), F.col("dst_rank").alias("r1"))
-    w2 = dir_e.select("src", F.col("dst").alias("w"), F.col("dst_rank").alias("r2"))
+    w1 = dir_e.select(
+        "src", F.col("dst").alias("v"), F.col("dst_d").alias("d1")
+    )
+    w2 = dir_e.select(
+        "src", F.col("dst").alias("w"), F.col("dst_d").alias("d2")
+    )
     wedge = (
         w1.join(w2, "src")
-        .filter(F.col("r1") < F.col("r2"))
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            | ((F.col("d1") == F.col("d2")) & (F.col("v") < F.col("w")))
+        )
         .select("v", "w")
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     ec = e.select(F.col("u").alias("cu"), F.col("v").alias("cv"))

@@ -1280,6 +1280,18 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
     snapshot_write(spark, table_dir, ev.filter(F.col("event_id") % 3 == 0))
     snapshot_append(spark, table_dir, ev.filter(F.col("event_id") % 3 == 1))
+    # committed_at is rounded to MILLISECONDS: if v2 committed inside
+    # v1's same rounded ms, the midpoint probe below would resolve v2 —
+    # a rare flake, not a pin. Guarantee strict separation by letting
+    # the rounded clock tick past v1's commit before appending v2.
+    import time
+
+    v1_at = {
+        r["version"]: r["committed_at"]
+        for r in snapshot_history(spark, table_dir).collect()
+    }[1]
+    while round(time.time(), 3) <= v1_at:
+        time.sleep(0.001)
     snapshot_append(spark, table_dir, ev.filter(F.col("event_id") % 3 == 2))
     # one 3-row metadata pull: the history table IS driver-side manifests.
     # The probe instant is the MIDPOINT of v1's and v2's commit times (ms
@@ -1290,6 +1302,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["version"]: r["committed_at"]
         for r in snapshot_history(spark, table_dir).collect()
     }
+    assert hist[2] > hist[1], "commit clock must have advanced"
     as_of = datetime.fromtimestamp((hist[1] + hist[2]) / 2).isoformat()
     scan = (
         spark.read.format("snapshot")

@@ -216,14 +216,47 @@ def _bloom_hash(value) -> int:
     Integer-valued floats collapse to the integer form so ``col = 5``
     finds a DOUBLE 5.0; genuinely fractional floats are hashed on their
     shortest-round-trip repr (both engines produce the same repr for the
-    same IEEE double). NULLs never enter a bloom — a null-equality
-    predicate matches nothing anyway."""
+    same IEEE double). Bytes, Decimal, and date/datetime get EXPLICIT
+    canonical forms because their default ``str`` differs between the two
+    arrival paths (bytes vs bytearray, Decimal scale, tz-aware vs naive)
+    — a divergence is a false NEGATIVE (file skipped, rows vanish), not a
+    conservative false positive. NULLs never enter a bloom — a
+    null-equality predicate matches nothing anyway."""
+    import datetime
+    import decimal
     import hashlib
 
     if isinstance(value, bool):
         value = int(value)
     elif isinstance(value, float) and value.is_integer():
         value = int(value)
+    elif isinstance(value, decimal.Decimal):
+        # scale-normalize: Decimal('5.00') == Decimal('5') must hash equal
+        # (and equal to int 5, so a `col = 5` literal finds DECIMAL columns)
+        if value == value.to_integral_value():
+            value = int(value)
+        else:
+            value = format(value.normalize(), "f")
+    elif isinstance(value, (bytes, bytearray, memoryview)):
+        # str(bytes) -> "b'..'" but str(bytearray) -> "bytearray(b'..')";
+        # hash the hex payload so both arrival forms collide
+        value = "bin:" + bytes(value).hex()
+    elif isinstance(value, datetime.datetime):
+        # naive (Spark-pushed literal, UTC session) and tz-aware (pyarrow)
+        # must agree: normalize to epoch micros in UTC
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=datetime.timezone.utc)
+        _epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        value = "ts:%d" % ((value - _epoch) // datetime.timedelta(microseconds=1))
+    elif isinstance(value, datetime.date):
+        value = "date:" + value.isoformat()
+    elif not isinstance(value, (int, float, str)):
+        # a canonicalization gap here is a bloom FALSE NEGATIVE (file
+        # skipped, matching rows silently vanish) — refuse, don't guess
+        raise TypeError(
+            f"bloom value of unsupported type {type(value).__name__}; "
+            "supported: int/float/str/bool/bytes/Decimal/date/datetime"
+        )
     return int.from_bytes(
         hashlib.md5(str(value).encode("utf-8")).digest(), "big"
     )
@@ -235,10 +268,11 @@ def _bloom_positions(value, m_bits: int, k: int = _BLOOM_K) -> list:
 
 
 def _bloom_size_bits(n_rows: int) -> int:
-    """~16 bits per distinct value, power-of-two, floor 8 KiB: with k=4
-    probes that's fpp = (1 - e^(-4/16))^4 ~= 0.24% — a point lookup
-    keeps ~1 in 400 non-matching files. Sized per FILE from its own row
-    count, so the guarantee holds at any file size."""
+    """~16 bits per NON-NULL ROW (an upper bound on distinct values, so
+    the sizing is conservative), power-of-two, floor 8192 bits = 1 KiB:
+    with k=4 probes that's fpp = (1 - e^(-4/16))^4 ~= 0.24% — a point
+    lookup keeps ~1 in 400 non-matching files. Sized per FILE from its
+    own row count, so the guarantee holds at any file size."""
     return max(8192, 1 << (int(n_rows) * 16 - 1).bit_length())
 
 

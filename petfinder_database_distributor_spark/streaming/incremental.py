@@ -82,6 +82,19 @@ def _fresh_dir(path: str) -> str:
     return path
 
 
+def _cents_half_away(values) -> "object":
+    """Quantize a dollars Series to integer cents rounding half AWAY from
+    zero — the semantics of Spark ``F.round`` and DuckDB ``round()``.
+    pandas ``Series.round()`` is banker's (half-to-even), so a value whose
+    ``value*100`` lands exactly on .5 in IEEE double (0.125, 0.375, ...)
+    would quantize differently from the batch twin / oracle and silently
+    flip near-threshold verdicts."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    scaled = values.to_numpy(dtype="float64") * 100.0
+    return np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype("int64")
+
+
 # Staged chunk layouts are pure functions of (sf_dir, params) over an
 # immutable input table — stage each layout ONCE per process (and reuse a
 # completed staging from an earlier process via the _ok marker) instead of
@@ -300,7 +313,7 @@ def stateful_user_counters(stream: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            cents += int(_cents_half_away(pdf["value"]).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
@@ -432,7 +445,7 @@ def stateful_anomaly_flags(stream: DataFrame, window: int = 8) -> DataFrame:
         # arrival order within a micro-batch is partition-arbitrary; the
         # contract is event-time order, so impose it before folding state
         batch = batch.sort_values(["ts", "event_id"])
-        cents = batch["value"].mul(100).round().astype("int64")
+        cents = _cents_half_away(batch["value"])
         for eid, c in zip(batch["event_id"].astype("int64"), cents):
             if len(vals) >= window:
                 w = vals[-window:]

@@ -641,6 +641,27 @@ def test_basket_and_triangles_never_all_pairs(spark):
         assert "CartesianProduct" not in p, name
 
 
+def test_basket_and_triangles_no_mandatory_broadcast_on_growing_dims(spark):
+    """The per-part support and per-node degree sides are |parts| / |nodes|
+    rows — corpus-growing — so the joins must NOT carry a mandatory
+    F.broadcast() hint: at 100 TB a hard hint is a driver OOM where AQE
+    would have degraded to a shuffle join. The only allowed hints are on
+    provably bounded frames (1-row scalar aggregates)."""
+    for name in ("market_basket_pairs", "graph_triangle_count"):
+        logical = str(
+            SPECS[name].fn(spark, SF_SMALL)._jdf.queryExecution().analyzed()
+        )
+        hints = [
+            ln for ln in logical.splitlines() if "ResolvedHint" in ln
+        ]
+        # scalar assemblies (count/agg-to-one-row crossJoins) may stay
+        # hinted; any hinted join that scans a base table is the bug
+        for h in hints:
+            assert "broadcast" in h.lower(), h
+        n_scalar_ok = {"market_basket_pairs": 1, "graph_triangle_count": 3}
+        assert len(hints) <= n_scalar_ok[name], (name, hints)
+
+
 def test_retention_cohorts_single_key_shuffles(spark):
     """The cohort matrix reduces (user, week) FIRST: no window over raw
     events anywhere in the plan (the naive per-user rank would sort the

@@ -1176,3 +1176,45 @@ def test_clone_dangles_after_source_vacuum(spark, table_dir):
             snapshot_read(spark, dst).collect()
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_bloom_hash_canonicalizes_cross_path_types():
+    """Write-side values arrive as pyarrow to_pylist elements, read-side as
+    Spark-pushed literals — and bytes/bytearray, Decimal scale, and
+    tz-aware/naive datetimes all str() differently between the two. A
+    divergence is a bloom FALSE NEGATIVE (file skipped, matching rows
+    silently vanish), so each pair must hash identically, and unsupported
+    types must refuse instead of guessing."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from petfinder_database_distributor_spark.sources.snapshot import _bloom_hash
+
+    # bytes vs bytearray vs memoryview (pyarrow vs pyspark arrival forms)
+    assert (
+        _bloom_hash(b"\x01\xff")
+        == _bloom_hash(bytearray(b"\x01\xff"))
+        == _bloom_hash(memoryview(b"\x01\xff"))
+    )
+    # Decimal scale normalization, and integral Decimal == int literal
+    assert _bloom_hash(Decimal("5.00")) == _bloom_hash(Decimal("5")) == _bloom_hash(5)
+    assert _bloom_hash(Decimal("1.250")) == _bloom_hash(Decimal("1.25"))
+    assert _bloom_hash(Decimal("1.25")) != _bloom_hash(Decimal("1.26"))
+    # tz-aware (pyarrow) vs naive-UTC (Spark literal) timestamps
+    aware = dt.datetime(2024, 3, 1, 12, 30, 45, 123456, tzinfo=dt.timezone.utc)
+    naive = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    offset = dt.datetime(
+        2024, 3, 1, 14, 30, 45, 123456,
+        tzinfo=dt.timezone(dt.timedelta(hours=2)),
+    )
+    assert _bloom_hash(aware) == _bloom_hash(naive) == _bloom_hash(offset)
+    # a date is not a datetime is not a string
+    assert _bloom_hash(dt.date(2024, 3, 1)) != _bloom_hash("2024-03-01")
+    # ints/bools/integer-floats still collapse ("1" colliding with 1 is a
+    # harmless false POSITIVE — the exact predicate re-applies)
+    assert _bloom_hash(True) == _bloom_hash(1) == _bloom_hash(1.0)
+    # refuse unknown types rather than silently false-negative later
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        _bloom_hash(["not", "hashable", "canonically"])
