@@ -647,44 +647,34 @@ def _assign_int(vecs: DataFrame, centroids: DataFrame, vid: str) -> DataFrame:
     )
 
 
-def ivf_pq_topk(
-    queries: DataFrame,
+def ivf_pq_train(
     corpus: DataFrame,
-    k: int = 5,
     n_clusters: int = 16,
     iters: int = 1,
-    nprobe: int = 4,
     m_sub: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
-    rerank: int = 64,
     scale: int = 1000,
-    qid: str = "query_id",
     cid: str = "vec_id",
-    qvec: str = "qvec",
     cvec: str = "embedding",
-) -> DataFrame:
-    """IVF+PQ ANN top-k — the two scale levers COMPOSED, as the big
-    vector systems ship them (FAISS IVFPQ, SPANN-style): IVF bounds how
-    many vectors a query touches (only ``nprobe`` of ``n_clusters``
-    cells are scanned), PQ bounds how many bytes each touched vector
-    costs (``m_sub`` 4-bit codes of its RESIDUAL against its cell
-    centroid). At 100 TB: corpus partitioned by cell, a query's work is
-    nprobe cell scans of a few bytes/vector, full embeddings touched
-    only for the ``rerank`` survivors.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the IVF+PQ index structures over ``corpus`` and return
+    ``(centroids, codebook, codes)`` — the three BUILD-ONCE artifacts a
+    serving deployment persists (as snapshot tables; see
+    plans/llm_pipeline.py ann_index_probe_topk) so no query ever pays
+    the Lloyd iterations again:
 
-    Residual encoding is what makes the composition better than either
-    half: within a cell, vectors share their centroid's direction, so
-    residuals are small and the per-subspace codebook spends its 16
-    codewords on the REMAINING variance. All integer arithmetic
-    (quantized vectors, re-quantized integer centroids and codewords),
-    hence deterministic and oracle-checkable like ivf_topk/pq_adc_topk.
+    - centroids: (centroid_id int, icvec array<long>) — n_clusters rows.
+    - codebook:  (m, j int, cw array<long>) — m_sub*n_codes rows.
+    - codes:     (vec_id, code array<int>, centroid_id) — one row per
+      corpus vector: its cell + m_sub 4-bit residual codewords, the only
+      corpus-sized artifact (a few bytes/vector).
 
-    Scoring: ip(q, centroid + decoded_residual) = ip(q, centroid) +
-    sum_m LUT_q[m, code_m] where LUT_q is the query's subvector-x-
-    codeword table — ONE tiny LUT per query reused across every probed
-    cell, plus one integer dot per (query, cell). Ranking by this
-    integer score, then exact-cosine re-rank of the top ``rerank``."""
+    All integer arithmetic (quantized vectors, re-quantized integer
+    centroids and codewords) — deterministic, hence the trained index is
+    itself oracle-checkable. New vectors join WITHOUT retraining via
+    :func:`ivf_pq_encode` (assign to the nearest existing cell, residual-
+    encode with the existing codebook) — FAISS's add-after-train contract."""
     qcorpus = corpus.select(
         F.col(cid), quantize(F.col(cvec), scale).alias("qe")
     ).persist()
@@ -738,7 +728,75 @@ def ivf_pq_topk(
     )
     subs.unpersist()
     resid.unpersist()
+    return centroids, cb, codes
 
+
+def ivf_pq_encode(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    cb: DataFrame,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    scale: int = 1000,
+    cid: str = "vec_id",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """Encode NEW vectors against an EXISTING trained index — assign each
+    to its nearest committed centroid and residual-encode with the
+    committed codebook, no Lloyd iteration anywhere. This is the index
+    MAINTENANCE path: at 100 TB, arrivals append their (cell, codes) rows
+    to the codes table (snapshot_merge) while centroids/codebook stay
+    immutable until the next scheduled retrain — FAISS ``add()`` vs
+    ``train()``. Returns (vec_id, code array<int>, centroid_id) rows,
+    schema-identical to :func:`ivf_pq_train`'s codes output."""
+    qv = vecs.select(F.col(cid), quantize(F.col(cvec), scale).alias("qe"))
+    ivf = _assign_int(qv, centroids, cid)
+    resid = ivf.join(F.broadcast(centroids), "centroid_id").select(
+        F.col(cid),
+        "centroid_id",
+        F.zip_with("qe", "icvec", lambda x, c: x - c).alias("qe"),
+    )
+    subs = _pq_subvectors(resid, cid, m_sub, sub_dim)
+    return (
+        _pq_assign(subs, cb, cid)
+        .groupBy(cid)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "j"))),
+                lambda e: e["j"],
+            ).alias("code")
+        )
+        .join(resid.select(cid, "centroid_id"), cid)
+    )
+
+
+def ivf_pq_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    rerank: int = 64,
+    scale: int = 1000,
+    qid: str = "query_id",
+    cid: str = "vec_id",
+    qvec: str = "qvec",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ SEARCH against trained/committed index structures — the
+    query-time half of the FAISS IVFPQ split, with ZERO training in the
+    plan. Per query: rank the (broadcast, bounded-by-config) centroids,
+    keep ``nprobe`` cells, build one tiny m_sub x n_codes LUT from the
+    (broadcast) codebook, ADC-score only the probed cells' codes rows,
+    exact-cosine re-rank of the top ``rerank`` against raw embeddings.
+    Scoring identity: ip(q, centroid + decoded_residual) = ip(q, c) +
+    sum_m LUT_q[m, code_m] — exact integers throughout the approximate
+    stage, so the ranking is bit-reproducible cross-engine."""
     qq = queries.select(F.col(qid), quantize(F.col(qvec), scale).alias("qe"))
     # cell probes: rank cells by cosine, keep nprobe, carry the exact
     # integer correction term ip(q, centroid) for the ADC score
@@ -802,4 +860,70 @@ def ivf_pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid, cid, "rank", F.round(F.col("cos"), 6).alias("cos_r"))
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    iters: int = 1,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    rerank: int = 64,
+    scale: int = 1000,
+    qid: str = "query_id",
+    cid: str = "vec_id",
+    qvec: str = "qvec",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ ANN top-k — the two scale levers COMPOSED, as the big
+    vector systems ship them (FAISS IVFPQ, SPANN-style): IVF bounds how
+    many vectors a query touches (only ``nprobe`` of ``n_clusters``
+    cells are scanned), PQ bounds how many bytes each touched vector
+    costs (``m_sub`` 4-bit codes of its RESIDUAL against its cell
+    centroid). At 100 TB: corpus partitioned by cell, a query's work is
+    nprobe cell scans of a few bytes/vector, full embeddings touched
+    only for the ``rerank`` survivors.
+
+    Residual encoding is what makes the composition better than either
+    half: within a cell, vectors share their centroid's direction, so
+    residuals are small and the per-subspace codebook spends its 16
+    codewords on the REMAINING variance.
+
+    This is the one-shot composition train -> probe (oracle-parity
+    form); a deployment persists :func:`ivf_pq_train`'s output once and
+    serves every query through :func:`ivf_pq_probe` alone — see
+    ``ann_index_probe_topk``."""
+    centroids, cb, codes = ivf_pq_train(
+        corpus,
+        n_clusters=n_clusters,
+        iters=iters,
+        m_sub=m_sub,
+        sub_dim=sub_dim,
+        n_codes=n_codes,
+        scale=scale,
+        cid=cid,
+        cvec=cvec,
+    )
+    return ivf_pq_probe(
+        queries,
+        centroids,
+        cb,
+        codes,
+        corpus,
+        k=k,
+        nprobe=nprobe,
+        m_sub=m_sub,
+        sub_dim=sub_dim,
+        n_codes=n_codes,
+        rerank=rerank,
+        scale=scale,
+        qid=qid,
+        cid=cid,
+        qvec=qvec,
+        cvec=cvec,
     )

@@ -498,3 +498,236 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("num") / (F.lit(float(_QC_P)) * F.col("n_toks"))).alias("logit"),
         (F.col("num") > 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index: build once (snapshot tables), probe every query,
+# append maintenance without retrain
+# ---------------------------------------------------------------------------
+
+from petfinder_database_distributor_spark.operators.similarity import (  # noqa: E402
+    ivf_pq_encode,
+    ivf_pq_probe,
+    ivf_pq_train,
+)
+from petfinder_database_distributor_spark.plans.llm_pipeline import (  # noqa: E402
+    _COS_SQL,
+    _IVF_COS,
+    _IVFPQ_ASSIGN,
+    _IVFPQ_UPDATE,
+    _PQ_ASSIGN,
+    _PQ_UPDATE,
+)
+
+_ANN_IDX_MEMO: set[str] = set()
+
+
+def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the corpus's IVF+PQ index ONCE per sf_dir as three snapshot
+    tables under one root (_ok marker + source-mtime reuse guard — the
+    same protocol as the MinHash band index staging above):
+
+    - ``centroids`` — 16 integer k-means cell centers (bounded by CONFIG,
+      broadcastable at any corpus size),
+    - ``codebook``  — 8x16 residual codewords (likewise config-bounded),
+    - ``codes``     — one (cell, 8 codes) row per corpus vector, the only
+      corpus-sized artifact.
+
+    Version 0 of every table is the corpus-only index; maintenance
+    merges (ann_index_append_probe) land as later versions, so reads
+    pinned at v0/v1 are deterministic across repeated calls. This is the
+    100 TB ANN posture the in-line ladder (ann_ivf_topk .. ann_ivf_pq_topk)
+    deliberately lacks: training cost is paid once per corpus build,
+    never per query — FAISS's train()/add()/search() lifecycle on a
+    table format instead of a binary blob."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    root = f"{SCRATCH_ROOT}/ann_ivfpq_index/{tag}"
+    marker = f"{root}._ok"
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    if tag in _ANN_IDX_MEMO or (
+        os.path.exists(marker)
+        and os.path.exists(src)
+        and os.stat(marker).st_mtime > os.stat(src).st_mtime
+    ):
+        _ANN_IDX_MEMO.add(tag)
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    centroids, cb, codes = ivf_pq_train(corpus)
+    snapshot_write(spark, f"{root}/centroids", centroids)
+    snapshot_write(spark, f"{root}/codebook", cb)
+    snapshot_write(spark, f"{root}/codes", codes)
+    with open(marker, "w") as fh:
+        fh.write("staged")
+    _ANN_IDX_MEMO.add(tag)
+    return root
+
+
+# Shared oracle fragments: train the same integer-exact IVF+PQ structures
+# over the corpus subset (vec_id % 5 <> 0) that the staged index holds.
+# The oracle RETRAINS from scratch — the index is an execution artifact,
+# so parity also proves committed-index-probe == recompute equivalence
+# (the same theorem the MinHash index family pins).
+_ANN_IDX_TRAIN_SQL = f"""
+    qa AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qe
+           FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    q AS (SELECT * FROM qa WHERE vec_id % 5 <> 0),
+    c0 AS (SELECT vec_id::INT AS centroid_id, qe AS icvec FROM q WHERE vec_id < 16),
+    a1 AS ({_IVFPQ_ASSIGN.format(vecs="q", cents="c0")}),
+    c1 AS ({_IVFPQ_UPDATE.format(assigned="a1")}),
+    ivf AS ({_IVFPQ_ASSIGN.format(vecs="q", cents="c1")}),
+    resid AS (SELECT f.vec_id,
+                     list_transform(range(64), i -> f.qe[i + 1] - c.icvec[i + 1]) AS re
+              FROM ivf f JOIN c1 c USING (centroid_id)),
+    sv AS (SELECT vec_id, r.m, re[r.m*8+1 : r.m*8+8] AS sv
+           FROM resid, range(0, 8) r(m)),
+    cb0 AS (SELECT m, vec_id::INT AS j, sv AS cw FROM sv WHERE vec_id < 16),
+    a0 AS ({_PQ_ASSIGN.format(cb="cb0")}),
+    cb1 AS ({_PQ_UPDATE.format(assigned="a0")}),
+    codes AS ({_PQ_ASSIGN.format(cb="cb1")})
+"""
+
+
+def _ann_idx_probe_sql(ivf: str, codes: str) -> str:
+    """The query-time half in DuckDB: nprobe=4 cell ranking, per-query
+    LUT, ADC over the probed cells of ``ivf``/``codes``, exact top-5
+    re-rank — identical shape to operators/similarity.py::ivf_pq_probe."""
+    return f"""
+    qq AS (SELECT vec_id AS query_id, qe FROM qa WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, centroid_id, ipqc FROM (
+        SELECT qq.query_id, c.centroid_id,
+               list_inner_product(qq.qe, c.icvec)::BIGINT AS ipqc,
+               row_number() OVER (PARTITION BY qq.query_id
+                                  ORDER BY {_IVF_COS.format(a="qq.qe", b="c.icvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM qq, c1 c) WHERE rn <= 4),
+    qsv AS (SELECT vec_id AS query_id, r.m, qe[r.m*8+1 : r.m*8+8] AS sv
+            FROM qa, range(0, 8) r(m) WHERE vec_id < 8),
+    lut AS (SELECT qs.query_id, qs.m, c.j,
+                   list_inner_product(qs.sv, c.cw)::BIGINT AS ip
+            FROM qsv qs JOIN cb1 c ON qs.m = c.m),
+    adc AS (SELECT p.query_id, f.vec_id,
+                   (max(p.ipqc) + sum(l.ip))::BIGINT AS approx
+            FROM probes p
+            JOIN {ivf} f USING (centroid_id)
+            JOIN {codes} cd ON cd.vec_id = f.vec_id
+            JOIN lut l ON l.query_id = p.query_id
+                      AND l.m = cd.m AND l.j = cd.j
+            WHERE p.query_id <> f.vec_id
+            GROUP BY 1, 2),
+    cand AS (SELECT query_id, vec_id FROM (
+       SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx DESC, vec_id) AS rn FROM adc) WHERE rn <= 64),
+    scored AS (SELECT cand.query_id, cand.vec_id,
+                      {_COS_SQL.format(a="eq.embedding", b="ec.embedding")} AS cos
+               FROM cand JOIN embeddings eq ON eq.vec_id = cand.query_id
+                         JOIN embeddings ec ON ec.vec_id = cand.vec_id)
+    SELECT query_id, vec_id, rank, round(cos, 6) AS cos_r
+    FROM (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_index_probe_topk",
+    oracle=f"""
+    WITH {_ANN_IDX_TRAIN_SQL},
+    {_ann_idx_probe_sql(ivf="ivf", codes="codes")}
+    """,
+    doc="ANN serving against a PERSISTED IVF+PQ index — the 100 TB "
+    "posture the in-line ann_* ladder lacks: centroids, codebook and "
+    "codes are snapshot TABLES staged once per corpus "
+    "(operators/similarity.py::ivf_pq_train committed via "
+    "snapshot_write, v0-pinned reads), and the query path is "
+    "ivf_pq_probe ALONE — nprobe cell ranking against 16 broadcast "
+    "centroid rows, one per-query LUT from 128 broadcast codebook "
+    "rows, ADC over the probed cells' codes, exact top-5 re-rank. "
+    "ZERO Lloyd iterations in the plan (pinned: no ExistingRDD "
+    "checkpoint scans, tests/test_plan_quality.py). The oracle "
+    "retrains the identical integer-exact structures from scratch, so "
+    "parity also proves committed-probe == recompute. FAISS "
+    "train()/search() lifecycle on a table format.",
+)
+def ann_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    root = _ann_index_root(spark, sf_dir)
+    centroids = snapshot_read(spark, f"{root}/centroids", version=0)
+    cb = snapshot_read(spark, f"{root}/codebook", version=0)
+    codes = snapshot_read(spark, f"{root}/codes", version=0)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_pq_probe(queries, centroids, cb, codes, corpus, k=5)
+
+
+@register(
+    "ann_index_append_probe",
+    oracle=f"""
+    WITH {_ANN_IDX_TRAIN_SQL},
+    arr AS (SELECT * FROM qa WHERE vec_id % 5 = 0),
+    aivf AS ({_IVFPQ_ASSIGN.format(vecs="arr", cents="c1")}),
+    aresid AS (SELECT f.vec_id,
+                      list_transform(range(64), i -> f.qe[i + 1] - c.icvec[i + 1]) AS re
+               FROM aivf f JOIN c1 c USING (centroid_id)),
+    asv AS (SELECT vec_id, r.m, re[r.m*8+1 : r.m*8+8] AS sv
+            FROM aresid, range(0, 8) r(m)),
+    acodes AS (SELECT vec_id, m, sv, j FROM (
+      SELECT s.vec_id, s.m, s.sv, c.j,
+             row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+               list_inner_product(s.sv, s.sv)
+                 - 2 * list_inner_product(s.sv, c.cw)
+                 + list_inner_product(c.cw, c.cw), c.j) AS rn
+      FROM asv s JOIN cb1 c ON s.m = c.m) WHERE rn = 1),
+    all_ivf AS (SELECT vec_id, qe, centroid_id FROM ivf
+                UNION ALL SELECT vec_id, qe, centroid_id FROM aivf),
+    all_codes AS (SELECT vec_id, m, sv, j FROM codes
+                  UNION ALL SELECT vec_id, m, sv, j FROM acodes),
+    {_ann_idx_probe_sql(ivf="all_ivf", codes="all_codes")}
+    """,
+    doc="ANN index MAINTENANCE without retrain — FAISS add() as a table "
+    "commit: the held-out arrival slice (vec_id % 5 = 0) is assigned to "
+    "its nearest COMMITTED centroid and residual-encoded with the "
+    "COMMITTED codebook (operators/similarity.py::ivf_pq_encode — zero "
+    "Lloyd iterations), and its codes rows merge into the codes table "
+    "as snapshot v1 (one atomic pointer-swap commit; centroids/codebook "
+    "stay immutable until a scheduled retrain). The probe then serves "
+    "top-5 over the GROWN index (v1-pinned read, so repeated calls are "
+    "deterministic). At 100 TB this is the difference between an index "
+    "and a scan: arrivals cost O(batch) encode + one commit, queries "
+    "never pay training. Oracle retrains + re-encodes from scratch, "
+    "proving append-maintained == recomputed.",
+)
+def ann_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    root = _ann_index_root(spark, sf_dir)
+    centroids = snapshot_read(spark, f"{root}/centroids", version=0)
+    cb = snapshot_read(spark, f"{root}/codebook", version=0)
+    codes_table = f"{root}/codes"
+    if latest_version(codes_table) == 0:
+        # One maintenance merge per staged index: arrivals' codes rows
+        # join as v1; probe reads stay pinned at v1, so repeated calls —
+        # driver, bench, tests — return identical results.
+        arrivals = emb.filter(F.col("vec_id") % 5 == 0)
+        new_codes = ivf_pq_encode(arrivals, centroids, cb)
+        snapshot_merge(
+            spark, codes_table, new_codes,
+            key_cols=["vec_id"], order_cols=["centroid_id"],
+        )
+    codes = snapshot_read(spark, codes_table, version=1)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_pq_probe(queries, centroids, cb, codes, emb, k=5)

@@ -679,3 +679,22 @@ def test_anomaly_zscore_pure_integer_window(spark):
     assert len(re.findall(r"Window \(\d+\)", p)) == 1, "exactly one window op"
     for fn in ("SQRT", "POWER", "sqrt(", "pow("):
         assert fn not in p, fn
+
+
+def test_ann_index_probe_has_zero_training_in_plan(spark):
+    """The persisted-index probe must be pure SEARCH: every training
+    artifact arrives from committed snapshot tables (parquet scans), so
+    the plan may contain NO ExistingRDD scan (the signature of an
+    in-plan localCheckpoint, which only the Lloyd iterations produce)
+    and must actually read the staged index root. This is the pin for
+    'no query ever pays training' — the in-line ann_ivf_pq_topk plan,
+    by contrast, is allowed its checkpoint scans."""
+    p = plan_of(spark, "ann_index_probe_topk")
+    assert "ExistingRDD" not in p, "training leaked into the probe plan"
+    assert "ann_ivfpq_index" in p, "index must come from the committed tables"
+    # the only embeddings scans are the query slice + the exact re-rank
+    # sides — the corpus is never re-signed
+    import re
+
+    n_emb_scans = len(re.findall(r"embeddings\.parquet", p))
+    assert n_emb_scans <= 4, p
