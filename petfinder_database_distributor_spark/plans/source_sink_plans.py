@@ -1324,6 +1324,76 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_concurrent_append",
+    oracle="""
+    SELECT 2 AS version_read, event_id, event_type FROM events
+    WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+    """,
+    doc="Multi-writer optimistic concurrency through the commit protocol: "
+    "two appends race from two threads released by a barrier (same-table, "
+    "same-instant — the worst case the flock+re-verify window exists "
+    "for). Each writer stages data under its own unique directory, takes "
+    "the metadata-only critical section, and the loser's pointer swap "
+    "fails with SnapshotConflictError; snapshot_append_optimistic "
+    "re-reads the fresh base and redoes the append, so BOTH batches land "
+    "regardless of interleaving. Final state is deterministic: latest = "
+    "v2 (base + two appends in either order) with the union of all three "
+    "slices — which the oracle states as plain SQL over the source "
+    "table. The deterministically-FORCED single-retry interleaving is "
+    "pinned in tests/test_snapshot_table.py (a competing commit injected "
+    "between a writer's base read and its swap). sources/snapshot.py:"
+    "_commit_metadata / snapshot_append_optimistic.",
+)
+def snapshot_concurrent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import threading
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        latest_version as snap_latest,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_append_optimistic,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_id", "event_type")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/snap_concurrent_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
+    snapshot_write(spark, table_dir, ev.filter(F.col("event_id") % 3 == 0))
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def writer(slice_df: DataFrame) -> None:
+        try:
+            barrier.wait(timeout=60)
+            snapshot_append_optimistic(spark, table_dir, slice_df)
+        except Exception as exc:  # surfaced to the caller below
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(ev.filter(F.col("event_id") % 3 == r),))
+        for r in (1, 2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    final_v = snap_latest(table_dir)
+    scan = snapshot_read(spark, table_dir, version=final_v)
+    return scan.select(
+        F.lit(final_v).alias("version_read"), "event_id", "event_type"
+    )
+
+
+@register(
     "snapshot_partitioned_source_scan",
     oracle="""
     SELECT user_id % 8 AS bucket, count(*)::BIGINT AS n,

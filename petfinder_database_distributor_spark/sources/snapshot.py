@@ -681,6 +681,39 @@ def snapshot_append(
     return version
 
 
+def snapshot_append_optimistic(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    max_retries: int = 5,
+    **kwargs,
+) -> int:
+    """The full optimistic-concurrency append loop: on
+    ``SnapshotConflictError`` (another writer's pointer swap landed
+    between this writer's base read and its own commit), re-read the
+    fresh base and REDO the whole append — re-staging data under a new
+    writer-unique directory, recomputing the carried-forward manifest
+    against the winner's state. The losing attempt's staged files are
+    unreferenced garbage for vacuum, never committed-state corruption.
+
+    This is the loop every concurrent committer runs (Delta/Iceberg
+    commit-retry semantics): the lock window stays metadata-tiny, the
+    expensive Spark write happens OUTSIDE it, and progress is guaranteed
+    because each retry observes a strictly newer base version — with N
+    racing appends, at most N-1 retries each. Raises after
+    ``max_retries`` consecutive losses (a pathological livelock signal,
+    not a normal outcome). tests/test_snapshot_table.py forces a
+    mid-commit race to pin that exactly one retry happens and both
+    writers' rows land."""
+    for attempt in range(max_retries + 1):
+        try:
+            return snapshot_append(spark, table_dir, df, **kwargs)
+        except SnapshotConflictError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def snapshot_merge(
     spark: SparkSession,
     table_dir: str,

@@ -1218,3 +1218,74 @@ def test_bloom_hash_canonicalizes_cross_path_types():
 
     with _pytest.raises(TypeError):
         _bloom_hash(["not", "hashable", "canonically"])
+
+
+def test_optimistic_append_retries_once_on_forced_race(spark, table_dir, monkeypatch):
+    """Deterministically force the race the optimistic loop exists for: a
+    competing append lands BETWEEN this writer's base read and its pointer
+    swap (injected via the commit hook), so the first commit attempt must
+    fail with SnapshotConflictError, the retry must rebase on the winner's
+    version, and BOTH writers' rows must land — exactly one retry, no lost
+    update, loser's first-attempt files unreferenced."""
+    import petfinder_database_distributor_spark.sources.snapshot as snap
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "base")]))
+
+    orig_commit = snap._commit_metadata
+    state = {"raced": False, "conflicts": 0}
+
+    def racing_commit(tdir, version, base_version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            # the competing writer wins the window (goes through
+            # orig_commit because raced is already flipped)
+            snap.snapshot_append(spark, tdir, _rows(spark, [(2, "rival")]))
+        try:
+            return orig_commit(tdir, version, base_version, manifest)
+        except SnapshotConflictError:
+            state["conflicts"] += 1
+            raise
+
+    monkeypatch.setattr(snap, "_commit_metadata", racing_commit)
+    v = snap.snapshot_append_optimistic(
+        spark, table_dir, _rows(spark, [(3, "mine")])
+    )
+    assert state["conflicts"] == 1, "the forced race must cost exactly one retry"
+    assert v == 2 and latest_version(table_dir) == 2
+    got = {
+        (r["k"], r["v"]) for r in snapshot_read(spark, table_dir).collect()
+    }
+    assert got == {(1, "base"), (2, "rival"), (3, "mine")}
+    # the losing attempt's staged directory is garbage, never referenced
+    m = read_manifest(table_dir, 2)
+    assert len(m["files"]) == len(set(m["files"]))
+
+
+def test_optimistic_append_gives_up_after_max_retries(spark, table_dir, monkeypatch):
+    """A pathological livelock (every attempt loses the window) surfaces as
+    SnapshotConflictError after max_retries instead of spinning forever."""
+    import petfinder_database_distributor_spark.sources.snapshot as snap
+
+    snapshot_write(spark, table_dir, _rows(spark, [(1, "base")]))
+    orig_commit = snap._commit_metadata
+    state = {"n": 0}
+
+    def always_raced(tdir, version, base_version, manifest):
+        # a rival metadata-only commit (same file list, next version) lands
+        # in every window — calling orig_commit directly, so the injection
+        # never re-enters itself and no marker can leak into carried-
+        # forward manifests
+        state["n"] += 1
+        ver = latest_version(tdir)
+        man = dict(read_manifest(tdir, ver))
+        man["version"] = ver + 1
+        man["operation"] = "append"
+        orig_commit(tdir, ver + 1, ver, man)
+        return orig_commit(tdir, version, base_version, manifest)
+
+    monkeypatch.setattr(snap, "_commit_metadata", always_raced)
+    with pytest.raises(SnapshotConflictError):
+        snap.snapshot_append_optimistic(
+            spark, table_dir, _rows(spark, [(3, "mine")]), max_retries=2
+        )
+    assert state["n"] == 3, "initial attempt + 2 retries, then give up"
