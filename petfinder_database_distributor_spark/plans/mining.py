@@ -924,3 +924,209 @@ def bpe_encode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("w")).alias("n_char_tokens"),
         F.sum(n_seg).alias("n_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_perplexity_bucket
+# ---------------------------------------------------------------------------
+
+_PPL_FRAC_BITS = 20  # fixed-point fractional bits of the log2 kernel
+_PPL_P_BITS = 30  # probability quantization: t = floor(p * 2^30), clamped >= 1
+_PPL_KEEP_MILLI = 9000  # keep docs under 9.000 bits/bigram mean surprise
+
+
+def _log2fp_sql_ctes(src: str) -> str:
+    """Fixed-point log2 as chained DuckDB CTEs over the DISTINCT quantized
+    probabilities in ``src`` (column ``tq``): normalize the mantissa to
+    [2^30, 2^31), then 20 unrolled square-and-shift steps — the classic
+    binary-digit log algorithm, integer-only, so both engines produce the
+    SAME bits (pow/log are NOT cross-libm reproducible; this is). Each
+    step squares a <2^31 mantissa, staying under 2^62 — no overflow."""
+    steps = [
+        f"ppl_s0 AS (SELECT tq, length(bin(tq))::BIGINT AS bl,"
+        f" (tq << (31 - length(bin(tq))))::BIGINT AS m, 0::BIGINT AS frac"
+        f" FROM {src})"
+    ]
+    prev = "ppl_s0"
+    for i in range(1, _PPL_FRAC_BITS + 1):
+        cur = f"ppl_s{i}"
+        steps.append(
+            f"{cur} AS (SELECT tq, bl,"
+            f" CASE WHEN ((m*m) >> 30) >= 2147483648"
+            f" THEN ((m*m) >> 30) >> 1 ELSE ((m*m) >> 30) END AS m,"
+            f" frac*2 + CASE WHEN ((m*m) >> 30) >= 2147483648"
+            f" THEN 1 ELSE 0 END AS frac FROM {prev})"
+        )
+        prev = cur
+    steps.append(
+        f"ppl_cost AS (SELECT tq,"
+        f" ({_PPL_P_BITS + 1} - bl) * {1 << _PPL_FRAC_BITS} - frac AS cost_fp"
+        f" FROM {prev})"
+    )
+    return ",\n    ".join(steps)
+
+
+def _log2fp_cost(tvals: DataFrame) -> DataFrame:
+    """The Spark twin of :func:`_log2fp_sql_ctes`: same square-and-shift
+    digit recurrence as column expressions over the (tiny) distinct-t
+    frame. cost_fp = -log2(tq / 2^30) in 20.20 fixed point."""
+    two31 = F.lit(2147483648).cast("long")
+    cur = tvals.select(
+        "tq",
+        F.length(F.bin(F.col("tq"))).cast("long").alias("bl"),
+        F.expr("shiftleft(tq, 31 - length(bin(tq)))").cast("long").alias("m"),
+        F.lit(0).cast("long").alias("frac"),
+    )
+    for _ in range(_PPL_FRAC_BITS):
+        m2 = F.shiftright(F.col("m") * F.col("m"), 30)
+        cur = cur.select(
+            "tq",
+            "bl",
+            F.when(m2 >= two31, F.shiftright(m2, 1)).otherwise(m2).alias("m"),
+            (
+                F.col("frac") * 2
+                + F.when(m2 >= two31, F.lit(1)).otherwise(F.lit(0))
+            ).alias("frac"),
+        )
+    return cur.select(
+        "tq",
+        (
+            (F.lit(_PPL_P_BITS + 1) - F.col("bl")) * (1 << _PPL_FRAC_BITS)
+            - F.col("frac")
+        ).alias("cost_fp"),
+    )
+
+
+def _perplexity_oracle() -> str:
+    from petfinder_database_distributor_spark.plans.llm_pipeline import _TOKS_SQL
+
+    return f"""
+    WITH tk AS ({_TOKS_SQL}),
+    d2 AS (SELECT doc_id, t FROM tk WHERE len(t) >= 2),
+    big AS (SELECT doc_id, u.b AS bg, split_part(u.b, ' ', 1) AS w1
+            FROM (SELECT doc_id,
+                         [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bgs
+                  FROM d2), unnest(bgs) u(b)),
+    c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM big GROUP BY 1),
+    c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM big GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT u.tok)::BIGINT AS v
+              FROM tk, unnest(tk.t) u(tok)),
+    tmap AS (SELECT c2.bg,
+                    greatest(1, (((c2.c2 + 1)::HUGEINT * {1 << _PPL_P_BITS})
+                                 // (c1.c1 + vocab.v))::BIGINT) AS tq
+             FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1, vocab),
+    tv AS (SELECT DISTINCT tq FROM tmap),
+    {_log2fp_sql_ctes("tv")},
+    bstat AS (SELECT doc_id, bg, count(*)::BIGINT AS cnt FROM big GROUP BY 1, 2),
+    per AS (SELECT bs.doc_id, sum(bs.cnt)::BIGINT AS n_bigrams,
+                   sum(bs.cnt * pc.cost_fp)::BIGINT AS nll_fp
+            FROM bstat bs JOIN tmap ON bs.bg = tmap.bg
+                          JOIN ppl_cost pc ON tmap.tq = pc.tq
+            GROUP BY 1)
+    SELECT doc_id, n_bigrams,
+           ((nll_fp * 1000) // (n_bigrams * {1 << _PPL_FRAC_BITS}))::BIGINT
+             AS mean_bits_milli,
+           (((nll_fp * 1000) // (n_bigrams * {1 << _PPL_FRAC_BITS})) // 2000)::BIGINT
+             AS ppl_bucket,
+           ntile(3) OVER (ORDER BY
+             (nll_fp * 1000) // (n_bigrams * {1 << _PPL_FRAC_BITS}), doc_id)::BIGINT
+             AS ccnet_tercile,
+           ((nll_fp * 1000) // (n_bigrams * {1 << _PPL_FRAC_BITS}))
+             <= {_PPL_KEEP_MILLI} AS keep
+    FROM per
+    """
+
+
+@register(
+    "text_perplexity_bucket",
+    oracle=_perplexity_oracle(),
+    doc="Bigram LM perplexity quality gate — the CCNet-style corpus "
+    "filter that unigram commonness (text_commonness_score) stops short "
+    "of: train add-one-smoothed bigram probabilities p(b|a) = (c2+1)/"
+    "(c1+V) in ONE counting pass over the corpus, score each document's "
+    "mean per-bigram surprise -log2 p, and bucket it. The log is an "
+    "integer FIXED-POINT kernel (mantissa square-and-shift, 20 frac "
+    "bits, computed over the DISTINCT quantized probabilities only — a "
+    "bounded-size frame — then joined back), because pow/log are not "
+    "cross-libm reproducible but integer multiply/shift are: the whole "
+    "iterative statistic hash-matches DuckDB bit-for-bit. Probabilities "
+    "quantize to t = floor(p * 2^30) clamped >= 1 (the clamp caps any "
+    "bigram's surprise at 30 bits — reachable only when a history "
+    "exceeds ~2^30 occurrences). Plan: two linear bigram aggs (c2, c1), "
+    "a broadcast vocab scalar, the tiny distinct-t log frame, one "
+    "join-back + per-doc agg. Docs under 2 tokens have no bigram "
+    "evidence and are excluded by construction.",
+)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # the bigram table feeds c2, c1 AND the per-doc re-agg: materialize
+    # once (same CSE argument as text_commonness_score's token frame)
+    big = (
+        tk.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2),"
+                       " i -> concat(t[i], ' ', t[i + 1]))")
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg", F.substring_index("bg", " ", 1).alias("w1"))
+        .localCheckpoint(eager=True)
+    )
+    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tk.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    tmap = (
+        c2.select("bg", "c2", F.substring_index("bg", " ", 1).alias("w1"))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"cast((cast(c2 + 1 as decimal(38,0)) * {1 << _PPL_P_BITS})"
+                    f" div (c1 + v) as bigint)"
+                ),
+            ).alias("tq"),
+        )
+    )
+    cost = _log2fp_cost(tmap.select("tq").distinct())
+    bstat = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    per = (
+        bstat.join(tmap, "bg")
+        .join(F.broadcast(cost), "tq")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("cost_fp")).alias("nll_fp"),
+        )
+    )
+    mean_milli = F.expr(
+        f"(nll_fp * 1000) div (n_bigrams * {1 << _PPL_FRAC_BITS})"
+    )
+    from pyspark.sql.window import Window
+
+    # CCNet's actual gate is RELATIVE: head/middle/tail perplexity
+    # terciles over the corpus, not an absolute threshold — ntile(3)
+    # over the deterministic (score, doc_id) total order matches
+    # DuckDB's remainder distribution exactly. The global sort is
+    # |docs| rows of two ints, a rounding error at any scale.
+    return per.select(
+        "doc_id", "n_bigrams", mean_milli.alias("mean_bits_milli")
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "mean_bits_milli",
+        F.expr("mean_bits_milli div 2000").alias("ppl_bucket"),
+        F.ntile(3)
+        .over(Window.orderBy("mean_bits_milli", "doc_id"))
+        .cast("long")
+        .alias("ccnet_tercile"),
+        (F.col("mean_bits_milli") <= _PPL_KEEP_MILLI).alias("keep"),
+    )

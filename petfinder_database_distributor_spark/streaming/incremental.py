@@ -471,3 +471,54 @@ def stateful_anomaly_flags(stream: DataFrame, window: int = 8) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_retention_cells(stream: DataFrame) -> DataFrame:
+    """The retention-cohort matrix maintained INCREMENTALLY
+    (``applyInPandasWithState``): per-user state is (cohort_week = the
+    week of the user's first event, the set of week_offsets already
+    counted) — O(active weeks) per key, bounded by the corpus's week
+    span, never by event volume. Each arriving event contributes one
+    (user_id, cohort_week, week_offset) MEMBERSHIP row the first time
+    its (user, offset) cell appears and nothing afterwards, so the
+    stream's lifetime output has exactly one row per matrix membership
+    and the final matrix is a plain count per cell — the stateful-upsert
+    analog of the batch twin's countDistinct.
+
+    Incremental == batch requires arrival order to be event-time order
+    (cohort_week = first-seen week must equal min week): the
+    time-contiguous staging guarantees it across micro-batches, an
+    explicit in-batch sort within one. ``week`` is computed JVM-side
+    (exact integer epoch-week, same formula as events_retention_cohorts)
+    before entering Python — the stateful kernel never touches a
+    timestamp dtype."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        cohort, seen = state.get if state.exists else (None, [])
+        seen = set(seen)
+        out = []
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        batch = batch.sort_values(["week", "event_id"])
+        for w in batch["week"].astype("int64"):
+            w = int(w)
+            if cohort is None:
+                cohort = w
+            off = w - cohort
+            if off not in seen:
+                seen.add(off)
+                out.append((int(key[0]), cohort, off))
+        state.update((cohort, sorted(seen)))
+        yield pd.DataFrame(
+            out, columns=["user_id", "cohort_week", "week_offset"]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, cohort_week long, week_offset long",
+        stateStructType="cohort long, seen array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
