@@ -56,73 +56,70 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
-    # -- r8 window (50 entries). Head: queries REGISTERED this round (new
-    # code needs its first external row). Then the refresh backlog,
-    # strictly oldest-coverage-first: all 22 names whose newest driver
-    # row is r4 (including the six the r7 verdict explicitly named as
-    # displaced), then as many r5-era names as fit — substantive
-    # operators (streaming, dedup, ANN, multimodal, source machinery)
-    # ahead of simple relational/text shapes, since the latter have been
-    # structurally frozen for four rounds and carry the identical local
-    # hash gate every run. The r5 names that don't fit (plain TPC-H
-    # picks, text scalar family, w1/w2 windows, export CSV) open the r9
-    # window.
-    "snapshot_time_travel",
-    "snapshot_partitioned_source_scan",
-    "snapshot_restore",
-    "snapshot_point_lookup",
-    "ann_ivf_pq_topk",
-    "bpe_encode_segments",
-    "dedup_span_overlap",
-    "corpus_span_excision",
-    "sample_priority_topk",
-    "embedding_gram_matrix",
-    "snapshot_clone_cow",
-    "events_retention_cohorts",
-    "market_basket_pairs",
-    "events_anomaly_zscore",
-    "stream_anomaly_zscore",
-    "graph_triangle_count",
-    # (the 16 r8 registrations displace decontamination_check /
-    # s1_fetch_extract / search_bm25_topk / dedup_exact /
-    # ann_bruteforce_topk / mm_decode_features / mm_frame_sample from
-    # the window end into the r9 refresh backlog)
-    # --- r4-era rows (22, three rounds stale — the whole cohort):
-    "p1_html_project",
-    "ingest_frontend",
-    "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine_exact",
-    "dedup_levenshtein",
-    "merge_partitioned_upsert",
-    "embedding_dim_stats",
-    "sketch_histogram_quantiles",
-    "sketch_cms_term_counts",
-    "tfidf_top_terms",
-    "udtf_chunk_documents",
-    "mm_binary_metadata",
-    "mm_resize",
-    "topk_orders_global",
-    "ref_key_dedup",
-    "ref_liveness_filter",
-    "ref_nonblank_key",
-    "ref_null_ratio_filter",
-    "ref_placeholder_filter",
-    "ref_worklist_urls",
-    # --- r5-era rows (12 of 45 fit; substantive-first):
-    "stream_dedup_replay",
-    "stream_session_windows",
-    "stream_stateful_counters",
-    "stream_stream_interval_join",
-    "stream_upsert_merge",
-    "dedup_apply_corpus",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard_salted",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "j1_semi_anti_join",
-    "j5_bucketed_join",
+    # -- r9 window (50 entries). Head: the five queries REGISTERED this
+    # round (new code needs its first external row). Then the ENTIRE
+    # pre-r6 refresh backlog — the r8 verdict's #1 ask: all 33 still-
+    # registered names whose newest driver row is r5, so after r9 no
+    # registered query's newest external row predates r6. The 12
+    # remaining slots go to r6-era names, perf-watched first
+    # (dedup_minhash_lsh is the open 2.2x item) then streaming/table-
+    # format machinery. The r10 window drains the remaining r6 cohort.
+    "ann_index_probe_topk",
+    "ann_index_append_probe",
+    "snapshot_concurrent_append",
+    "stream_retention_cohorts",
+    "text_perplexity_bucket",
+    # --- the entire pre-r6 backlog (33 registered names; the r4-era
+    # names in old CORRECTNESS files were renamed/consolidated since —
+    # e.g. the ref_* scalar singles into ref_scalar_suite — and no
+    # longer exist as registry entries):
+    "agg_distinct_users",
+    "ann_bruteforce_topk",
+    "decontamination_check",
+    "dedup_exact",
+    "export_roundtrip_csv",
+    "g1_datasource_ingest",
+    "g1_rollup_revenue",
+    "j6_dpp_join",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "p2_src_attr_project",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "ref_anti_join",
+    "ref_compaction",
+    "ref_upsert_merge",
+    "s1_fetch_extract",
+    "s8_json_rows",
+    "sample_stratified",
+    "search_bm25_topk",
+    "sketch_hll_distinct_users",
+    "split_train_test",
+    "text_bigram_tf",
+    "text_chunking",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_redact_pii",
+    "text_repetition_ratio",
+    "text_token_stats",
+    "w1_topk_per_group",
+    "w2_running_totals",
+    # --- r6-era fills (12 of 49, substantive-first; the rest are the
+    # r10 backlog):
+    "dedup_minhash_lsh",
+    "stream_late_data_drop",
+    "stream_windowed_totals",
+    "stream_sketch_hll",
+    "stream_static_enrich",
+    "cdc_snapshot_diff",
+    "scd2_user_history",
+    "compaction_bin_pack",
+    "dedup_canonical_quality",
+    "dedup_cluster_components",
+    "dedup_ngram_containment",
+    "timeseries_gapfill_locf",
 ]
 
 

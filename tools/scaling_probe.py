@@ -91,6 +91,12 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
         fh.write("staged")
 
 
+def _time_once(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     queries = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_QUERIES
@@ -102,6 +108,18 @@ def main() -> None:
 
     qs = load_all()
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Same calibration block as bench.py: the per-job JVM floor this
+    # machine sustains RIGHT NOW + the OS run queue, so the growth ratios
+    # recorded in PLANS.md are load-annotated (a probe run under load is
+    # provably under load, not silently inflated).
+    floor = min(
+        _time_once(lambda: spark.range(10**7).count()) for _ in range(3)
+    )
+    print(
+        '{"calibration": {"floor_sec": %.3f, "loadavg": [%s]}}'
+        % (floor, ", ".join(f"{x:.2f}" for x in os.getloadavg())),
+        flush=True,
+    )
     print(f"{'query':28s} {'1x':>7s} {'%dx' % factor:>7s} {'growth':>7s}")
     for name in queries:
         times = []
