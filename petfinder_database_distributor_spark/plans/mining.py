@@ -1062,8 +1062,13 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tk = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    from pyspark.storagelevel import StorageLevel
+
     # the bigram table feeds c2, c1 AND the per-doc re-agg: materialize
-    # once (same CSE argument as text_commonness_score's token frame)
+    # once (same CSE argument as text_commonness_score's token frame) —
+    # DISK_ONLY, never the memory store: bigram occurrences are a
+    # corpus-bulk wedge, exactly the shape the round-8 heap post-mortem
+    # pinned as the 1-GiB-driver OOM cause
     big = (
         tk.filter(F.size("t") >= 2)
         .select(
@@ -1074,7 +1079,7 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .select("doc_id", "bg", F.substring_index("bg", " ", 1).alias("w1"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

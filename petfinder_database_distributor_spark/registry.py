@@ -65,6 +65,7 @@ PRIORITY: list[str] = [
     # (dedup_minhash_lsh is the open 2.2x item) then streaming/table-
     # format machinery. The r10 window drains the remaining r6 cohort.
     "ann_index_probe_topk",
+    "stream_ann_index_append",
     "ann_index_append_probe",
     "snapshot_concurrent_append",
     "stream_retention_cohorts",
@@ -106,7 +107,7 @@ PRIORITY: list[str] = [
     "text_token_stats",
     "w1_topk_per_group",
     "w2_running_totals",
-    # --- r6-era fills (12 of 49, substantive-first; the rest are the
+    # --- r6-era fills (11 of 49, substantive-first; the rest are the
     # r10 backlog):
     "dedup_minhash_lsh",
     "stream_late_data_drop",
@@ -119,7 +120,6 @@ PRIORITY: list[str] = [
     "dedup_canonical_quality",
     "dedup_cluster_components",
     "dedup_ngram_containment",
-    "timeseries_gapfill_locf",
 ]
 
 

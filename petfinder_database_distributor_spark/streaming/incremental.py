@@ -522,3 +522,71 @@ def stateful_retention_cells(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stage_embedding_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4, arrivals_only: bool = True
+) -> str:
+    """Stage embedding vectors as ``n_chunks`` single parquet files in
+    ascending vec_id ranges with strictly increasing mtimes — the vector
+    INGEST stream for ANN index maintenance. ``arrivals_only`` stages just
+    the held-out arrival slice (vec_id % 5 = 0, the complement of the
+    staged corpus index) — the vectors a live pipeline would be adding to
+    an already-trained index. NULL-id/NULL-vector rows are excluded (the
+    vector family's null contract)."""
+    from pyspark.sql import Window
+
+    tag = (
+        f"emb_{sf_dir.strip('/').replace('/', '_')}_{n_chunks}"
+        + ("_arr" if arrivals_only else "")
+    )
+    stage = f"{SCRATCH_ROOT}/stage_{tag}"
+    marker = f"{stage}._ok"
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    if tag in _STAGE_MEMO or (
+        os.path.exists(marker)
+        and os.path.exists(src)
+        and os.stat(marker).st_mtime > os.stat(src).st_mtime
+    ):
+        _STAGE_MEMO.add(tag)
+        return stage
+    _fresh_dir(stage)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    if arrivals_only:
+        emb = emb.filter(F.col("vec_id") % 5 == 0)
+    total = emb.count()
+    per = -(-total // n_chunks)
+    rn = F.row_number().over(Window.orderBy("vec_id")) - 1
+    staged = emb.withColumn(
+        "__chunk",
+        F.least(F.floor(rn / per).cast("long"), F.lit(n_chunks - 1)),
+    )
+    tmp = f"{stage}/_tmp"
+    staged.repartition(n_chunks, "__chunk").write.mode("overwrite").partitionBy(
+        "__chunk"
+    ).parquet(tmp)
+    base_t = os.stat(tmp).st_mtime
+    for i in range(n_chunks):
+        parts = glob.glob(f"{tmp}/__chunk={i}/part-*.parquet")
+        for j, part in enumerate(sorted(parts)):
+            dest = f"{stage}/chunk_{i}_{j}.parquet"
+            os.replace(part, dest)
+            os.utime(dest, (base_t + i, base_t + i))
+    shutil.rmtree(tmp)
+    with open(marker, "w"):
+        pass  # marker last: a crashed staging is restaged, never reused
+    _STAGE_MEMO.add(tag)
+    return stage
+
+
+def read_embedding_stream(
+    spark: SparkSession, stage_dir: str, max_files: int = 1
+) -> DataFrame:
+    schema = "vec_id long, embedding array<float>, label int"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage_dir)
+    )
