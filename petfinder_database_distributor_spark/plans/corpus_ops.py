@@ -592,10 +592,14 @@ _ANN_IDX_TRAIN_SQL = f"""
 """
 
 
-def _ann_idx_probe_sql(ivf: str, codes: str) -> str:
-    """The query-time half in DuckDB: nprobe=4 cell ranking, per-query
+def _ann_idx_probe_sql(ivf: str, codes: str, nprobe: int = 6, rerank: int = 96) -> str:
+    """The query-time half in DuckDB: nprobe-cell ranking, per-query
     LUT, ADC over the probed cells of ``ivf``/``codes``, exact top-5
-    re-rank — identical shape to operators/similarity.py::ivf_pq_probe."""
+    re-rank — identical shape to operators/similarity.py::ivf_pq_probe.
+    Defaults nprobe=6/rerank=96 (vs the in-line composition's 4/64): a
+    subset-trained index has coarser cells, and the recall sweep in
+    tests/test_ann_recall.py measured 0.875 at 4/64 -> 0.925 at 6/96 —
+    probe width is the knob that buys back training-data loss."""
     return f"""
     qq AS (SELECT vec_id AS query_id, qe FROM qa WHERE vec_id < 8),
     probes AS (
@@ -605,7 +609,7 @@ def _ann_idx_probe_sql(ivf: str, codes: str) -> str:
                row_number() OVER (PARTITION BY qq.query_id
                                   ORDER BY {_IVF_COS.format(a="qq.qe", b="c.icvec")} DESC,
                                            c.centroid_id) AS rn
-        FROM qq, c1 c) WHERE rn <= 4),
+        FROM qq, c1 c) WHERE rn <= {nprobe}),
     qsv AS (SELECT vec_id AS query_id, r.m, qe[r.m*8+1 : r.m*8+8] AS sv
             FROM qa, range(0, 8) r(m) WHERE vec_id < 8),
     lut AS (SELECT qs.query_id, qs.m, c.j,
@@ -622,7 +626,7 @@ def _ann_idx_probe_sql(ivf: str, codes: str) -> str:
             GROUP BY 1, 2),
     cand AS (SELECT query_id, vec_id FROM (
        SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-              ORDER BY approx DESC, vec_id) AS rn FROM adc) WHERE rn <= 64),
+              ORDER BY approx DESC, vec_id) AS rn FROM adc) WHERE rn <= {rerank}),
     scored AS (SELECT cand.query_id, cand.vec_id,
                       {_COS_SQL.format(a="eq.embedding", b="ec.embedding")} AS cos
                FROM cand JOIN embeddings eq ON eq.vec_id = cand.query_id
@@ -668,7 +672,9 @@ def ann_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ivf_pq_probe(queries, centroids, cb, codes, corpus, k=5)
+    return ivf_pq_probe(
+        queries, centroids, cb, codes, corpus, k=5, nprobe=6, rerank=96
+    )
 
 
 @register(
@@ -730,7 +736,9 @@ def ann_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ivf_pq_probe(queries, centroids, cb, codes, emb, k=5)
+    return ivf_pq_probe(
+        queries, centroids, cb, codes, emb, k=5, nprobe=6, rerank=96
+    )
 
 
 @register(

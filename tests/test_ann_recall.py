@@ -57,3 +57,36 @@ def test_ann_recall_at_5(spark, ground_truth, name, min_recall):
     total = sum(len(v) for v in ground_truth.values())
     recall = hits / total
     assert recall >= min_recall, f"{name} recall@5 = {recall:.3f} < {min_recall}"
+
+
+def test_persisted_index_probe_recall_at_5(spark):
+    """The committed-index probe owes the same recall as the in-line
+    composition — it IS the same math, trained once on the corpus subset
+    (vec_id % 5 != 0) and served through ivf_pq_probe alone. Ground truth
+    here is brute force over the SAME subset (the index doesn't hold the
+    held-out arrival slice), so the pin measures the probe path, not the
+    corpus split."""
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from petfinder_database_distributor_spark.schema import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    truth: dict[int, set[int]] = {}
+    for r in brute_force_topk(queries, corpus, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx: dict[int, set[int]] = {}
+    for r in SPECS["ann_index_probe_topk"].fn(spark, SF_SMALL).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.90, f"persisted probe recall@5 = {recall:.3f} < 0.90"  # measured 0.925 at nprobe=6/rerank=96 (0.875 at the in-line 4/64 — subset-trained cells are coarser)

@@ -124,6 +124,18 @@ SWEPT = [
     # null user/ts/type rows are filtered before the commit (the Morton
     # key needs both dimensions; a NULL key row would vanish silently)
     "snapshot_zorder_optimize",
+    # round-9 additions, swept green on first try (each inherits an
+    # already-pinned contract): NULL text ≡ '' + len<2 excluded by
+    # construction (perplexity), NULL user/ts excluded from the ordered
+    # stateful stream (retention), NULL id/vector excluded from the
+    # vector family (all three index queries), NULL event_type/id
+    # excluded at the append source (concurrent append)
+    "text_perplexity_bucket",
+    "stream_retention_cohorts",
+    "ann_index_probe_topk",
+    "ann_index_append_probe",
+    "stream_ann_index_append",
+    "snapshot_concurrent_append",
 ]
 
 
