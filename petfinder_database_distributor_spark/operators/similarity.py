@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -396,7 +397,13 @@ def ivf_topk(
     # persist pinned would accumulate one corpus-sized cache entry per
     # distinct input for the session's lifetime. The checkpointed ivf is
     # the only corpus-sized state the search phase needs.
-    ivf = _assign(qcorpus, centroids, cid).localCheckpoint(eager=True)
+    # DISK_ONLY: the inverted file is corpus-sized — a memory-store
+    # checkpoint pins bulk blocks across queries in a small-heap session
+    # (the round-8 OOM post-mortem); disk blocks cost a re-read, never
+    # residency. The tiny per-round centroid checkpoints stay in memory.
+    ivf = _assign(qcorpus, centroids, cid).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     qcorpus.unpersist()
 
     qq = queries.select(F.col(qid), quantize(F.col(qvec), scale).alias("qe"))
@@ -554,7 +561,7 @@ def pq_adc_topk(
                 lambda e: e["j"],
             ).alias("code")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     subs.unpersist()
     qcorpus.unpersist()
@@ -684,7 +691,13 @@ def ivf_pq_train(
     for _ in range(iters):
         assigned = _assign_int(qcorpus, centroids, cid)
         centroids = _update_int(assigned, cid).localCheckpoint(eager=True)
-    ivf = _assign_int(qcorpus, centroids, cid).localCheckpoint(eager=True)
+    # DISK_ONLY for both corpus-sized materializations (inverted file,
+    # codes): memory-store checkpoints pin bulk blocks across queries in
+    # a small-heap session — the round-8 OOM post-mortem; the tiny
+    # centroid/codebook checkpoints stay in memory
+    ivf = _assign_int(qcorpus, centroids, cid).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     qcorpus.unpersist()
 
     # residuals against the assigned cell's integer centroid
@@ -724,7 +737,7 @@ def ivf_pq_train(
             ).alias("code")
         )
         .join(resid.select(cid, "centroid_id"), cid)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     subs.unpersist()
     resid.unpersist()

@@ -53,6 +53,7 @@ from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
 from petfinder_database_distributor_spark.sources.snapshot import (
     latest_version,
+    snapshot_append,
     snapshot_delete,
     snapshot_merge,
     snapshot_read,
@@ -705,8 +706,9 @@ def ann_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "commit: the held-out arrival slice (vec_id % 5 = 0) is assigned to "
     "its nearest COMMITTED centroid and residual-encoded with the "
     "COMMITTED codebook (operators/similarity.py::ivf_pq_encode — zero "
-    "Lloyd iterations), and its codes rows merge into the codes table "
-    "as snapshot v1 (one atomic pointer-swap commit; centroids/codebook "
+    "Lloyd iterations), and its codes rows land as snapshot v1 via an "
+    "O(batch) snapshot_append (one atomic pointer swap, no table "
+    "rewrite — arrival keys are disjoint; centroids/codebook "
     "stay immutable until a scheduled retrain). The probe then serves "
     "top-5 over the GROWN index (v1-pinned read, so repeated calls are "
     "deterministic). At 100 TB this is the difference between an index "
@@ -723,15 +725,15 @@ def ann_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = snapshot_read(spark, f"{root}/codebook", version=0)
     codes_table = f"{root}/codes"
     if latest_version(codes_table) == 0:
-        # One maintenance merge per staged index: arrivals' codes rows
-        # join as v1; probe reads stay pinned at v1, so repeated calls —
-        # driver, bench, tests — return identical results.
+        # One maintenance commit per staged index: arrivals' codes rows
+        # land as v1 via snapshot_append — O(batch) new files + a pointer
+        # swap, never a table rewrite (arrival keys are disjoint from the
+        # committed corpus by construction, so append IS the merge).
+        # Probe reads stay pinned at v1, so repeated calls — driver,
+        # bench, tests — return identical results.
         arrivals = emb.filter(F.col("vec_id") % 5 == 0)
         new_codes = ivf_pq_encode(arrivals, centroids, cb)
-        snapshot_merge(
-            spark, codes_table, new_codes,
-            key_cols=["vec_id"], order_cols=["centroid_id"],
-        )
+        snapshot_append(spark, codes_table, new_codes)
     codes = snapshot_read(spark, codes_table, version=1)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -776,7 +778,7 @@ def ann_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "slice, staged as 4 ascending-id micro-batches) are encoded "
     "per-trigger against the COMMITTED v0 centroids/codebook "
     "(ivf_pq_encode — zero Lloyd iterations, O(batch) work) and their "
-    "codes rows land as one atomic snapshot_merge commit per trigger on "
+    "codes rows land as one atomic O(batch) snapshot_append per trigger on "
     "a zero-copy SHALLOW CLONE of the codes table (the source index "
     "never observes the run). Incremental == batch is trivial here — "
     "encoding is per-vector — so the pinned theorem is the pipeline "
@@ -800,7 +802,9 @@ def stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ann_index_root(spark, sf_dir)
     centroids = snapshot_read(spark, f"{root}/centroids", version=0)
     cb = snapshot_read(spark, f"{root}/codebook", version=0)
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # same char set as _ann_index_root's tag (incl. '-'): two sf_dirs
+    # must never collide on a run_dir while getting distinct index roots
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
     run_dir = f"{SCRATCH_ROOT}/run_annstream_{tag}"
     shutil.rmtree(run_dir, ignore_errors=True)  # deterministic per call
     codes_clone = f"{run_dir}/codes"
@@ -812,10 +816,15 @@ def stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
         )
         enc = ivf_pq_encode(batch, centroids, cb)
-        snapshot_merge(
-            batch_df.sparkSession, codes_clone, enc,
-            key_cols=["vec_id"], order_cols=["centroid_id"],
-        )
+        # snapshot_append, not merge: each trigger's keys are disjoint
+        # (ascending-id chunks over the disjoint arrival slice), so the
+        # commit is O(batch) new files + a pointer swap — a per-trigger
+        # table rewrite would be the O(corpus)-per-append mistake the
+        # append docstring calls out. This bounded run re-executes from
+        # a fresh run_dir on any failure (rmtree above); an unbounded
+        # production stream gets replay idempotence from the
+        # DataSource's writer-identity txn map instead (T3).
+        snapshot_append(batch_df.sparkSession, codes_clone, enc)
 
     with scoped_conf(
         spark, spark__sql__shuffle__partitions=STREAM_SHUFFLE_PARTITIONS

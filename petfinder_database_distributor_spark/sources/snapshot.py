@@ -226,6 +226,10 @@ def _bloom_hash(value) -> int:
     import decimal
     import hashlib
 
+    if type(value).__module__ == "numpy" and hasattr(value, "item"):
+        # numpy scalars are the natural shape of pandas/collected-row-
+        # derived key lists; unwrap to the Python value the write side saw
+        value = value.item()
     if isinstance(value, bool):
         value = int(value)
     elif isinstance(value, float) and value.is_integer():
@@ -262,9 +266,12 @@ def _bloom_hash(value) -> int:
     )
 
 
-def _bloom_positions(value, m_bits: int, k: int = _BLOOM_K) -> list:
-    h = _bloom_hash(value)
+def _bloom_positions_of(h: int, m_bits: int, k: int = _BLOOM_K) -> list:
     return [(h >> (29 * i)) % m_bits for i in range(k)]
+
+
+def _bloom_positions(value, m_bits: int, k: int = _BLOOM_K) -> list:
+    return _bloom_positions_of(_bloom_hash(value), m_bits, k)
 
 
 def _bloom_size_bits(n_rows: int) -> int:
@@ -328,6 +335,15 @@ def bloom_prune_files(table_dir: str, manifest: dict, col: str, values) -> list[
     decide correctness (the reader re-applies the exact predicate). Cost:
     O(files) sidecar reads of driver-side metadata, no data pages."""
     blooms = manifest.get("file_blooms", {})
+    try:
+        # canonicalize ONCE up front; an un-canonicalizable probe value
+        # (exotic literal type) disables bloom skipping for this lookup —
+        # pruning is an optimization and must never fail the read (the
+        # zone-map path holds the same rule). At BUILD time the TypeError
+        # still raises, which is where an unsupported type is a bug.
+        hashes = [_bloom_hash(v) for v in values if v is not None]
+    except TypeError:
+        return list(_manifest_files(manifest))
     kept = []
     for rel in _manifest_files(manifest):
         bloom_rel = blooms.get(rel)
@@ -344,10 +360,9 @@ def bloom_prune_files(table_dir: str, manifest: dict, col: str, values) -> list[
         if any(
             all(
                 bits[p >> 3] & (1 << (p & 7))
-                for p in _bloom_positions(v, b["m"], b["k"])
+                for p in _bloom_positions_of(h, b["m"], b["k"])
             )
-            for v in values
-            if v is not None
+            for h in hashes
         ):
             kept.append(rel)
     return kept

@@ -92,7 +92,15 @@ def _cents_half_away(values) -> "object":
     import numpy as np  # noqa: PLC0415 — executor-side import
 
     scaled = values.to_numpy(dtype="float64") * 100.0
-    return np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype("int64")
+    # comparison form, not floor(a + 0.5): the +0.5 IEEE addition can
+    # round UP across the integer boundary when a's fraction is within
+    # an ulp below .5 (spacing > 2^-52 at large magnitudes), silently
+    # disagreeing with both engines' round; a >= floor(a)+0.5 is
+    # representation-exact at every magnitude
+    a = np.abs(scaled)
+    fl = np.floor(a)
+    out = fl + (a - fl >= 0.5)
+    return np.copysign(out, scaled).astype("int64")
 
 
 # Staged chunk layouts are pure functions of (sf_dir, params) over an

@@ -1289,3 +1289,31 @@ def test_optimistic_append_gives_up_after_max_retries(spark, table_dir, monkeypa
             spark, table_dir, _rows(spark, [(3, "mine")]), max_retries=2
         )
     assert state["n"] == 3, "initial attempt + 2 retries, then give up"
+
+
+def test_bloom_probe_degrades_conservatively_and_accepts_numpy(spark, table_dir):
+    """Probe-side contract: numpy scalars (the natural shape of pandas- or
+    collected-row-derived key lists) canonicalize to the write-side value,
+    and an un-canonicalizable probe value disables skipping for the lookup
+    (ALL files kept) instead of failing the read — pruning is an
+    optimization, the same rule the zone-map path holds. Build-side
+    TypeError still raises (that's where an unsupported type is a bug)."""
+    import numpy as np
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        bloom_prune_files,
+        read_manifest,
+    )
+
+    df = spark.range(0, 64).selectExpr("id AS k", "cast(id as string) AS v")
+    snapshot_write(
+        spark, table_dir, df.repartition(8, "k"), bloom_cols=["k"]
+    )
+    m = read_manifest(table_dir, 0)
+    # numpy probe prunes exactly like the plain-int probe
+    kept_np = bloom_prune_files(table_dir, m, "k", [np.int64(5)])
+    kept_py = bloom_prune_files(table_dir, m, "k", [5])
+    assert kept_np == kept_py and 0 < len(kept_py) < len(m["files"])
+    # un-canonicalizable probe: keep everything, never raise
+    kept_all = bloom_prune_files(table_dir, m, "k", [["weird", "probe"]])
+    assert kept_all == list(m["files"])
