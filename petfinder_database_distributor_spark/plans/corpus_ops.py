@@ -59,14 +59,14 @@ from petfinder_database_distributor_spark.sources.snapshot import (
     snapshot_read,
     snapshot_write,
 )
-from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT  # noqa: E501
+from petfinder_database_distributor_spark.streaming.incremental import (  # noqa: E501
+    SCRATCH_ROOT,
+    staged_once,
+)
 
 # ---------------------------------------------------------------------------
 # dedup_incremental_batch
 # ---------------------------------------------------------------------------
-
-_IDX_MEMO: set[str] = set()
-
 
 def _corpus_index_table(spark: SparkSession, sf_dir: str) -> str:
     """Stage the corpus's MinHash band index as a snapshot TABLE once per
@@ -79,23 +79,16 @@ def _corpus_index_table(spark: SparkSession, sf_dir: str) -> str:
     # md5int fold (round-8) — the path bump invalidates stale staged
     # indexes whose bh column would never collide with the new probes
     table = f"{SCRATCH_ROOT}/minhash_index_i64/{tag}"
-    marker = f"{table}._ok"
-    src = f"{sf_dir.rstrip('/')}/documents.parquet"
-    if tag in _IDX_MEMO or (
-        os.path.exists(marker)
-        and os.path.exists(src)
-        and os.stat(marker).st_mtime > os.stat(src).st_mtime
-    ):
-        _IDX_MEMO.add(tag)
-        return table
-    shutil.rmtree(table, ignore_errors=True)
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
-    corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    snapshot_write(spark, table, build_minhash_index(corpus, "doc_id", "text"))
-    with open(marker, "w") as fh:
-        fh.write("staged")
-    _IDX_MEMO.add(tag)
-    return table
+
+    def build(table: str) -> None:
+        shutil.rmtree(table, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id").isNotNull()
+        )
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        snapshot_write(spark, table, build_minhash_index(corpus, "doc_id", "text"))
+
+    return staged_once(table, f"{sf_dir.rstrip('/')}/documents.parquet", build)
 
 
 @register(
@@ -520,8 +513,6 @@ from petfinder_database_distributor_spark.plans.llm_pipeline import (  # noqa: E
     _PQ_UPDATE,
 )
 
-_ANN_IDX_MEMO: set[str] = set()
-
 
 def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
     """Stage the corpus's IVF+PQ index ONCE per sf_dir as three snapshot
@@ -543,28 +534,19 @@ def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
     table format instead of a binary blob."""
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
     root = f"{SCRATCH_ROOT}/ann_ivfpq_index/{tag}"
-    marker = f"{root}._ok"
-    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    if tag in _ANN_IDX_MEMO or (
-        os.path.exists(marker)
-        and os.path.exists(src)
-        and os.stat(marker).st_mtime > os.stat(src).st_mtime
-    ):
-        _ANN_IDX_MEMO.add(tag)
-        return root
-    shutil.rmtree(root, ignore_errors=True)
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-    )
-    corpus = emb.filter(F.col("vec_id") % 5 != 0)
-    centroids, cb, codes = ivf_pq_train(corpus)
-    snapshot_write(spark, f"{root}/centroids", centroids)
-    snapshot_write(spark, f"{root}/codebook", cb)
-    snapshot_write(spark, f"{root}/codes", codes)
-    with open(marker, "w") as fh:
-        fh.write("staged")
-    _ANN_IDX_MEMO.add(tag)
-    return root
+
+    def build(root: str) -> None:
+        shutil.rmtree(root, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        )
+        corpus = emb.filter(F.col("vec_id") % 5 != 0)
+        centroids, cb, codes = ivf_pq_train(corpus)
+        snapshot_write(spark, f"{root}/centroids", centroids)
+        snapshot_write(spark, f"{root}/codebook", cb)
+        snapshot_write(spark, f"{root}/codes", codes)
+
+    return staged_once(root, f"{sf_dir.rstrip('/')}/embeddings.parquet", build)
 
 
 # Shared oracle fragments: train the same integer-exact IVF+PQ structures

@@ -96,41 +96,33 @@ def j5_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dynamic partition pruning
 # ---------------------------------------------------------------------------
 
-_DPP_MEMO: set[str] = set()
-
-
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table date-partitioned (``partitionBy(event_date)``)
     once per sf_dir — the write-once layout a 100 TB event store uses so
     time-scoped queries and fact/dim joins read only the partitions they
     need. Staged under scratch with the usual _ok-marker + source-mtime
     reuse guard (same protocol as the streaming chunk staging)."""
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        staged_once,
+    )
+
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
     path = f"{SCRATCH_ROOT}/dpp/events_{tag}"
-    marker = f"{path}._ok"
-    src = f"{sf_dir.rstrip('/')}/events.parquet"
-    if tag in _DPP_MEMO or (
-        os.path.exists(marker)
-        and os.path.exists(src)
-        and os.stat(marker).st_mtime > os.stat(src).st_mtime
-    ):
-        _DPP_MEMO.add(tag)
-        return path
-    shutil.rmtree(path, ignore_errors=True)
-    # Partition keys are non-null by contract: a NULL ts would land in
-    # __HIVE_DEFAULT_PARTITION__ and crash the date-typed read-back; the
-    # oracle's day() predicate drops NULL-ts rows anyway, so the
-    # exclusion is parity-neutral.
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
-        .withColumn("event_date", F.to_date("ts"))
-    )
-    ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
-    with open(marker, "w") as fh:
-        fh.write("staged")
-    _DPP_MEMO.add(tag)
-    return path
+
+    def build(path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+        # Partition keys are non-null by contract: a NULL ts would land in
+        # __HIVE_DEFAULT_PARTITION__ and crash the date-typed read-back; the
+        # oracle's day() predicate drops NULL-ts rows anyway, so the
+        # exclusion is parity-neutral.
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("ts").isNotNull())
+            .withColumn("event_date", F.to_date("ts"))
+        )
+        ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+
+    return staged_once(path, f"{sf_dir.rstrip('/')}/events.parquet", build)
 
 
 @register(

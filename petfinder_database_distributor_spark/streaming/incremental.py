@@ -112,6 +112,32 @@ def _cents_half_away(values) -> "object":
 _STAGE_MEMO: set[str] = set()
 
 
+def staged_once(path: str, src: str, build) -> str:
+    """THE staging-guard protocol, in one place (event/document/embedding
+    chunk layouts, the MinHash band index, the IVF+PQ index root all use
+    it): run ``build(path)`` once, publish completion via an ``_ok``
+    marker written LAST (a crashed staging is restaged, never reused),
+    and reuse an existing staging only while the marker is NEWER than the
+    source table (``src``) — a marker without the mtime check would
+    silently serve stale replicas after the driver regenerates testdata.
+    A per-process memo skips even the two stat calls on the hot path.
+    ``build`` owns clearing its own directory (staging layouts differ:
+    some _fresh_dir, some rmtree a whole table root)."""
+    marker = f"{path}._ok"
+    if path in _STAGE_MEMO or (
+        os.path.exists(marker)
+        and os.path.exists(src)
+        and os.stat(marker).st_mtime > os.stat(src).st_mtime
+    ):
+        _STAGE_MEMO.add(path)
+        return path
+    build(path)
+    with open(marker, "w"):
+        pass  # marker last: a crashed staging is restaged, never reused
+    _STAGE_MEMO.add(path)
+    return path
+
+
 def stage_event_chunks(
     spark: SparkSession,
     sf_dir: str,
@@ -146,15 +172,29 @@ def stage_event_chunks(
         + (["late"] if late else [])
     )
     stage = f"{SCRATCH_ROOT}/stage_{tag}"
-    marker = f"{stage}._ok"
-    src = f"{sf_dir.rstrip('/')}/events.parquet"
-    if tag in _STAGE_MEMO or (
-        os.path.exists(marker)
-        and os.path.exists(src)
-        and os.stat(marker).st_mtime > os.stat(src).st_mtime
-    ):
-        _STAGE_MEMO.add(tag)
+    if stage in _STAGE_MEMO:
         return stage
+
+    def build(stage: str) -> None:
+        _build_event_chunks(
+            spark, sf_dir, stage, n_chunks, duplicate_overlap, subset,
+            contiguous, sentinel, late,
+        )
+
+    return staged_once(stage, f"{sf_dir.rstrip('/')}/events.parquet", build)
+
+
+def _build_event_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    stage: str,
+    n_chunks: int,
+    duplicate_overlap: bool,
+    subset: int | None,
+    contiguous: bool,
+    sentinel: bool,
+    late: bool,
+) -> None:
     _fresh_dir(stage)
     events = load_table(spark, sf_dir, "events")
     n_stage = subset if subset is not None else n_chunks
@@ -196,10 +236,6 @@ def stage_event_chunks(
     shutil.rmtree(tmp)
     if sentinel:
         add_sentinel_chunk(spark, stage, sf_dir)
-    with open(marker, "w"):
-        pass  # marker last: a crashed staging is restaged, never reused
-    _STAGE_MEMO.add(tag)
-    return stage
 
 
 def read_event_stream(spark: SparkSession, stage_dir: str, max_files: int = 1) -> DataFrame:
@@ -379,15 +415,18 @@ def stage_document_chunks(
 
     tag = f"docs_{sf_dir.strip('/').replace('/', '_')}_{n_chunks}"
     stage = f"{SCRATCH_ROOT}/stage_{tag}"
-    marker = f"{stage}._ok"
-    src = f"{sf_dir.rstrip('/')}/documents.parquet"
-    if tag in _STAGE_MEMO or (
-        os.path.exists(marker)
-        and os.path.exists(src)
-        and os.stat(marker).st_mtime > os.stat(src).st_mtime
-    ):
-        _STAGE_MEMO.add(tag)
-        return stage
+
+    def build(stage: str) -> None:
+        _build_document_chunks(spark, sf_dir, stage, n_chunks)
+
+    return staged_once(stage, f"{sf_dir.rstrip('/')}/documents.parquet", build)
+
+
+def _build_document_chunks(
+    spark: SparkSession, sf_dir: str, stage: str, n_chunks: int
+) -> None:
+    from pyspark.sql import Window
+
     _fresh_dir(stage)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     total = docs.count()
@@ -411,10 +450,6 @@ def stage_document_chunks(
             os.replace(part, dest)
             os.utime(dest, (base_t + i, base_t + i))
     shutil.rmtree(tmp)
-    with open(marker, "w"):
-        pass  # marker last: a crashed staging is restaged, never reused
-    _STAGE_MEMO.add(tag)
-    return stage
 
 
 def read_document_stream(
@@ -549,15 +584,22 @@ def stage_embedding_chunks(
         + ("_arr" if arrivals_only else "")
     )
     stage = f"{SCRATCH_ROOT}/stage_{tag}"
-    marker = f"{stage}._ok"
-    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    if tag in _STAGE_MEMO or (
-        os.path.exists(marker)
-        and os.path.exists(src)
-        and os.stat(marker).st_mtime > os.stat(src).st_mtime
-    ):
-        _STAGE_MEMO.add(tag)
-        return stage
+
+    def build(stage: str) -> None:
+        _build_embedding_chunks(spark, sf_dir, stage, n_chunks, arrivals_only)
+
+    return staged_once(stage, f"{sf_dir.rstrip('/')}/embeddings.parquet", build)
+
+
+def _build_embedding_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    stage: str,
+    n_chunks: int,
+    arrivals_only: bool,
+) -> None:
+    from pyspark.sql import Window
+
     _fresh_dir(stage)
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
@@ -583,10 +625,6 @@ def stage_embedding_chunks(
             os.replace(part, dest)
             os.utime(dest, (base_t + i, base_t + i))
     shutil.rmtree(tmp)
-    with open(marker, "w"):
-        pass  # marker last: a crashed staging is restaged, never reused
-    _STAGE_MEMO.add(tag)
-    return stage
 
 
 def read_embedding_stream(
