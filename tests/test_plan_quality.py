@@ -698,3 +698,15 @@ def test_ann_index_probe_has_zero_training_in_plan(spark):
 
     n_emb_scans = len(re.findall(r"embeddings\.parquet", p))
     assert n_emb_scans <= 4, p
+
+
+def test_perplexity_gate_stays_jvm_side(spark):
+    """The bigram LM trains and scores without ever leaving codegen: no
+    Python eval nodes anywhere (the fixed-point log2 is pure column
+    arithmetic over the tiny distinct-t frame), and the only global
+    window is the bounded CCNet tercile over |docs| two-int rows."""
+    import re
+
+    p = plan_of(spark, "text_perplexity_bucket")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert len(re.findall(r"Window \(\d+\)", p)) <= 1
