@@ -588,8 +588,14 @@ def pq_adc_topk(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    # luts grows WITH the query set — no mandatory broadcast hint (a hard
+    # hint is a driver OOM on a large serving batch): the planner picks
+    # BroadcastNestedLoopJoin while luts' estimate stays small and degrades
+    # to a partitioned cartesian — the true all-pairs ADC shape — when the
+    # query batch grows. (Same rule as market_basket/graph_triangle: hints
+    # only on provably config-bounded frames like cb/centroids.)
     adc = (
-        codes.crossJoin(F.broadcast(luts))
+        codes.crossJoin(luts)
         .filter(F.col(qid) != F.col(cid))
         .select(F.col(qid), F.col(cid), approx.alias("approx"))
     )
@@ -602,7 +608,8 @@ def pq_adc_topk(
     eq = queries.select(F.col(qid), as_double(F.col(qvec)).alias("qv"))
     ec = corpus.select(F.col(cid), as_double(F.col(cvec)).alias("cv"))
     scored = (
-        cand.join(F.broadcast(eq), qid)
+        # eq also grows with the query set — let AQE decide (see luts above)
+        cand.join(eq, qid)
         .join(ec, cid)
         .select(F.col(qid), F.col(cid), cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )
@@ -849,8 +856,11 @@ def ivf_pq_probe(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    # luts grows WITH the query set — equi-join on qid with NO mandatory
+    # broadcast hint: AQE broadcasts while small, degrades to a shuffle
+    # join on a large serving batch instead of OOMing the driver
     adc = (
-        probes.join(F.broadcast(luts), qid)
+        probes.join(luts, qid)
         .join(codes, "centroid_id")
         .filter(F.col(qid) != F.col(cid))
         .select(F.col(qid), F.col(cid), (F.col("ipqc") + resid_ip).alias("approx"))
@@ -864,7 +874,66 @@ def ivf_pq_probe(
     eq = queries.select(F.col(qid), as_double(F.col(qvec)).alias("qv"))
     ec = corpus.select(F.col(cid), as_double(F.col(cvec)).alias("cv"))
     scored = (
-        cand.join(F.broadcast(eq), qid)
+        # eq also grows with the query set — let AQE decide (see luts above)
+        cand.join(eq, qid)
+        .join(ec, cid)
+        .select(F.col(qid), F.col(cid), cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(cid))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, cid, "rank", F.round(F.col("cos"), 6).alias("cos_r"))
+    )
+
+
+def ivf_flat_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    scale: int = 1000,
+    qid: str = "query_id",
+    cid: str = "vec_id",
+    qvec: str = "qvec",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """IVF-FLAT search against COMMITTED index structures — the query-time
+    half of FAISS IndexIVFFlat, zero training in the plan: rank the
+    (config-bounded, broadcast) committed centroids per query, keep
+    ``nprobe`` cells, pull those cells' members from the committed codes
+    table's (vec_id, centroid_id) column — the inverted file IS the index
+    — and score only the members EXACTLY against raw embeddings. No ADC
+    and no rerank cap: within the probed cells the score is already the
+    true cosine, so this is the accuracy end of the committed-index
+    ladder (ivf_pq_probe is the bytes-bound end). Search cost per query:
+    ~nprobe/n_clusters of the corpus, each a full-vector cosine."""
+    qq = queries.select(F.col(qid), quantize(F.col(qvec), scale).alias("qe"))
+    probe_scored = qq.crossJoin(F.broadcast(centroids)).select(
+        F.col(qid),
+        "centroid_id",
+        cosine(_qd(F.col("qe")), _qd(F.col("icvec"))).alias("pcos"),
+    )
+    wp = Window.partitionBy(qid).orderBy(F.col("pcos").desc(), F.col("centroid_id"))
+    probes = (
+        probe_scored.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col(qid), "centroid_id")
+    )
+    cand = (
+        probes.join(codes.select(F.col(cid), "centroid_id"), "centroid_id")
+        .filter(F.col(qid) != F.col(cid))
+        .select(qid, cid)
+    )
+    # query-growing sides (eq) carry NO mandatory broadcast hint — AQE
+    # broadcasts while the serving batch is small (same rule as the
+    # luts joins in pq_adc_topk / ivf_pq_probe)
+    eq = queries.select(F.col(qid), as_double(F.col(qvec)).alias("qv"))
+    ec = corpus.select(F.col(cid), as_double(F.col(cvec)).alias("cv"))
+    scored = (
+        cand.join(eq, qid)
         .join(ec, cid)
         .select(F.col(qid), F.col(cid), cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )

@@ -228,12 +228,42 @@ def _bloom_hash(value) -> int:
 
     if type(value).__module__ == "numpy" and hasattr(value, "item"):
         # numpy scalars are the natural shape of pandas/collected-row-
-        # derived key lists; unwrap to the Python value the write side saw
-        value = value.item()
+        # derived key lists; unwrap to the Python value the write side
+        # saw. Temporal kinds FIRST: .item() on datetime64[ns] (the
+        # default pandas .to_numpy() form) returns epoch NANOS as a
+        # plain int — a silent kind change that would hash as int,
+        # never match the write side's 'ts:<micros>' form, AND slip
+        # past the unsupported-type refusal because int is supported.
+        kind = getattr(getattr(value, "dtype", None), "kind", "")
+        if kind == "M":
+            import numpy as np
+
+            unit = np.datetime_data(value.dtype)[0]
+            if unit in ("Y", "M", "W", "D"):
+                value = value.astype("datetime64[D]").item()  # datetime.date
+            else:
+                # datetime64[us].item() is a datetime.datetime; finer
+                # units truncate to micros — the write side's precision
+                value = value.astype("datetime64[us]").item()
+        elif kind == "m":
+            # timedelta64('s').item() is a timedelta (unsupported, caught
+            # below) but the unitless form .item()s to a bare int — refuse
+            # here so the kind change can't masquerade as a supported type
+            raise TypeError("bloom value of unsupported type timedelta64")
+        else:
+            value = value.item()
     if isinstance(value, bool):
         value = int(value)
     elif isinstance(value, float) and value.is_integer():
         value = int(value)
+    elif isinstance(value, float) and value == value and abs(value) != float("inf"):
+        # fractional finite floats: repr uses exponent form below 1e-4
+        # ('1e-06') while an equal-valued Decimal canonicalizes to fixed
+        # point ('0.000001') — same value, different hash = bloom FALSE
+        # NEGATIVE on cross-type probes. Route through the identical
+        # fixed-point form as the Decimal branch (repr round-trips the
+        # exact IEEE double, so equal doubles still collide).
+        value = format(decimal.Decimal(repr(value)).normalize(), "f")
     elif isinstance(value, decimal.Decimal):
         # scale-normalize: Decimal('5.00') == Decimal('5') must hash equal
         # (and equal to int 5, so a `col = 5` literal finds DECIMAL columns)

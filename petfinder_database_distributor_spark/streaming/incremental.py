@@ -126,6 +126,8 @@ def staged_once(path: str, src: str, build) -> str:
     marker = f"{path}._ok"
     if path in _STAGE_MEMO or (
         os.path.exists(marker)
+        and os.path.exists(path)  # an orphaned marker (stage dir deleted,
+        # sibling marker left behind) must restage, not serve a ghost dir
         and os.path.exists(src)
         and os.stat(marker).st_mtime > os.stat(src).st_mtime
     ):
@@ -172,8 +174,6 @@ def stage_event_chunks(
         + (["late"] if late else [])
     )
     stage = f"{SCRATCH_ROOT}/stage_{tag}"
-    if stage in _STAGE_MEMO:
-        return stage
 
     def build(stage: str) -> None:
         _build_event_chunks(

@@ -575,12 +575,33 @@ def test_pq_adc_broadcasts_luts_never_pairs_vectors(spark):
     """PQ-ADC: the per-query LUT side of the scoring join broadcasts (the
     corpus codes table is the only big side), and nothing in the plan
     joins corpus-by-corpus — the memory-bound path must not reintroduce
-    an all-pairs vector join."""
+    an all-pairs vector join. The broadcast must come from the PLANNER
+    (small estimated size), not a mandatory hint — luts grows with the
+    query set, and a hard hint is a driver OOM on a large serving batch
+    (r9 advice)."""
     p = plan_of(spark, "ann_pq_adc_topk")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, (
         "query LUTs must broadcast against the codes scan"
     )
     assert "SortMergeJoin" not in p, "no shuffle join on the ADC path"
+
+
+def test_ann_probe_paths_no_mandatory_broadcast_on_query_growing_frames(spark):
+    """The per-query LUT / raw-query-vector sides of the ANN probe and ADC
+    joins grow WITH the serving batch, so they must carry NO mandatory
+    F.broadcast() hint (AQE broadcasts while small, degrades to a shuffle
+    join instead of OOMing the driver — the same rule r8 pinned for
+    market_basket/graph_triangle). The only allowed hints are on
+    config-bounded frames: the 16-row centroids and the 128-row codebook."""
+    bounded_hints_ok = {"ann_index_probe_topk": 2, "ann_pq_adc_topk": 3}
+    for name, n_ok in bounded_hints_ok.items():
+        logical = str(
+            SPECS[name].fn(spark, SF_SMALL)._jdf.queryExecution().analyzed()
+        )
+        hints = [ln for ln in logical.splitlines() if "ResolvedHint" in ln]
+        for h in hints:
+            assert "broadcast" in h.lower(), h
+        assert len(hints) <= n_ok, (name, hints)
 
 
 def test_classifier_is_expression_only(spark):

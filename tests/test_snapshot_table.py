@@ -1213,11 +1213,37 @@ def test_bloom_hash_canonicalizes_cross_path_types():
     # ints/bools/integer-floats still collapse ("1" colliding with 1 is a
     # harmless false POSITIVE — the exact predicate re-applies)
     assert _bloom_hash(True) == _bloom_hash(1) == _bloom_hash(1.0)
+    # numpy temporal scalars (the default pandas .to_numpy() arrival form):
+    # datetime64[ns].item() is epoch NANOS — a plain int that would both
+    # miss the write side's 'ts:<micros>' hash AND slip past the refusal
+    # guard. Must hash as the datetime/date it denotes.
+    import numpy as np
+
+    assert _bloom_hash(np.datetime64("2024-03-01T12:30:45.123456", "ns")) == (
+        _bloom_hash(naive)
+    )
+    assert _bloom_hash(np.datetime64("2024-03-01", "D")) == _bloom_hash(
+        dt.date(2024, 3, 1)
+    )
+    _nanos = int(np.datetime64("2024-03-01T12:30:45.123456", "ns").astype("int64"))
+    assert _bloom_hash(np.datetime64("2024-03-01T12:30:45.123456", "ns")) != (
+        _bloom_hash(_nanos)  # the raw .item() nanos int — the old bug
+    )
+    # fractional floats whose repr goes exponent ('1e-06') must collide
+    # with the equal-valued Decimal's fixed-point form ('0.000001')
+    assert _bloom_hash(1e-06) == _bloom_hash(Decimal("0.000001"))
+    assert _bloom_hash(2.5e-05) == _bloom_hash(Decimal("0.000025"))
+    assert _bloom_hash(0.1) == _bloom_hash(Decimal("0.1"))
+    assert _bloom_hash(1e-06) != _bloom_hash(1e-07)
     # refuse unknown types rather than silently false-negative later
     import pytest as _pytest
 
     with _pytest.raises(TypeError):
         _bloom_hash(["not", "hashable", "canonically"])
+    with _pytest.raises(TypeError):
+        _bloom_hash(np.timedelta64(5, "s"))
+    with _pytest.raises(TypeError):
+        _bloom_hash(np.timedelta64(5))  # unitless .item() is a bare int
 
 
 def test_optimistic_append_retries_once_on_forced_race(spark, table_dir, monkeypatch):

@@ -89,3 +89,27 @@ def test_regenerated_source_invalidates_staging(tmp_path):
     _STAGE_MEMO.discard(path)  # new process (the memo is per-process)
     staged_once(path, str(src), build)
     assert len(calls) == 2, "stale staging must rebuild after source change"
+
+
+def test_orphaned_marker_restages(tmp_path):
+    """A marker whose stage dir was deleted (sibling _ok left behind —
+    e.g. a partial scratch cleanup) must restage, not hand every caller a
+    nonexistent directory."""
+    src = tmp_path / "src.parquet"
+    src.write_text("source")
+    past = time.time() - 10
+    os.utime(src, (past, past))
+    path = _fresh("orphan")
+    calls = []
+
+    def build(p):
+        os.makedirs(p, exist_ok=True)
+        calls.append(p)
+
+    staged_once(path, str(src), build)
+    shutil.rmtree(path)  # ...but the _ok marker survives
+    assert os.path.exists(f"{path}._ok")
+    _STAGE_MEMO.discard(path)  # new process
+    out = staged_once(path, str(src), build)
+    assert os.path.exists(out), "must rebuild, never serve a ghost dir"
+    assert len(calls) == 2
