@@ -311,128 +311,6 @@ def _qd(qcol: Column) -> Column:
     return qcol.cast("array<double>")
 
 
-def _assign(vecs: DataFrame, centroids: DataFrame, vid: str) -> DataFrame:
-    """Nearest centroid by cosine (ties → smaller centroid_id). Centroids
-    broadcast (k rows); the argmax is a ``max_by`` hash aggregation — it
-    partial-aggregates map-side (each task reduces its k candidate rows per
-    vector before the exchange), unlike a ``row_number`` window which would
-    full-sort every partition each Lloyd round. Tie-break matches the
-    DuckDB oracle's ``ORDER BY cos DESC, centroid_id``: struct comparison
-    on (cos, -centroid_id) is lexicographic max."""
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        F.col(vid),
-        "qe",
-        "centroid_id",
-        cosine(_qd(F.col("qe")), F.col("cvec")).alias("cos"),
-    )
-    best = scored.groupBy(vid).agg(
-        F.max_by(
-            F.struct("qe", "centroid_id"),
-            F.struct(F.col("cos"), (-F.col("centroid_id")).alias("neg_id")),
-        ).alias("best")
-    )
-    return best.select(F.col(vid), F.col("best.qe").alias("qe"), F.col("best.centroid_id").alias("centroid_id"))
-
-
-def _update(assigned: DataFrame, scale: int) -> DataFrame:
-    """Elementwise-mean centroid update from exact integer sums."""
-    dims = assigned.select(
-        "centroid_id", F.posexplode("qe").alias("pos", "v")
-    ).groupBy("centroid_id", "pos").agg(
-        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
-    )
-    return dims.groupBy("centroid_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
-            lambda e: e["s"].cast("double") / (e["n"] * scale),
-        ).alias("cvec")
-    )
-
-
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 5,
-    n_clusters: int = 16,
-    iters: int = 2,
-    nprobe: int = 4,
-    scale: int = 1000,
-    qid: str = "query_id",
-    cid: str = "vec_id",
-    qvec: str = "qvec",
-    cvec: str = "embedding",
-) -> DataFrame:
-    """IVF ANN top-k: k-means inverted file + multi-probe search.
-
-    Train ``n_clusters`` centroids with ``iters`` Lloyd rounds
-    (deterministic init: the first n_clusters corpus ids), assign every
-    corpus vector to its cell (the inverted file), then each query probes
-    its ``nprobe`` nearest cells and ranks only those candidates exactly.
-
-    Scale shape: training touches each vector iters+1 times (broadcast
-    centroids, no pairwise joins); search cost drops from |corpus| to
-    ~nprobe/n_clusters of it per query. Centroid math is exact (integer
-    sums, see quantize), so results are deterministic and oracle-checked.
-    """
-    from pyspark.storagelevel import StorageLevel
-
-    # The quantized corpus is scanned iters+1 times (one assign per Lloyd
-    # round plus the final inverted file). Persist it once: without this,
-    # every round re-reads the parquet AND re-runs the array quantization.
-    qcorpus = corpus.select(
-        F.col(cid), quantize(F.col(cvec), scale).alias("qe")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    centroids = qcorpus.filter(F.col(cid) < n_clusters).select(
-        F.col(cid).cast("int").alias("centroid_id"), _qd(F.col("qe")).alias("cvec")
-    )
-    for _ in range(iters):
-        assigned = _assign(qcorpus, centroids, cid)
-        # Materialize each round's centroids (n_clusters rows) and cut the
-        # lineage: without this the FINAL plan embeds every Lloyd round as a
-        # nested subtree, re-scanning the corpus once per round and paying
-        # Catalyst analysis on an exponentially nested tree.
-        centroids = _update(assigned, scale).localCheckpoint(eager=True)
-    # Materialize the inverted file and release the cached corpus: ivf_topk
-    # is a library function over caller-supplied DataFrames, so leaving the
-    # persist pinned would accumulate one corpus-sized cache entry per
-    # distinct input for the session's lifetime. The checkpointed ivf is
-    # the only corpus-sized state the search phase needs.
-    # DISK_ONLY: the inverted file is corpus-sized — a memory-store
-    # checkpoint pins bulk blocks across queries in a small-heap session
-    # (the round-8 OOM post-mortem); disk blocks cost a re-read, never
-    # residency. The tiny per-round centroid checkpoints stay in memory.
-    ivf = _assign(qcorpus, centroids, cid).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
-    qcorpus.unpersist()
-
-    qq = queries.select(F.col(qid), quantize(F.col(qvec), scale).alias("qe"))
-    probe_scored = qq.crossJoin(F.broadcast(centroids)).select(
-        F.col(qid),
-        F.col("qe").alias("q_qe"),
-        "centroid_id",
-        cosine(_qd(F.col("qe")), F.col("cvec")).alias("pcos"),
-    )
-    wp = Window.partitionBy(qid).orderBy(F.col("pcos").desc(), F.col("centroid_id"))
-    probes = (
-        probe_scored.withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") <= nprobe)
-        .select(F.col(qid), "q_qe", "centroid_id")
-    )
-    cand = probes.join(ivf, on="centroid_id").filter(F.col(qid) != F.col(cid))
-    scored = cand.select(
-        F.col(qid),
-        F.col(cid),
-        cosine(_qd(F.col("q_qe")), _qd(F.col("qe"))).alias("cos"),
-    )
-    w = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(cid))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(qid, cid, "rank", F.round(F.col("cos"), 6).alias("cos_r"))
-    )
-
-
 def int_dot(a: Column, b: Column) -> Column:
     """Exact integer inner product (ordered aggregate over quantized
     vectors) — order-free because every partial is an exact int64."""
@@ -468,156 +346,6 @@ def _pq_assign(subs: DataFrame, cb: DataFrame, vid: str) -> DataFrame:
     )
     return best.select(
         F.col(vid), "m", F.col("b.sv").alias("sv"), F.col("b.j").alias("j")
-    )
-
-
-def pq_adc_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 5,
-    m_sub: int = 8,
-    sub_dim: int = 8,
-    n_codes: int = 16,
-    rerank: int = 64,
-    scale: int = 1000,
-    iters: int = 1,
-    qid: str = "query_id",
-    cid: str = "vec_id",
-    qvec: str = "qvec",
-    cvec: str = "embedding",
-) -> DataFrame:
-    """Product-quantization ANN top-k with ADC (asymmetric distance
-    computation) and exact re-rank — the MEMORY-bound scale path: where
-    IVF cuts how many vectors a query touches, PQ cuts how many bytes
-    per vector. Each 64-dim float vector compresses to ``m_sub`` 4-bit
-    codes (here 8 codes = 4 bytes vs 256+ raw — a 64x footprint drop),
-    so at 100 TB the ADC scan reads a few bytes per vector and the full
-    precision embeddings are touched only for the ``rerank`` survivors.
-
-    Pipeline (all exact integer arithmetic, hence oracle-checkable even
-    though k-means is iterative):
-    1. train: per subspace m, codewords init from the first ``n_codes``
-       corpus vectors' m-th slices, then ``iters`` Lloyd rounds with
-       exact integer L2 assignment and mean-update RE-QUANTIZED to the
-       vector scale (``round(s/n)`` of exact integer sums) — integer
-       codebooks make every later distance exact, the same trick
-       ivf_topk uses for centroids. Measured at sf0.001 (recall@5 vs
-       brute force): a SECOND Lloyd round REDUCES recall here
-       (0.800 -> 0.750 at rerank=32; 0.875 -> 0.825 at rerank=64) —
-       tighter L2 codebooks are not monotonically better for cosine
-       top-k — while widening the exact re-rank is strictly better and
-       nearly free (64 survivors/query vs 32: 0.800 -> 0.875), so the
-       defaults are iters=1, rerank=64, pinned >= 0.85 in
-       tests/test_ann_recall.py;
-    2. encode: nearest codeword per (vector, subspace) -> ``m_sub``
-       small ints per vector (ONE groupBy shuffle of (id, m) rows);
-    3. ADC: each query precomputes its lookup table ip(q_m, c_{m,j})
-       (m_sub*n_codes ints — built against the broadcast codebook,
-       folded to a map per query); approx score of a corpus vector is
-       the sum of ``m_sub`` LUT lookups over its codes — a broadcast
-       crossJoin of the tiny query set against the (id, codes[]) table,
-       NO per-pair vector math and no shuffle before top-k;
-    4. re-rank: the top ``rerank`` by approx score join back to full
-       embeddings for the exact cosine; output matches the other ann_*
-       queries (query_id, vec_id, rank, cos_r) so recall is comparable.
-
-    The codebook (m_sub*n_codes rows) broadcasts everywhere; nothing in
-    training or search joins corpus-x-corpus.
-    """
-    qcorpus = corpus.select(
-        F.col(cid), quantize(F.col(cvec), scale).alias("qe")
-    ).persist()
-    subs = _pq_subvectors(qcorpus, cid, m_sub, sub_dim).persist()
-    cb = subs.filter(F.col(cid) < n_codes).select(
-        "m", F.col(cid).cast("int").alias("j"), F.col("sv").alias("cw")
-    )
-    for _ in range(iters):
-        assigned = _pq_assign(subs, cb, cid)
-        dims = (
-            assigned.select("m", "j", F.posexplode("sv").alias("i", "v"))
-            .groupBy("m", "j", "i")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-        )
-        # re-quantized mean: round(s/n) of exact integer sums stays on the
-        # vector scale, so encoding and ADC below are exact ints end to
-        # end. Per-round checkpoint (m_sub*n_codes rows) cuts the lineage,
-        # same as ivf_topk's centroid rounds.
-        cb = (
-            dims.groupBy("m", "j")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "s", "n"))),
-                    lambda e: F.round(e["s"] / e["n"]).cast("long"),
-                ).alias("cw")
-            )
-            .localCheckpoint(eager=True)
-        )
-    codes = (
-        _pq_assign(subs, cb, cid)
-        .groupBy(cid)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "j"))),
-                lambda e: e["j"],
-            ).alias("code")
-        )
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    )
-    subs.unpersist()
-    qcorpus.unpersist()
-
-    qq = queries.select(F.col(qid), quantize(F.col(qvec), scale).alias("qe"))
-    qsubs = _pq_subvectors(qq, qid, m_sub, sub_dim)
-    lut_rows = qsubs.join(F.broadcast(cb), "m").select(
-        F.col(qid),
-        (F.col("m") * n_codes + F.col("j")).cast("int").alias("slot"),
-        int_dot(F.col("sv"), F.col("cw")).alias("ip"),
-    )
-    luts = lut_rows.groupBy(qid).agg(
-        F.map_from_entries(F.collect_list(F.struct("slot", "ip"))).alias("lut")
-    )
-    seq = F.sequence(F.lit(0), F.lit(m_sub - 1))
-    approx = F.aggregate(
-        F.zip_with(
-            F.col("code"),
-            seq,
-            lambda j, m: F.element_at(
-                F.col("lut"), (m * n_codes + j).cast("int")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    # luts grows WITH the query set — no mandatory broadcast hint (a hard
-    # hint is a driver OOM on a large serving batch): the planner picks
-    # BroadcastNestedLoopJoin while luts' estimate stays small and degrades
-    # to a partitioned cartesian — the true all-pairs ADC shape — when the
-    # query batch grows. (Same rule as market_basket/graph_triangle: hints
-    # only on provably config-bounded frames like cb/centroids.)
-    adc = (
-        codes.crossJoin(luts)
-        .filter(F.col(qid) != F.col(cid))
-        .select(F.col(qid), F.col(cid), approx.alias("approx"))
-    )
-    wr = Window.partitionBy(qid).orderBy(F.col("approx").desc(), F.col(cid))
-    cand = (
-        adc.withColumn("__rn", F.row_number().over(wr))
-        .filter(F.col("__rn") <= rerank)
-        .select(qid, cid)
-    )
-    eq = queries.select(F.col(qid), as_double(F.col(qvec)).alias("qv"))
-    ec = corpus.select(F.col(cid), as_double(F.col(cvec)).alias("cv"))
-    scored = (
-        # eq also grows with the query set — let AQE decide (see luts above)
-        cand.join(eq, qid)
-        .join(ec, cid)
-        .select(F.col(qid), F.col(cid), cosine(F.col("qv"), F.col("cv")).alias("cos"))
-    )
-    w = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(cid))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(qid, cid, "rank", F.round(F.col("cos"), 6).alias("cos_r"))
     )
 
 

@@ -661,6 +661,98 @@ def ann_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_ANN_IDX_TRAIN_SQL},
+    qq AS (SELECT vec_id AS query_id, qe FROM qa WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT qq.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY qq.query_id
+                                  ORDER BY {_IVF_COS.format(a="qq.qe", b="c.icvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM qq, c1 c) WHERE rn <= 6),
+    cand AS (SELECT p.query_id, f.vec_id
+             FROM probes p JOIN ivf f USING (centroid_id)
+             WHERE p.query_id <> f.vec_id),
+    scored AS (SELECT cand.query_id, cand.vec_id,
+                      {_COS_SQL.format(a="eq.embedding", b="ec.embedding")} AS cos
+               FROM cand JOIN embeddings eq ON eq.vec_id = cand.query_id
+                         JOIN embeddings ec ON ec.vec_id = cand.vec_id)
+    SELECT query_id, vec_id, rank, round(cos, 6) AS cos_r
+    FROM (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="IVF-FLAT ANN top-5 against the PERSISTED index — r10 fold of the "
+    "former in-line retraining form onto the committed tables (the r9 "
+    "verdict's redundant-witness ask; ann_ivf_pq_topk remains the sole "
+    "retraining witness): the query path is ivf_flat_probe ALONE — rank "
+    "the 16 committed centroids (snapshot v0), keep nprobe=6 cells, pull "
+    "their members from the committed codes table's inverted-file column, "
+    "score members EXACTLY on raw embeddings. Zero Lloyd iterations in "
+    "the plan (same ExistingRDD-free pin as ann_index_probe_topk). This "
+    "is the accuracy end of the committed-index ladder: full-vector "
+    "cosine inside probed cells, vs ivf_pq_probe's bytes-bound ADC. "
+    "Oracle retrains the identical integer-exact structures from "
+    "scratch, so parity proves committed-probe == recompute.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.similarity import (
+        ivf_flat_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    root = _ann_index_root(spark, sf_dir)
+    centroids = snapshot_read(spark, f"{root}/centroids", version=0)
+    codes = snapshot_read(spark, f"{root}/codes", version=0)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_flat_probe(queries, centroids, codes, corpus, k=5, nprobe=6)
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_ANN_IDX_TRAIN_SQL},
+    {_ann_idx_probe_sql(ivf="ivf", codes="codes", nprobe=16, rerank=64)}
+    """,
+    doc="Exhaustive PQ-ADC ANN top-5 against the PERSISTED index — r10 "
+    "fold of the former in-line codebook-training form onto the committed "
+    "tables: the query path is ivf_pq_probe with nprobe=16 (EVERY cell "
+    "probed, so no IVF pruning — pure asymmetric-distance computation "
+    "over the committed residual codes, rerank=64 exact re-rank). This is "
+    "the memory-bound end of the committed-index ladder: a 100 TB corpus "
+    "ADC-scans from ~4 bytes/vector (8x16 residual codes) and touches "
+    "full embeddings only for rerank survivors, while training cost "
+    "lives in the once-per-corpus ivf_pq_train staging (snapshot v0 "
+    "reads, zero Lloyd iterations in the plan). Oracle retrains from "
+    "scratch, proving committed-ADC == recompute.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    root = _ann_index_root(spark, sf_dir)
+    centroids = snapshot_read(spark, f"{root}/centroids", version=0)
+    cb = snapshot_read(spark, f"{root}/codebook", version=0)
+    codes = snapshot_read(spark, f"{root}/codes", version=0)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_pq_probe(
+        queries, centroids, cb, codes, corpus, k=5, nprobe=16, rerank=64
+    )
+
+
+@register(
     "ann_index_append_probe",
     oracle=f"""
     WITH {_ANN_IDX_TRAIN_SQL},

@@ -743,68 +743,6 @@ _IVF_COS = (
     " * sqrt(list_inner_product({b}, {b})))"
 )
 
-_IVF_ASSIGN = f"""
-  SELECT vec_id, qe, centroid_id FROM (
-    SELECT v.vec_id, v.qe, c.centroid_id,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_IVF_COS.format(a="v.qe", b="c.cvec")} DESC,
-                                       c.centroid_id) AS rn
-    FROM {{vecs}} v, {{cents}} c) WHERE rn = 1
-"""
-
-_IVF_UPDATE = """
-  SELECT centroid_id, list(s / (n * 1000.0) ORDER BY i) AS cvec FROM (
-    SELECT centroid_id, r.i, sum(qe[r.i + 1]) AS s, count(*) AS n
-    FROM {assigned}, range(0, 64) r(i) GROUP BY 1, 2) GROUP BY 1
-"""
-
-
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH q AS (SELECT vec_id,
-                      list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qe
-               FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
-    c0 AS (SELECT vec_id::INT AS centroid_id, qe AS cvec FROM q WHERE vec_id < 16),
-    a1 AS ({_IVF_ASSIGN.format(vecs="q", cents="c0")}),
-    c1 AS ({_IVF_UPDATE.format(assigned="a1")}),
-    a2 AS ({_IVF_ASSIGN.format(vecs="q", cents="c1")}),
-    c2 AS ({_IVF_UPDATE.format(assigned="a2")}),
-    ivf AS ({_IVF_ASSIGN.format(vecs="q", cents="c2")}),
-    qq AS (SELECT vec_id AS query_id, qe AS q_qe FROM q WHERE vec_id < 8),
-    probes AS (
-      SELECT query_id, q_qe, centroid_id FROM (
-        SELECT qq.query_id, qq.q_qe, c.centroid_id,
-               row_number() OVER (PARTITION BY qq.query_id
-                                  ORDER BY {_IVF_COS.format(a="qq.q_qe", b="c.cvec")} DESC,
-                                           c.centroid_id) AS rn
-        FROM qq, c2 c) WHERE rn <= 4),
-    cand AS (
-      SELECT p.query_id, f.vec_id,
-             {_IVF_COS.format(a="p.q_qe", b="f.qe")} AS cos
-      FROM probes p JOIN ivf f USING (centroid_id)
-      WHERE p.query_id <> f.vec_id)
-    SELECT query_id, vec_id, rank, round(cos, 6) AS cos_r
-    FROM (SELECT query_id, vec_id, cos,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cos DESC, vec_id) AS rank
-          FROM cand)
-    WHERE rank <= 5
-    """,
-    doc="IVF ANN top-5: k-means(16, 2 Lloyd rounds) inverted file + 4-probe "
-    "search — an ITERATIVE algorithm made bit-exact cross-engine via "
-    "integer-quantized centroids (exact order-free sums)",
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from petfinder_database_distributor_spark.operators.similarity import ivf_topk
-
-    emb = _load_embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    return ivf_topk(queries, emb, k=5, n_clusters=16, iters=2, nprobe=4)
-
-
 _PQ_ASSIGN = """
   SELECT vec_id, m, sv, j FROM (
     SELECT s.vec_id, s.m, s.sv, c.j,
@@ -917,63 +855,6 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return ivf_pq_topk(queries, emb, k=5)
-
-
-@register(
-    "ann_pq_adc_topk",
-    oracle=f"""
-    WITH q AS (SELECT vec_id,
-                      list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qe
-               FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
-    sv AS (SELECT vec_id, r.m, qe[r.m*8+1 : r.m*8+8] AS sv
-           FROM q, range(0, 8) r(m)),
-    cb0 AS (SELECT m, vec_id::INT AS j, sv AS cw FROM sv WHERE vec_id < 16),
-    a0 AS ({_PQ_ASSIGN.format(cb="cb0")}),
-    cb1 AS ({_PQ_UPDATE.format(assigned="a0")}),
-    codes AS ({_PQ_ASSIGN.format(cb="cb1")}),
-    qsv AS (SELECT vec_id AS query_id, m, sv FROM sv WHERE vec_id < 8),
-    lut AS (SELECT qs.query_id, qs.m, c.j, list_inner_product(qs.sv, c.cw) AS ip
-            FROM qsv qs JOIN cb1 c ON qs.m = c.m),
-    adc AS (SELECT l.query_id, cd.vec_id, sum(l.ip)::BIGINT AS approx
-            FROM codes cd JOIN lut l ON cd.m = l.m AND cd.j = l.j
-            WHERE l.query_id <> cd.vec_id
-            GROUP BY 1, 2),
-    cand AS (SELECT query_id, vec_id FROM (
-       SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-              ORDER BY approx DESC, vec_id) AS rn FROM adc) WHERE rn <= 64),
-    scored AS (SELECT cand.query_id, cand.vec_id,
-                      {_COS_SQL.format(a="eq.embedding", b="ec.embedding")} AS cos
-               FROM cand JOIN embeddings eq ON eq.vec_id = cand.query_id
-                         JOIN embeddings ec ON ec.vec_id = cand.vec_id)
-    SELECT query_id, vec_id, rank, round(cos, 6) AS cos_r
-    FROM (SELECT query_id, vec_id, cos,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cos DESC, vec_id) AS rank
-          FROM scored)
-    WHERE rank <= 5
-    """,
-    doc="Product-quantization ANN top-5 with ADC + exact re-rank — the "
-    "MEMORY-bound ANN scale path (IVF cuts vectors touched per query; "
-    "PQ cuts bytes per vector: 8 subspace codes ≈ 4 bytes vs 256+ raw, "
-    "so a 100 TB corpus ADC-scans from a few bytes/vector and touches "
-    "full embeddings only for the 64 re-rank survivors). Per-subspace "
-    "codebooks train with one exact-integer Lloyd round (means "
-    "re-quantized to the vector scale — the ivf_topk trick; a second "
-    "round measurably HURT recall, see operators/similarity.py), queries "
-    "precompute integer LUTs against the broadcast codebook, and the "
-    "approx score is 8 LUT lookups per corpus vector; recall@5 vs "
-    "brute force is pinned in tests/test_ann_recall.py.",
-)
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from petfinder_database_distributor_spark.operators.similarity import (
-        pq_adc_topk,
-    )
-
-    emb = _load_embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    return pq_adc_topk(queries, emb, k=5)
 
 
 @register(

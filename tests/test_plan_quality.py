@@ -571,19 +571,20 @@ def test_ref_scalar_suite_stays_jvm_side(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
 
-def test_pq_adc_broadcasts_luts_never_pairs_vectors(spark):
-    """PQ-ADC: the per-query LUT side of the scoring join broadcasts (the
-    corpus codes table is the only big side), and nothing in the plan
-    joins corpus-by-corpus — the memory-bound path must not reintroduce
-    an all-pairs vector join. The broadcast must come from the PLANNER
-    (small estimated size), not a mandatory hint — luts grows with the
-    query set, and a hard hint is a driver OOM on a large serving batch
-    (r9 advice)."""
+def test_pq_adc_never_pairs_vectors(spark):
+    """Exhaustive PQ-ADC over the committed index: nothing in the plan may
+    join corpus-by-corpus — the memory-bound path must not reintroduce an
+    all-pairs vector join. The only Cross join allowed is the hinted
+    16-row centroid ranking. Equi-joins carry NO mandatory broadcast hint
+    (r9 advice: luts grows with the serving batch), so the static plan may
+    legitimately show a shuffle join on (centroid_id) / (query_id) — the
+    shape that survives at 100 TB — while AQE broadcasts at small scale."""
+    import re
+
     p = plan_of(spark, "ann_pq_adc_topk")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, (
-        "query LUTs must broadcast against the codes scan"
-    )
-    assert "SortMergeJoin" not in p, "no shuffle join on the ADC path"
+    assert "CartesianProduct" not in p, "all-pairs vector join reintroduced"
+    n_cross = len(re.findall(r"Join type: Cross", p))
+    assert n_cross <= 1, f"only the centroid-ranking cross allowed: {n_cross}"
 
 
 def test_ann_probe_paths_no_mandatory_broadcast_on_query_growing_frames(spark):
@@ -593,7 +594,13 @@ def test_ann_probe_paths_no_mandatory_broadcast_on_query_growing_frames(spark):
     join instead of OOMing the driver — the same rule r8 pinned for
     market_basket/graph_triangle). The only allowed hints are on
     config-bounded frames: the 16-row centroids and the 128-row codebook."""
-    bounded_hints_ok = {"ann_index_probe_topk": 2, "ann_pq_adc_topk": 3}
+    # per probe path: ivf_pq_probe hints centroids (16-row crossJoin) +
+    # codebook (128-row lut join) = 2; ivf_flat_probe hints centroids = 1
+    bounded_hints_ok = {
+        "ann_index_probe_topk": 2,
+        "ann_pq_adc_topk": 2,
+        "ann_ivf_topk": 1,
+    }
     for name, n_ok in bounded_hints_ok.items():
         logical = str(
             SPECS[name].fn(spark, SF_SMALL)._jdf.queryExecution().analyzed()
@@ -710,15 +717,18 @@ def test_ann_index_probe_has_zero_training_in_plan(spark):
     and must actually read the staged index root. This is the pin for
     'no query ever pays training' — the in-line ann_ivf_pq_topk plan,
     by contrast, is allowed its checkpoint scans."""
-    p = plan_of(spark, "ann_index_probe_topk")
-    assert "ExistingRDD" not in p, "training leaked into the probe plan"
-    assert "ann_ivfpq_index" in p, "index must come from the committed tables"
-    # the only embeddings scans are the query slice + the exact re-rank
-    # sides — the corpus is never re-signed
+    # r10: the folded former-retraining forms (ann_ivf_topk IVF-FLAT,
+    # ann_pq_adc_topk exhaustive ADC) owe the identical zero-training pin
     import re
 
-    n_emb_scans = len(re.findall(r"embeddings\.parquet", p))
-    assert n_emb_scans <= 4, p
+    for name in ("ann_index_probe_topk", "ann_ivf_topk", "ann_pq_adc_topk"):
+        p = plan_of(spark, name)
+        assert "ExistingRDD" not in p, f"training leaked into {name}'s plan"
+        assert "ann_ivfpq_index" in p, f"{name} must read the committed tables"
+        # the only embeddings scans are the query slice + the exact
+        # re-rank sides — the corpus is never re-signed
+        n_emb_scans = len(re.findall(r"embeddings\.parquet", p))
+        assert n_emb_scans <= 4, (name, n_emb_scans)
 
 
 def test_perplexity_gate_stays_jvm_side(spark):
