@@ -1394,6 +1394,100 @@ def snapshot_concurrent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_concurrent_merge",
+    oracle="""
+    WITH base AS (SELECT user_id, count(*)::BIGINT AS metric, 0 AS src_rank
+                  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    a AS (SELECT user_id, count(*)::BIGINT AS metric, 1 AS src_rank
+          FROM events WHERE user_id IS NOT NULL AND event_type = 'click'
+          GROUP BY user_id),
+    b AS (SELECT user_id, count(*)::BIGINT AS metric, 2 AS src_rank
+          FROM events WHERE user_id IS NOT NULL AND event_type = 'view'
+          GROUP BY user_id),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM a
+          UNION ALL SELECT * FROM b)
+    SELECT 2 AS version_read, user_id, metric, src_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY src_rank DESC) AS rn FROM u)
+    WHERE rn = 1
+    """,
+    doc="Multi-writer optimistic MERGE — the hazard concurrent appends "
+    "never hit: two writers upserting OVERLAPPING keys (most users have "
+    "both clicks and views) race from two barrier-released threads "
+    "through snapshot_merge_optimistic. The loser's pointer swap fails "
+    "with SnapshotConflictError and its retry RE-RUNS the merge from "
+    "scratch — re-reading the now-current base, the winner's committed "
+    "rows included, and re-applying the order-column winner rule "
+    "against them (a blind re-swap of the stale staged result would "
+    "lose the winner's rows for every shared key). Because the rule is "
+    "a per-key max over a total order (src_rank), the final table is "
+    "deterministic whichever thread wins: per-key max of "
+    "(base ∪ A ∪ B), v2 either way — which the oracle states as plain "
+    "SQL. The deterministically-forced conflict interleaving (retry "
+    "observably re-reads the winner's row) is pinned in "
+    "tests/test_snapshot_table.py. sources/snapshot.py::"
+    "snapshot_merge_optimistic; reference analog: D2 upsert under "
+    "server.py:299-307's concurrent reader/writer reality.",
+)
+def snapshot_concurrent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import threading
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        latest_version as snap_latest,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_merge_optimistic,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("metric"), F.lit(0).alias("src_rank")
+    )
+
+    def writer_slice(event_type: str, rank: int) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("metric"), F.lit(rank).alias("src_rank"))
+        )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table_dir = f"{SCRATCH_ROOT}/snap_concurrent_merge_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)  # deterministic per call
+    snapshot_write(spark, table_dir, base)
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def merger(updates: DataFrame) -> None:
+        try:
+            barrier.wait(timeout=60)
+            snapshot_merge_optimistic(
+                spark, table_dir, updates, ["user_id"], ["src_rank"]
+            )
+        except Exception as exc:  # surfaced to the caller below
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=merger, args=(writer_slice(et, rk),))
+        for et, rk in (("click", 1), ("view", 2))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    final_v = snap_latest(table_dir)
+    scan = snapshot_read(spark, table_dir, version=final_v)
+    return scan.select(
+        F.lit(final_v).alias("version_read"), "user_id", "metric", "src_rank"
+    )
+
+
+@register(
     "snapshot_partitioned_source_scan",
     oracle="""
     SELECT user_id % 8 AS bucket, count(*)::BIGINT AS n,

@@ -808,6 +808,42 @@ def snapshot_merge(
     )
 
 
+def snapshot_merge_optimistic(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    max_retries: int = 5,
+) -> int:
+    """Optimistic-concurrency MERGE — the multi-writer hazard appends never
+    hit: two writers upserting OVERLAPPING keys. A blind commit-retry
+    (re-swapping the same staged result) would LOSE the winner's rows for
+    shared keys; the retry here re-runs :func:`snapshot_merge` from
+    scratch, which re-reads the now-current base — the winner's committed
+    rows INCLUDED — and re-applies the order-column winner rule against
+    them. Because the rule is a per-key max over a total order, the final
+    state is the same whichever writer commits first: merge(merge(base, A),
+    B) == merge(merge(base, B), A) == per-key max of (base ∪ A ∪ B).
+
+    Same commit economics as :func:`snapshot_append_optimistic`: the
+    expensive Spark union+window+write happens OUTSIDE the metadata lock
+    window, each retry observes a strictly newer base (with N racing
+    mergers, at most N-1 retries each), and a losing attempt's staged
+    files are unreferenced garbage for vacuum (``orphan_ttl_sec``), never
+    committed-state corruption. Reference analog: D2's upsert under the
+    concurrent reader/writer reality of server.py:299-307.
+    tests/test_snapshot_table.py forces the race and pins that the retry
+    visibly re-reads the winner's row."""
+    for attempt in range(max_retries + 1):
+        try:
+            return snapshot_merge(spark, table_dir, updates, key_cols, order_cols)
+        except SnapshotConflictError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def snapshot_zorder(
     spark: SparkSession,
     table_dir: str,
@@ -882,7 +918,9 @@ def snapshot_compact(
     )
 
 
-def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+def snapshot_vacuum(
+    table_dir: str, keep_last: int = 2, orphan_ttl_sec: float | None = None
+) -> list[int]:
     """Reclaim storage from expired versions: delete data directories and
     manifests of every version older than the newest ``keep_last``.
     Returns the vacuumed version numbers.
@@ -952,6 +990,38 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
         if os.path.exists(manifest):
             os.remove(manifest)
             vacuumed.append(v)  # manifest existence = "newly vacuumed"
+    if orphan_ttl_sec is not None:
+        # Optimistic-commit losers stage data under RETAINED version
+        # directories (a loser that derived v{N} wrote data/v{N}/<its
+        # token>/ before the winner's pointer landed), so the expired-
+        # version walk above never reclaims them. Sweep unreferenced
+        # files from retained dirs too — but only ones older than the
+        # TTL (Delta's VACUUM retention-window rule): a young
+        # unreferenced file may be an IN-FLIGHT writer's staging whose
+        # manifest hasn't landed yet; deleting it would corrupt a
+        # commit in progress, so age, not referencedness alone, is the
+        # safety predicate. Production default belongs in hours; tests
+        # pass 0 to sweep a known-lost attempt immediately.
+        import time
+
+        horizon = time.time() - orphan_ttl_sec
+        for v in range(max(0, cutoff), current + 1):
+            for vdir in (
+                os.path.join(table_dir, "data", f"v{v}"),
+                os.path.join(table_dir, "tombstones", f"v{v}"),
+            ):
+                if not os.path.isdir(vdir):
+                    continue
+                for root, _dirs, files in os.walk(vdir, topdown=False):
+                    for name in files:
+                        full = os.path.join(root, name)
+                        rel = os.path.relpath(full, table_dir)
+                        if rel not in retained_refs and (
+                            os.stat(full).st_mtime <= horizon
+                        ):
+                            os.remove(full)
+                    if root != vdir and not os.listdir(root):
+                        os.rmdir(root)
     return vacuumed
 
 

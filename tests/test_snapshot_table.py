@@ -1343,3 +1343,122 @@ def test_bloom_probe_degrades_conservatively_and_accepts_numpy(spark, table_dir)
     # un-canonicalizable probe: keep everything, never raise
     kept_all = bloom_prune_files(table_dir, m, "k", [["weird", "probe"]])
     assert kept_all == list(m["files"])
+
+
+def _ranked(spark, triples):
+    return spark.createDataFrame(triples, "k long, v string, rank long")
+
+
+def test_optimistic_merge_retry_rereads_winner(spark, table_dir, monkeypatch):
+    """The multi-writer hazard appends never hit: a rival MERGE commits a
+    row for the SAME key between this merger's base read and its pointer
+    swap. A blind commit-retry would swap in the stale staged result and
+    LOSE the rival's row; snapshot_merge_optimistic's retry must re-run
+    the merge against the winner's committed state — visibly: the shared
+    key's final row is the rival's HIGHER-ranked version, while this
+    writer's rows for unshared keys still land."""
+    import petfinder_database_distributor_spark.sources.snapshot as snap
+
+    snap.snapshot_write(spark, table_dir, _ranked(spark, [(1, "base", 0)]))
+    orig_commit = snap._commit_metadata
+    state = {"raced": False, "conflicts": 0}
+
+    def racing_commit(tdir, version, base_version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            # the rival merge wins the window: it upserts the SHARED key 1
+            # at rank 5 (goes through orig_commit — raced already flipped)
+            snap.snapshot_merge(
+                spark, tdir, _ranked(spark, [(1, "rival", 5)]), ["k"], ["rank"]
+            )
+        try:
+            return orig_commit(tdir, version, base_version, manifest)
+        except snap.SnapshotConflictError:
+            state["conflicts"] += 1
+            raise
+
+    monkeypatch.setattr(snap, "_commit_metadata", racing_commit)
+    # this merger upserts the shared key 1 at a LOWER rank plus a fresh key 2
+    v = snap.snapshot_merge_optimistic(
+        spark,
+        table_dir,
+        _ranked(spark, [(1, "mine", 3), (2, "mine", 3)]),
+        ["k"],
+        ["rank"],
+    )
+    assert state["conflicts"] == 1, "the forced race must cost exactly one retry"
+    assert v == 2 and latest_version(table_dir) == 2
+    got = {r["k"]: (r["v"], r["rank"]) for r in snapshot_read(spark, table_dir).collect()}
+    # key 1: the rival's rank-5 row must survive the retry — the stale
+    # first attempt (which never saw it) had 'mine'@3 as the winner, so
+    # this is the observable proof the retry RE-READ the winner's rows
+    assert got == {1: ("rival", 5), 2: ("mine", 3)}
+    # ...and the first attempt's staged v2 files are unreferenced garbage
+    m = read_manifest(table_dir, 2)
+    assert len(m["files"]) == len(set(m["files"]))
+
+
+def test_vacuum_sweeps_lost_commit_attempts(spark, table_dir, monkeypatch):
+    """The race-then-vacuum path (r9 verdict #7): a losing optimistic
+    attempt leaves staged parquet under a RETAINED version directory
+    (data/v2/<loser-token>), which the expired-version walk never visits.
+    snapshot_vacuum(orphan_ttl_sec=0) must remove exactly the loser's
+    unreferenced staging while every file referenced by a retained
+    manifest survives and all pinned versions still read. Without a TTL
+    arg, retained dirs stay untouched (a young unreferenced file may be
+    an in-flight writer's staging)."""
+    import os as _os
+
+    import petfinder_database_distributor_spark.sources.snapshot as snap
+
+    snap.snapshot_write(spark, table_dir, _ranked(spark, [(1, "base", 0)]))
+    orig_commit = snap._commit_metadata
+    state = {"raced": False}
+
+    def racing_commit(tdir, version, base_version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            snap.snapshot_merge(
+                spark, tdir, _ranked(spark, [(1, "rival", 5)]), ["k"], ["rank"]
+            )
+        return orig_commit(tdir, version, base_version, manifest)
+
+    monkeypatch.setattr(snap, "_commit_metadata", racing_commit)
+    snap.snapshot_merge_optimistic(
+        spark, table_dir, _ranked(spark, [(2, "mine", 3)]), ["k"], ["rank"]
+    )
+
+    def files_under(rel):
+        out = []
+        for root, _d, fs in _os.walk(os.path.join(table_dir, rel)):
+            out.extend(
+                _os.path.relpath(_os.path.join(root, f), table_dir)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        return set(out)
+
+    referenced = set()
+    for ver in (0, 1, 2):
+        referenced.update(read_manifest(table_dir, ver)["files"])
+    # the loser DERIVED v1 (base was v0) and staged under data/v1/<its
+    # token> before the rival's v1 pointer landed — so the garbage sits
+    # beside the rival's referenced files in the RETAINED v1 directory
+    all_files = files_under("data")
+    loser_garbage = all_files - referenced
+    assert loser_garbage, "the forced race must leave a lost staging"
+    assert all(f.startswith("data/v1/") for f in loser_garbage), loser_garbage
+
+    # keep_last high enough that no version expires: this vacuum tests
+    # ONLY the orphan sweep. First without TTL: garbage must survive.
+    assert snap.snapshot_vacuum(table_dir, keep_last=10) == []
+    assert loser_garbage <= files_under("data"), "no-TTL vacuum must not touch it"
+    # with a zero TTL the known-lost attempt is swept immediately
+    snap.snapshot_vacuum(table_dir, keep_last=10, orphan_ttl_sec=0)
+    after = files_under("data")
+    assert after & loser_garbage == set(), "loser staging must be reclaimed"
+    assert referenced <= after, "referenced files must survive"
+    # every pinned version still reads its exact committed state
+    assert _as_dict(snapshot_read(spark, table_dir, 0))[1] == "base"
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, table_dir, 2).collect()}
+    assert got == {1: "rival", 2: "mine"}
