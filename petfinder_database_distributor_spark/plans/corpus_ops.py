@@ -500,9 +500,11 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from petfinder_database_distributor_spark.operators.similarity import (  # noqa: E402
+    int_dot,
     ivf_pq_encode,
     ivf_pq_probe,
     ivf_pq_train,
+    quantize,
 )
 from petfinder_database_distributor_spark.plans.llm_pipeline import (  # noqa: E402
     _COS_SQL,
@@ -752,6 +754,139 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _arrivals_appended(spark: SparkSession, emb: DataFrame, root: str) -> str:
+    """Ensure the held-out arrival slice's codes are committed as v1 of
+    the codes table (one maintenance commit per staged index: O(batch)
+    new files + a pointer swap, never a table rewrite — arrival keys are
+    disjoint from the committed corpus by construction, so append IS the
+    merge). Reads pinned at v1 stay identical across repeated calls —
+    driver, bench, tests. Returns the codes table path."""
+    codes_table = f"{root}/codes"
+    if latest_version(codes_table) == 0:
+        centroids = snapshot_read(spark, f"{root}/centroids", version=0)
+        cb = snapshot_read(spark, f"{root}/codebook", version=0)
+        arrivals = emb.filter(F.col("vec_id") % 5 == 0)
+        snapshot_append(spark, codes_table, ivf_pq_encode(arrivals, centroids, cb))
+    return codes_table
+
+
+def ann_index_retrain(spark: SparkSession, root: str, corpus: DataFrame) -> dict:
+    """The scheduled-retrain half of the index lifecycle (FAISS re-train
+    when add()-ed vectors degrade the index): retrain centroids/codebook/
+    codes over the CURRENT corpus with ivf_pq_train and commit each as
+    the next snapshot version of its table (operation='retrain').
+    Readers stay pinned to the version triple they resolved at query
+    start — time travel makes the swap invisible mid-query, and the
+    next probe resolves the fresh triple. The three commits advance in
+    lockstep (same train call), so a consistent triple is any
+    equal-version read; tests/test_ann_retrain.py pins that a probe's
+    recall RECOVERS on a drifted corpus after this runs."""
+    centroids, cb, codes = ivf_pq_train(corpus)
+    out = {}
+    for name, df in (("centroids", centroids), ("codebook", cb), ("codes", codes)):
+        tdir = f"{root}/{name}"
+        out[name] = snapshot_write(
+            spark,
+            tdir,
+            df,
+            base_version=latest_version(tdir),
+            extra_manifest={"operation": "retrain"},
+        )
+    return out
+
+
+# drift gate: appended vectors whose mean cell-residual energy exceeds
+# 1.5x the trained corpus's signal that the committed centroids no longer
+# describe the data — the retrain-when-exceeded threshold in ppm
+RETRAIN_DRIFT_PPM = 1_500_000
+
+
+@register(
+    "ann_index_retrain_check",
+    oracle=f"""
+    WITH {_ANN_IDX_TRAIN_SQL},
+    arr AS (SELECT * FROM qa WHERE vec_id % 5 = 0),
+    aivf AS ({_IVFPQ_ASSIGN.format(vecs="arr", cents="c1")}),
+    allv AS (SELECT vec_id, qe, centroid_id, FALSE AS is_appended FROM ivf
+             UNION ALL
+             SELECT vec_id, qe, centroid_id, TRUE AS is_appended FROM aivf),
+    en AS (SELECT is_appended, list_inner_product(re, re)::BIGINT AS energy
+           FROM (SELECT v.is_appended,
+                        list_transform(range(64),
+                                       i -> v.qe[i+1] - c.icvec[i+1]) AS re
+                 FROM allv v JOIN c1 c USING (centroid_id))),
+    m AS (SELECT
+            count(*) FILTER (WHERE NOT is_appended)::BIGINT AS n_trained,
+            (sum(energy) FILTER (WHERE NOT is_appended)
+             // count(*) FILTER (WHERE NOT is_appended))::BIGINT
+              AS mean_energy_trained,
+            count(*) FILTER (WHERE is_appended)::BIGINT AS n_appended,
+            (sum(energy) FILTER (WHERE is_appended)
+             // count(*) FILTER (WHERE is_appended))::BIGINT
+              AS mean_energy_appended
+          FROM en)
+    SELECT n_trained, mean_energy_trained, n_appended, mean_energy_appended,
+           (mean_energy_appended * 1000000 // mean_energy_trained)::BIGINT
+             AS drift_ppm,
+           (mean_energy_appended * 1000000 // mean_energy_trained)
+             > {RETRAIN_DRIFT_PPM} AS retrain_needed
+    FROM m
+    """,
+    doc="The retrain TRIGGER that completes the index lifecycle (train/"
+    "add/search exist since r9; this decides WHEN appends have degraded "
+    "the index): mean residual energy — exact integer "
+    "||qe - icvec||^2 against each vector's committed cell — of the "
+    "APPENDED slice vs the TRAINED corpus's, as a fixed-point ppm "
+    "ratio. Appends drawn from the trained distribution score ~1.0x "
+    "(this corpus: retrain_needed = false); drifted appends land in "
+    "far cells with bloated residuals and trip the 1.5x gate, at which "
+    "point ann_index_retrain commits fresh centroids/codebook/codes as "
+    "the next snapshot versions (readers stay version-pinned "
+    "throughout; recall recovery on a drifted corpus is pinned in "
+    "tests/test_ann_retrain.py). All floor-division integer math, so "
+    "the metric is bit-identical cross-engine. The oracle retrains and "
+    "re-assigns from scratch, proving committed-index drift == "
+    "recomputed drift.",
+)
+def ann_index_retrain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    root = _ann_index_root(spark, sf_dir)
+    centroids = snapshot_read(spark, f"{root}/centroids", version=0)
+    codes = snapshot_read(spark, _arrivals_appended(spark, emb, root), version=1)
+    qe_tbl = emb.select("vec_id", quantize(F.col("embedding")).alias("qe"))
+    resid = F.zip_with("qe", "icvec", lambda x, c: x - c)
+    rows = (
+        codes.select("vec_id", "centroid_id")
+        .join(qe_tbl, "vec_id")
+        .join(F.broadcast(centroids), "centroid_id")
+        .select(
+            (F.col("vec_id") % 5 == 0).alias("is_appended"),
+            int_dot(resid, resid).alias("energy"),
+        )
+    )
+    agg = rows.agg(
+        F.count(F.when(~F.col("is_appended"), F.lit(1))).alias("n_tr"),
+        F.sum(F.when(~F.col("is_appended"), F.col("energy"))).alias("e_tr"),
+        F.count(F.when(F.col("is_appended"), F.lit(1))).alias("n_app"),
+        F.sum(F.when(F.col("is_appended"), F.col("energy"))).alias("e_app"),
+    )
+    return agg.select(
+        F.col("n_tr").alias("n_trained"),
+        F.expr("e_tr div n_tr").alias("mean_energy_trained"),
+        F.col("n_app").alias("n_appended"),
+        F.expr("e_app div n_app").alias("mean_energy_appended"),
+        F.expr("((e_app div n_app) * 1000000) div (e_tr div n_tr)").alias(
+            "drift_ppm"
+        ),
+        (
+            F.expr("((e_app div n_app) * 1000000) div (e_tr div n_tr)")
+            > RETRAIN_DRIFT_PPM
+        ).alias("retrain_needed"),
+    )
+
+
 @register(
     "ann_index_append_probe",
     oracle=f"""
@@ -797,18 +932,7 @@ def ann_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ann_index_root(spark, sf_dir)
     centroids = snapshot_read(spark, f"{root}/centroids", version=0)
     cb = snapshot_read(spark, f"{root}/codebook", version=0)
-    codes_table = f"{root}/codes"
-    if latest_version(codes_table) == 0:
-        # One maintenance commit per staged index: arrivals' codes rows
-        # land as v1 via snapshot_append — O(batch) new files + a pointer
-        # swap, never a table rewrite (arrival keys are disjoint from the
-        # committed corpus by construction, so append IS the merge).
-        # Probe reads stay pinned at v1, so repeated calls — driver,
-        # bench, tests — return identical results.
-        arrivals = emb.filter(F.col("vec_id") % 5 == 0)
-        new_codes = ivf_pq_encode(arrivals, centroids, cb)
-        snapshot_append(spark, codes_table, new_codes)
-    codes = snapshot_read(spark, codes_table, version=1)
+    codes = snapshot_read(spark, _arrivals_appended(spark, emb, root), version=1)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )

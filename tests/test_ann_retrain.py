@@ -1,0 +1,166 @@
+"""The scheduled-retrain half of the ANN index lifecycle: appends from a
+DRIFTED distribution must trip the residual-energy gate
+(ann_index_retrain_check's math), degrade probe recall under a fixed
+probe budget, and RECOVER after ann_index_retrain commits fresh
+centroids/codebook/codes as the next snapshot versions. Everything is
+deterministic (splitmix64 vectors, integer-exact training), so these are
+exact pins, not statistical bounds."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from petfinder_database_distributor_spark.operators.similarity import (
+    _splitmix64,
+    brute_force_topk,
+    int_dot,
+    ivf_pq_encode,
+    ivf_pq_probe,
+    ivf_pq_train,
+    quantize,
+)
+from petfinder_database_distributor_spark.plans.corpus_ops import (
+    RETRAIN_DRIFT_PPM,
+    ann_index_retrain,
+)
+from petfinder_database_distributor_spark.sources.snapshot import (
+    snapshot_append,
+    snapshot_read,
+    snapshot_write,
+)
+from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT
+
+DIM = 64
+
+
+def _uniform_vec(i: int) -> list[float]:
+    """Trained-distribution vector: iid-uniform-ish in [-1, 1]."""
+    return [((_splitmix64(i * DIM + d) % 2001) - 1000) / 1000 for d in range(DIM)]
+
+
+N_CLUSTERS = 16  # drifted micro-clusters == codebook arity: recoverable
+PER_CLUSTER = 24  # members per micro-cluster (identical vectors)
+OFFSET = 150  # +-0.15/dim corner offsets — small inter-cluster gap
+
+
+def _drift_base(g: int, d: int) -> float:
+    """Micro-cluster g's center in the drifted region: a shared
+    alternating-sign cone direction (the component the uniform-trained
+    index never saw — it dominates pre-retrain residuals and corrupts
+    their coding) plus a g-specific +-OFFSET corner pattern (the
+    structure a RETRAINED codebook can spend its codewords on; the
+    small scale keeps the inter-cluster ADC gap below the PRE-retrain
+    coding error, which is what makes the degradation visible)."""
+    return (1.0 if d % 2 == 0 else -1.0) + (
+        OFFSET if _splitmix64(55555 + g * DIM + d) % 2 == 0 else -OFFSET
+    ) / 1000
+
+
+def _drifted_vec(i: int) -> list[float]:
+    """Arrival i = member of micro-cluster i//PER_CLUSTER. Members are
+    IDENTICAL (ties broken by vec_id identically in brute force and the
+    probe), so recall measures the coding quality alone."""
+    return [_drift_base(i // PER_CLUSTER, d) for d in range(DIM)]
+
+
+def _drifted_query(g: int) -> list[float]:
+    return [
+        _drift_base(g, d) + ((_splitmix64(4242 + g * DIM + d) % 61) - 30) / 1000
+        for d in range(DIM)
+    ]
+
+
+def _mean_energy(spark, codes, vecs, centroids) -> int:
+    """floor(mean ||qe - icvec||^2) over ``vecs`` against their committed
+    cell — the exact metric ann_index_retrain_check aggregates."""
+    qe_tbl = vecs.select("vec_id", quantize(F.col("embedding")).alias("qe"))
+    resid = F.zip_with("qe", "icvec", lambda x, c: x - c)
+    row = (
+        codes.select("vec_id", "centroid_id")
+        .join(qe_tbl, "vec_id")
+        .join(F.broadcast(centroids), "centroid_id")
+        .agg(
+            F.sum(int_dot(resid, resid)).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    return row["e"] // row["n"]
+
+
+def _recall(spark, truth, centroids, cb, codes, corpus, queries) -> float:
+    approx: dict[int, set[int]] = {}
+    # rerank=32 covers one full micro-cluster (identical members tie on
+    # ADC, so the window must span the tie-group or id-order truncation
+    # hides true members even from a perfect coder)
+    res = ivf_pq_probe(
+        queries, centroids, cb, codes, corpus, k=5, nprobe=4, rerank=32
+    )
+    for r in res.collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    return hits / sum(len(v) for v in truth.values())
+
+
+def test_drift_gate_trips_and_retrain_recovers_recall(spark):
+    root = f"{SCRATCH_ROOT}/ann_retrain_test"
+    shutil.rmtree(root, ignore_errors=True)
+    trained = spark.createDataFrame(
+        [(i, _uniform_vec(i)) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    arrivals = spark.createDataFrame(
+        [(1000 + i, _drifted_vec(i)) for i in range(N_CLUSTERS * PER_CLUSTER)],
+        "vec_id long, embedding array<double>",
+    )
+    centroids, cb, codes = ivf_pq_train(trained)
+    for name, df in (("centroids", centroids), ("codebook", cb), ("codes", codes)):
+        snapshot_write(spark, f"{root}/{name}", df)
+    c0 = snapshot_read(spark, f"{root}/centroids", version=0)
+    cb0 = snapshot_read(spark, f"{root}/codebook", version=0)
+    # FAISS add(): encode arrivals against the committed structures
+    snapshot_append(spark, f"{root}/codes", ivf_pq_encode(arrivals, c0, cb0))
+    codes1 = snapshot_read(spark, f"{root}/codes", version=1)
+    grown = trained.unionByName(arrivals)
+
+    # 1. the drift gate trips: drifted arrivals land in far cells with
+    # bloated residuals vs the trained corpus's
+    e_tr = _mean_energy(spark, codes1.filter(F.col("vec_id") < 1000), trained, c0)
+    e_app = _mean_energy(
+        spark, codes1.filter(F.col("vec_id") >= 1000), arrivals, c0
+    )
+    drift_ppm = e_app * 1_000_000 // e_tr
+    assert drift_ppm > RETRAIN_DRIFT_PPM, (e_tr, e_app, drift_ppm)
+
+    # 2. recall on drifted queries degrades under a fixed probe budget:
+    # the cone's vectors share a couple of coarse cells and the codebook
+    # never saw their residuals, so ADC can't separate near-parallel
+    # neighbors inside the narrow rerank window
+    queries = spark.createDataFrame(
+        [(2000 + g, _drifted_query(g)) for g in range(8)],
+        "query_id long, qvec array<double>",
+    )
+    truth: dict[int, set[int]] = {}
+    for r in brute_force_topk(queries, grown, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    pre = _recall(spark, truth, c0, cb0, codes1, grown, queries)
+
+    # 3. the maintenance op: retrain over the grown corpus, committed as
+    # the next version of each index table (readers stay version-pinned)
+    versions = ann_index_retrain(spark, root, grown)
+    assert versions == {"centroids": 1, "codebook": 1, "codes": 2}
+    c1 = snapshot_read(spark, f"{root}/centroids", version=1)
+    cb1 = snapshot_read(spark, f"{root}/codebook", version=1)
+    codes2 = snapshot_read(spark, f"{root}/codes", version=2)
+    post = _recall(spark, truth, c1, cb1, codes2, grown, queries)
+    # deterministic measured values: pre = 0.125, post = 0.625 — a 5x
+    # recovery. Absolute post recall is capped by the config's tiny
+    # codebook (8 subspaces x 16 codewords shared with the uniform
+    # corpus's residuals), not by the lifecycle: the pin is the GAP.
+    assert pre <= 0.2, f"drifted-index recall should collapse: pre={pre}"
+    assert post >= pre + 0.4, f"retrain must recover recall: pre={pre} post={post}"
+    # v0 structures still read — the swap never disturbs pinned readers
+    assert snapshot_read(spark, f"{root}/centroids", version=0).count() == 16
+    shutil.rmtree(root, ignore_errors=True)
