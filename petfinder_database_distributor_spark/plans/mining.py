@@ -1037,6 +1037,34 @@ def _perplexity_oracle() -> str:
     """
 
 
+def _ppl_corpus_frames(spark: SparkSession, sf_dir: str):
+    """(tk, big) for the perplexity family: per-doc token arrays and the
+    exploded bigram table. The bigram table feeds c2, c1 AND the per-doc
+    re-agg: materialize once (same CSE argument as text_commonness_score's
+    token frame) — DISK_ONLY, never the memory store: bigram occurrences
+    are a corpus-bulk wedge, exactly the shape the round-8 heap
+    post-mortem pinned as the 1-GiB-driver OOM cause."""
+    from pyspark.storagelevel import StorageLevel
+
+    from petfinder_database_distributor_spark.operators.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    big = (
+        tk.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2),"
+                       " i -> concat(t[i], ' ', t[i + 1]))")
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg", F.substring_index("bg", " ", 1).alias("w1"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    return tk, big
+
+
 @register(
     "text_perplexity_bucket",
     oracle=_perplexity_oracle(),
@@ -1058,29 +1086,7 @@ def _perplexity_oracle() -> str:
     "evidence and are excluded by construction.",
 )
 def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from petfinder_database_distributor_spark.operators.text import tokens
-
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    tk = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    from pyspark.storagelevel import StorageLevel
-
-    # the bigram table feeds c2, c1 AND the per-doc re-agg: materialize
-    # once (same CSE argument as text_commonness_score's token frame) —
-    # DISK_ONLY, never the memory store: bigram occurrences are a
-    # corpus-bulk wedge, exactly the shape the round-8 heap post-mortem
-    # pinned as the 1-GiB-driver OOM cause
-    big = (
-        tk.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(0, size(t) - 2),"
-                       " i -> concat(t[i], ' ', t[i + 1]))")
-            ).alias("bg"),
-        )
-        .select("doc_id", "bg", F.substring_index("bg", " ", 1).alias("w1"))
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    )
+    tk, big = _ppl_corpus_frames(spark, sf_dir)
     c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = tk.select(F.explode("t").alias("tok")).agg(
@@ -1122,6 +1128,147 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the deterministic (score, doc_id) total order matches
     # DuckDB's remainder distribution exactly. The global sort is
     # |docs| rows of two ints, a rounding error at any scale.
+    return per.select(
+        "doc_id", "n_bigrams", mean_milli.alias("mean_bits_milli")
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "mean_bits_milli",
+        F.expr("mean_bits_milli div 2000").alias("ppl_bucket"),
+        F.ntile(3)
+        .over(Window.orderBy("mean_bits_milli", "doc_id"))
+        .cast("long")
+        .alias("ccnet_tercile"),
+        (F.col("mean_bits_milli") <= _PPL_KEEP_MILLI).alias("keep"),
+    )
+
+
+# Jelinek-Mercer interpolation weight: p = (7/10) p_ML(b|a) + (3/10) p_uni(b)
+_PPL_LAMBDA_NUM, _PPL_LAMBDA_DEN = 7, 10
+
+
+def _perplexity_interp_oracle() -> str:
+    from petfinder_database_distributor_spark.plans.llm_pipeline import _TOKS_SQL
+
+    lam, den = _PPL_LAMBDA_NUM, _PPL_LAMBDA_DEN
+    return f"""
+    WITH tk AS ({_TOKS_SQL}),
+    d2 AS (SELECT doc_id, t FROM tk WHERE len(t) >= 2),
+    big AS (SELECT doc_id, u.b AS bg, split_part(u.b, ' ', 1) AS w1
+            FROM (SELECT doc_id,
+                         [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bgs
+                  FROM d2), unnest(bgs) u(b)),
+    c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM big GROUP BY 1),
+    c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM big GROUP BY 1),
+    uni AS (SELECT u.tok AS w2, count(*)::BIGINT AS cu
+            FROM tk, unnest(tk.t) u(tok) GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS n, count(DISTINCT u.tok)::BIGINT AS v
+            FROM tk, unnest(tk.t) u(tok)),
+    tmap AS (SELECT c2.bg,
+                    greatest(1, ((({lam}*c2.c2*(tot.n+tot.v)
+                                   + {den - lam}*(uni.cu+1)*c1.c1)::HUGEINT
+                                  * {1 << _PPL_P_BITS})
+                                 // ({den}::HUGEINT * c1.c1
+                                     * (tot.n+tot.v)))::BIGINT) AS tq
+             FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+                     JOIN uni ON split_part(c2.bg, ' ', 2) = uni.w2, tot),
+    tv AS (SELECT DISTINCT tq FROM tmap),
+    {_log2fp_sql_ctes("tv")},
+    bstat AS (SELECT doc_id, bg, count(*)::BIGINT AS cnt FROM big GROUP BY 1, 2),
+    per AS (SELECT bs.doc_id, sum(bs.cnt)::BIGINT AS n_bigrams,
+                   sum(bs.cnt * pc.cost_fp)::BIGINT AS nll_fp
+            FROM bstat bs JOIN tmap ON bs.bg = tmap.bg
+                          JOIN ppl_cost pc ON tmap.tq = pc.tq
+            GROUP BY 1)
+    SELECT doc_id, n_bigrams,
+           ((nll_fp * 1000) // (n_bigrams * {1 << _PPL_FRAC_BITS}))::BIGINT
+             AS mean_bits_milli,
+           (((nll_fp * 1000) // (n_bigrams * {1 << _PPL_FRAC_BITS})) // 2000)::BIGINT
+             AS ppl_bucket,
+           ntile(3) OVER (ORDER BY
+             (nll_fp * 1000) // (n_bigrams * {1 << _PPL_FRAC_BITS}), doc_id)::BIGINT
+             AS ccnet_tercile,
+           ((nll_fp * 1000) // (n_bigrams * {1 << _PPL_FRAC_BITS}))
+             <= {_PPL_KEEP_MILLI} AS keep
+    FROM per
+    """
+
+
+@register(
+    "text_perplexity_interp",
+    oracle=_perplexity_interp_oracle(),
+    doc="Interpolated-backoff perplexity gate — the KenLM/CCNet-style "
+    "refinement of text_perplexity_bucket's add-one bigram LM: "
+    "Jelinek-Mercer p = 0.7 p_ML(b|a) + 0.3 p_uni(b), where p_uni is "
+    "the add-one-smoothed unigram of the PREDICTED token. Backoff "
+    "changes keep/drop decisions exactly where add-one misjudges: a "
+    "bigram after a RARE history (c1 small) is no longer crushed by "
+    "the +V denominator but pulled toward the predicted word's own "
+    "corpus frequency — rare-history documents stop being spuriously "
+    "surprising. The mixture is exact rational arithmetic (one shared "
+    "denominator, quantized t = floor(p * 2^30) via DECIMAL(38)/"
+    "HUGEINT intermediates, clamped >= 1), feeding the SAME integer "
+    "fixed-point log2 kernel over the distinct quantized "
+    "probabilities, so the interpolated statistic is as bit-identical "
+    "cross-engine as the add-one one. One extra counting pass "
+    "(unigram counts of predicted tokens) on top of the bucket "
+    "query's plan shape.",
+)
+def text_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tk, big = _ppl_corpus_frames(spark, sf_dir)
+    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    toks = tk.select(F.explode("t").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("tok").alias("v")
+    )
+    lam, lden = _PPL_LAMBDA_NUM, _PPL_LAMBDA_DEN
+    tmap = (
+        c2.select(
+            "bg",
+            "c2",
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("tok"),
+        )
+        .join(c1, "w1")
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            (
+                F.lit(lam) * F.col("c2") * (F.col("n") + F.col("v"))
+                + F.lit(lden - lam) * (F.col("cu") + 1) * F.col("c1")
+            ).alias("num"),
+            (F.lit(lden) * F.col("c1") * (F.col("n") + F.col("v"))).alias("den"),
+        )
+        .select(
+            "bg",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"cast((cast(num as decimal(38,0)) * {1 << _PPL_P_BITS})"
+                    f" div den as bigint)"
+                ),
+            ).alias("tq"),
+        )
+    )
+    cost = _log2fp_cost(tmap.select("tq").distinct())
+    bstat = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    per = (
+        bstat.join(tmap, "bg")
+        .join(F.broadcast(cost), "tq")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("cost_fp")).alias("nll_fp"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    mean_milli = F.expr(
+        f"(nll_fp * 1000) div (n_bigrams * {1 << _PPL_FRAC_BITS})"
+    )
     return per.select(
         "doc_id", "n_bigrams", mean_milli.alias("mean_bits_milli")
     ).select(
