@@ -49,77 +49,81 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # bounded 50-entry window. ROTATION POLICY (round-2/3 verdict #1, cadence
 # codified round 5 per r4 verdict #2): the window head is (a) queries new
 # or changed this round, (b) queries whose newest driver row is oldest —
-# CADENCE RULE: no query's newest driver row may be more than 2 rounds old.
-# Rotated-out queries stay covered every run by the identical hash check
-# in tests/test_oracle_parity.py.
+# CADENCE RULE (re-derived r10, now CI in tests/test_oracle_parity.py::
+# test_driver_row_cadence): no query's newest driver row may be older
+# than ceil(n_registered / 50) rounds — the fastest full rotation a
+# 50-slot window permits (the original 2-round aspiration stopped being
+# arithmetically satisfiable past 150 registered queries), and every
+# window must drain the oldest cohort. Rotated-out queries stay covered
+# every run by the identical hash check in tests/test_oracle_parity.py.
 #
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
-    # -- r9 window (50 entries). Head: the five queries REGISTERED this
-    # round (new code needs its first external row). Then the ENTIRE
-    # pre-r6 refresh backlog — the r8 verdict's #1 ask: all 33 still-
-    # registered names whose newest driver row is r5, so after r9 no
-    # registered query's newest external row predates r6. The 12
-    # remaining slots go to r6-era names, perf-watched first
-    # (dedup_minhash_lsh is the open 2.2x item) then streaming/table-
-    # format machinery. The r10 window drains the remaining r6 cohort.
-    "ann_index_probe_topk",
-    "stream_ann_index_append",
-    "ann_index_append_probe",
-    "snapshot_concurrent_append",
-    "stream_retention_cohorts",
-    "text_perplexity_bucket",
-    # --- the entire pre-r6 backlog (33 registered names; the r4-era
-    # names in old CORRECTNESS files were renamed/consolidated since —
-    # e.g. the ref_* scalar singles into ref_scalar_suite — and no
-    # longer exist as registry entries):
-    "agg_distinct_users",
-    "ann_bruteforce_topk",
-    "decontamination_check",
-    "dedup_exact",
-    "export_roundtrip_csv",
-    "g1_datasource_ingest",
-    "g1_rollup_revenue",
-    "j6_dpp_join",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "p2_src_attr_project",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "ref_anti_join",
-    "ref_compaction",
-    "ref_upsert_merge",
-    "s1_fetch_extract",
-    "s8_json_rows",
-    "sample_stratified",
-    "search_bm25_topk",
-    "sketch_hll_distinct_users",
-    "split_train_test",
-    "text_bigram_tf",
-    "text_chunking",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_redact_pii",
-    "text_repetition_ratio",
-    "text_token_stats",
-    "w1_topk_per_group",
-    "w2_running_totals",
-    # --- r6-era fills (11 of 49, substantive-first; the rest are the
-    # r10 backlog):
-    "dedup_minhash_lsh",
-    "stream_late_data_drop",
-    "stream_windowed_totals",
-    "stream_sketch_hll",
-    "stream_static_enrich",
-    "cdc_snapshot_diff",
-    "scd2_user_history",
-    "compaction_bin_pack",
-    "dedup_canonical_quality",
-    "dedup_cluster_components",
-    "dedup_ngram_containment",
+    # -- r10 window (50 entries). Head: the three queries REGISTERED
+    # this round (new code needs its first external row) plus the two
+    # ANN names whose PLANS changed this round (folded onto the
+    # persisted index — their oracles changed with them). Then the
+    # ENTIRE r6-era refresh backlog — the r9 verdict's #1 ask: all 38
+    # still-registered names whose newest driver row is r6, so after
+    # r10 no registered query's newest external row predates r7. The 7
+    # remaining slots start on the r7 cohort (substantive-first); the
+    # r11 window drains the remaining 42 r7 names. The rotation bound
+    # is now CI: tests/test_oracle_parity.py::test_driver_row_cadence.
+    "snapshot_concurrent_merge",
+    "ann_index_retrain_check",
+    "text_perplexity_interp",
+    "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    # --- the entire r6-era backlog (38 names):
+    "bpe_first_merges",
+    "cluster_kmeans_int8",
+    "corpus_boilerplate_strip",
+    "dedup_ngram_jaccard",
+    "domain_mix_weights",
+    "embedding_quantize_int8",
+    "global_shuffle_index",
+    "j8_aqe_skew_join",
+    "kanonymity_check",
+    "p3_link_fanout",
+    "pack_sequences_greedy",
+    "pagerank_partsupp",
+    "profile_documents",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_excess_share_suppliers",
+    "q21_sole_returner",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "ref_scalar_suite",
+    "rollup_incremental_merge",
+    "sample_weighted",
+    "sketch_bloom_membership",
+    "sketch_hll_mergeable",
+    "text_commonness_score",
+    "text_log_parse",
+    "timeseries_gapfill_locf",
+    "zorder_layout_stats",
+    # --- r7-era fills (7 of 50, substantive-first; the rest are the
+    # r11 backlog). stream_snapshot_pipe is also the r9 verdict's
+    # load-suspect key (#8) — fresh driver row + fresh bench timing:
+    "flagship_distributor_pipeline",
+    "stream_incremental_dedup",
+    "stream_snapshot_pipe",
+    "dedup_incremental_batch",
+    "snapshot_merge_upsert",
+    "j2_asof_join",
+    "url_canonical_dedup",
 ]
 
 

@@ -70,3 +70,62 @@ def test_oracle_parity_driver_scale(spark, name):
         return
     oracle_pdf = run_oracle(spec.oracle, SF_ORACLE)
     assert_parity(spark_df, oracle_pdf, name)
+
+
+def _driver_rows_by_round() -> dict[str, int]:
+    """name -> newest round with any driver row, from CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            names = json.load(open(f))
+        except (OSError, ValueError):  # torn/absent artifact — be lenient
+            continue
+        for n in names:
+            newest[n] = max(newest.get(n, 0), rnd)
+    return newest
+
+
+def test_driver_row_cadence():
+    """The rotation rule as CI (r9 verdict #6): every registered query's
+    newest external driver row must be no older than the steady-state
+    rotation bound — ceil(n_registered / 50) rounds, the fastest full
+    rotation a 50-slot window permits (the original 2-round aspiration
+    stopped being arithmetically satisfiable past 150 registered
+    queries) — OR be scheduled in the upcoming window (PRIORITY head).
+    Additionally the window must DRAIN the oldest cohort: any name whose
+    row would exceed the bound after this round has to be in the head,
+    and never-sampled names (new registrations) always are. Red here
+    means the planned PRIORITY doesn't drain the backlog — fix the
+    window, not the test."""
+    import math
+
+    from petfinder_database_distributor_spark.registry import PRIORITY
+
+    newest = _driver_rows_by_round()
+    current_round = max(newest.values()) + 1  # newest artifact + this round
+    bound = math.ceil(len(SPECS) / 50)
+    window = set(PRIORITY[:50])
+    missing = [n for n in PRIORITY if n not in SPECS]
+    assert not missing, f"PRIORITY names not registered: {missing}"
+    stale = sorted(
+        n
+        for n in SPECS
+        if newest.get(n, 0) < current_round - bound and n not in window
+    )
+    assert not stale, (
+        f"{len(stale)} queries' newest driver row predates round "
+        f"{current_round - bound} and the planned window won't refresh "
+        f"them: {stale}"
+    )
+    never = sorted(n for n in SPECS if n not in newest and n not in window)
+    assert not never, f"never-sampled registrations outside the window: {never}"
