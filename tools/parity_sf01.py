@@ -22,7 +22,9 @@ SKIP = {
     'dedup_simhash_pairs', 'dedup_cluster_components',
     'dedup_cluster_components_labelprop', 'dedup_apply_corpus',
     'dedup_embedding_cosine', 'dedup_embedding_cosine_exact',
-    'ann_bruteforce_topk', 'ann_lsh_topk', 'ann_ivf_topk',
+    # (ann_ivf_topk left the skip set in r10: folded onto the persisted
+    # index, its sf0.1 cost is one staged probe, not a retrain)
+    'ann_bruteforce_topk', 'ann_lsh_topk',
 } | {n for n in qs if n.startswith('stream_')}
 failed = []
 for name, spec in qs.items():
