@@ -369,7 +369,7 @@ def _update_int(assigned: DataFrame, vid: str) -> DataFrame:
 def _assign_int(vecs: DataFrame, centroids: DataFrame, vid: str) -> DataFrame:
     """Nearest integer centroid by cosine (scale-invariant, so integer
     centroids rank identically to their /scale doubles); ties -> smaller
-    centroid_id. Same max_by shape as :func:`_assign`."""
+    centroid_id, via one max_by aggregate (never a per-row window)."""
     scored = vecs.crossJoin(F.broadcast(centroids)).select(
         F.col(vid),
         "qe",

@@ -777,9 +777,15 @@ def ann_index_retrain(spark: SparkSession, root: str, corpus: DataFrame) -> dict
     the next snapshot version of its table (operation='retrain').
     Readers stay pinned to the version triple they resolved at query
     start — time travel makes the swap invisible mid-query, and the
-    next probe resolves the fresh triple. The three commits advance in
-    lockstep (same train call), so a consistent triple is any
-    equal-version read; tests/test_ann_retrain.py pins that a probe's
+    next probe resolves the fresh triple. A consistent triple is the
+    dict THIS call returns, NOT an equal-version read: append
+    maintenance bumps only the codes table, so after one append + one
+    retrain the consistent state is centroids v1 / codebook v1 /
+    codes v2 (codes leads by the number of append commits — the
+    recovery test asserts exactly this shape). Reading codes rows
+    against a mismatched centroids/codebook version decodes residuals
+    against the wrong cell centers — meaningless ADC scores with no
+    error raised. tests/test_ann_retrain.py pins that a probe's
     recall RECOVERS on a drifted corpus after this runs."""
     centroids, cb, codes = ivf_pq_train(corpus)
     out = {}

@@ -1165,8 +1165,8 @@ def _perplexity_interp_oracle() -> str:
     tot AS (SELECT count(*)::BIGINT AS n, count(DISTINCT u.tok)::BIGINT AS v
             FROM tk, unnest(tk.t) u(tok)),
     tmap AS (SELECT c2.bg,
-                    greatest(1, ((({lam}*c2.c2*(tot.n+tot.v)
-                                   + {den - lam}*(uni.cu+1)*c1.c1)::HUGEINT
+                    greatest(1, ((({lam}::HUGEINT*c2.c2*(tot.n+tot.v)
+                                   + {den - lam}::HUGEINT*(uni.cu+1)*c1.c1)
                                   * {1 << _PPL_P_BITS})
                                  // ({den}::HUGEINT * c1.c1
                                      * (tot.n+tot.v)))::BIGINT) AS tq
@@ -1236,11 +1236,17 @@ def text_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "bg",
-            (
-                F.lit(lam) * F.col("c2") * (F.col("n") + F.col("v"))
-                + F.lit(lden - lam) * (F.col("cu") + 1) * F.col("c1")
+            # DECIMAL(38,0) from the FIRST product: the long form wraps
+            # silently at n+v ~ 2e9 x c1 ~ 5e8 (den = 1e19 > 2^63) while
+            # the oracle's HUGEINT doesn't — a cross-engine divergence
+            # window. decimal(38) holds the realistic 100 TB text range
+            # (num * 2^30 <= ~5e36 < 1e38); the oracle casts ::HUGEINT
+            # before its products for the same reason.
+            F.expr(
+                f"cast({lam} as decimal(38,0)) * c2 * (n + v)"
+                f" + cast({lden - lam} as decimal(38,0)) * (cu + 1) * c1"
             ).alias("num"),
-            (F.lit(lden) * F.col("c1") * (F.col("n") + F.col("v"))).alias("den"),
+            F.expr(f"cast({lden} as decimal(38,0)) * c1 * (n + v)").alias("den"),
         )
         .select(
             "bg",

@@ -726,6 +726,22 @@ def snapshot_append(
     return version
 
 
+def _commit_with_retry(attempt_commit, max_retries: int) -> int:
+    """THE optimistic commit-retry policy, in one place (append and merge
+    share it): re-invoke ``attempt_commit`` on SnapshotConflictError —
+    each retry observes a strictly newer base, so with N racing writers
+    at most N-1 retries each — and give up loudly after ``max_retries``
+    consecutive losses (a pathological-livelock signal, not a normal
+    outcome)."""
+    for attempt in range(max_retries + 1):
+        try:
+            return attempt_commit()
+        except SnapshotConflictError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def snapshot_append_optimistic(
     spark: SparkSession,
     table_dir: str,
@@ -750,13 +766,9 @@ def snapshot_append_optimistic(
     not a normal outcome). tests/test_snapshot_table.py forces a
     mid-commit race to pin that exactly one retry happens and both
     writers' rows land."""
-    for attempt in range(max_retries + 1):
-        try:
-            return snapshot_append(spark, table_dir, df, **kwargs)
-        except SnapshotConflictError:
-            if attempt == max_retries:
-                raise
-    raise AssertionError("unreachable")
+    return _commit_with_retry(
+        lambda: snapshot_append(spark, table_dir, df, **kwargs), max_retries
+    )
 
 
 def snapshot_merge(
@@ -835,13 +847,10 @@ def snapshot_merge_optimistic(
     concurrent reader/writer reality of server.py:299-307.
     tests/test_snapshot_table.py forces the race and pins that the retry
     visibly re-reads the winner's row."""
-    for attempt in range(max_retries + 1):
-        try:
-            return snapshot_merge(spark, table_dir, updates, key_cols, order_cols)
-        except SnapshotConflictError:
-            if attempt == max_retries:
-                raise
-    raise AssertionError("unreachable")
+    return _commit_with_retry(
+        lambda: snapshot_merge(spark, table_dir, updates, key_cols, order_cols),
+        max_retries,
+    )
 
 
 def snapshot_zorder(
@@ -1005,7 +1014,12 @@ def snapshot_vacuum(
         import time
 
         horizon = time.time() - orphan_ttl_sec
-        for v in range(max(0, cutoff), current + 1):
+        # current + 2: a writer that DERIVED v{current+1} and crashed
+        # before its commit (no rival ever took that version) leaves
+        # staging in a directory one past the current pointer — the walk
+        # must include it or that garbage leaks until an unrelated
+        # commit advances the table
+        for v in range(max(0, cutoff), current + 2):
             for vdir in (
                 os.path.join(table_dir, "data", f"v{v}"),
                 os.path.join(table_dir, "tombstones", f"v{v}"),

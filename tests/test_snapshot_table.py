@@ -1462,3 +1462,22 @@ def test_vacuum_sweeps_lost_commit_attempts(spark, table_dir, monkeypatch):
     assert _as_dict(snapshot_read(spark, table_dir, 0))[1] == "base"
     got = {r["k"]: r["v"] for r in snapshot_read(spark, table_dir, 2).collect()}
     assert got == {1: "rival", 2: "mine"}
+
+
+def test_vacuum_sweeps_crashed_writer_staging_past_current(spark, table_dir):
+    """A writer that DERIVED v1 on a v0 table and died before its commit
+    leaves staging one past the current pointer — no rival ever took that
+    version, so no manifest references it. The orphan sweep must include
+    v{current+1} or this garbage leaks until an unrelated commit."""
+    import os as _os
+
+    import petfinder_database_distributor_spark.sources.snapshot as snap
+
+    snap.snapshot_write(spark, table_dir, _ranked(spark, [(1, "base", 0)]))
+    ghost = _os.path.join(table_dir, "data", "v1", "deadbeefcafe")
+    _os.makedirs(ghost)
+    with open(_os.path.join(ghost, "part-00000.parquet"), "wb") as f:
+        f.write(b"crashed mid-stage")
+    snap.snapshot_vacuum(table_dir, keep_last=10, orphan_ttl_sec=0)
+    assert not _os.path.exists(ghost), "crashed-writer staging must be swept"
+    assert _as_dict(snapshot_read(spark, table_dir, 0))[1] == "base"
