@@ -52,11 +52,14 @@ from petfinder_database_distributor_spark.plans.llm_pipeline import (
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
 from petfinder_database_distributor_spark.sources.snapshot import (
+    latest_group,
     latest_version,
     snapshot_append,
+    snapshot_commit_group,
     snapshot_delete,
     snapshot_merge,
     snapshot_read,
+    snapshot_read_group,
     snapshot_write,
 )
 from petfinder_database_distributor_spark.streaming.incremental import (  # noqa: E501
@@ -547,6 +550,14 @@ def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
         snapshot_write(spark, f"{root}/centroids", centroids)
         snapshot_write(spark, f"{root}/codebook", cb)
         snapshot_write(spark, f"{root}/codes", codes)
+        # g0: the three just-trained tables as ONE atomic family version
+        # (readers resolving the group can never mix training epochs)
+        snapshot_commit_group(
+            root,
+            {"centroids": 0, "codebook": 0, "codes": 0},
+            base_group=None,
+            operation="train",
+        )
 
     return staged_once(root, f"{sf_dir.rstrip('/')}/embeddings.parquet", build)
 
@@ -767,6 +778,24 @@ def _arrivals_appended(spark: SparkSession, emb: DataFrame, root: str) -> str:
         cb = snapshot_read(spark, f"{root}/codebook", version=0)
         arrivals = emb.filter(F.col("vec_id") % 5 == 0)
         snapshot_append(spark, codes_table, ivf_pq_encode(arrivals, centroids, cb))
+    if latest_group(root) is None:
+        # root staged before group pointers existed: upgrade in place
+        snapshot_commit_group(
+            root,
+            {"centroids": 0, "codebook": 0, "codes": 0},
+            base_group=None,
+            operation="train",
+        )
+    if latest_group(root) == 0:
+        # g1: append maintenance bumps ONLY the codes member — the group
+        # manifest records the mixed-version triple explicitly, so a
+        # group reader still gets a mutually consistent family
+        snapshot_commit_group(
+            root,
+            {"centroids": 0, "codebook": 0, "codes": 1},
+            base_group=0,
+            operation="append",
+        )
     return codes_table
 
 
@@ -798,6 +827,11 @@ def ann_index_retrain(spark: SparkSession, root: str, corpus: DataFrame) -> dict
             base_version=latest_version(tdir),
             extra_manifest={"operation": "retrain"},
         )
+    # the three table commits above are invisible to group readers until
+    # this single atomic swap — the multi-table transaction that makes
+    # "a consistent triple" a RESOLVABLE thing rather than a convention
+    # (snapshot_commit_group docstring has the failure mode)
+    snapshot_commit_group(root, out, base_group=latest_group(root), operation="retrain")
     return out
 
 
@@ -893,9 +927,11 @@ def ann_index_retrain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_index_append_probe",
-    oracle=f"""
+# The grown-index probe oracle (committed v0 structures + re-encoded
+# arrivals, probed over the union) — shared verbatim by
+# ann_index_append_probe (version-pinned reads) and ann_index_group_probe
+# (group-pointer reads): identical math, different consistency mechanism.
+_ANN_GROWN_PROBE_SQL = f"""
     WITH {_ANN_IDX_TRAIN_SQL},
     arr AS (SELECT * FROM qa WHERE vec_id % 5 = 0),
     aivf AS ({_IVFPQ_ASSIGN.format(vecs="arr", cents="c1")}),
@@ -916,7 +952,12 @@ def ann_index_retrain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_codes AS (SELECT vec_id, m, sv, j FROM codes
                   UNION ALL SELECT vec_id, m, sv, j FROM acodes),
     {_ann_idx_probe_sql(ivf="all_ivf", codes="all_codes")}
-    """,
+    """
+
+
+@register(
+    "ann_index_append_probe",
+    oracle=_ANN_GROWN_PROBE_SQL,
     doc="ANN index MAINTENANCE without retrain — FAISS add() as a table "
     "commit: the held-out arrival slice (vec_id % 5 = 0) is assigned to "
     "its nearest COMMITTED centroid and residual-encoded with the "
@@ -939,6 +980,43 @@ def ann_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = snapshot_read(spark, f"{root}/centroids", version=0)
     cb = snapshot_read(spark, f"{root}/codebook", version=0)
     codes = snapshot_read(spark, _arrivals_appended(spark, emb, root), version=1)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_pq_probe(
+        queries, centroids, cb, codes, emb, k=5, nprobe=6, rerank=96
+    )
+
+
+@register(
+    "ann_index_group_probe",
+    oracle=_ANN_GROWN_PROBE_SQL,
+    doc="ANN serving through the ATOMIC GROUP pointer — the multi-table "
+    "transaction that makes 'a consistent triple' resolvable instead of "
+    "conventional: centroids/codebook/codes versions are read from ONE "
+    "group manifest (g1 = the post-append family: centroids v0 / "
+    "codebook v0 / codes v1), so a reader can never mix training epochs "
+    "even while a retrain's three table commits are landing — they stay "
+    "invisible until the single group swap "
+    "(sources/snapshot.py::snapshot_commit_group; Iceberg's "
+    "catalog-level atomic swap over a table family). Result-identical "
+    "to ann_index_append_probe by construction — same committed "
+    "structures, different consistency mechanism — and the shared "
+    "oracle retrains from scratch, proving group-resolved probe == "
+    "recompute. tests/test_snapshot_table.py pins the group protocol "
+    "(member validation, conflict on racing group commits); "
+    "tests/test_ann_retrain.py pins that retrain advances the family "
+    "to g2 = {centroids 1, codebook 1, codes 2} atomically.",
+)
+def ann_index_group_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    root = _ann_index_root(spark, sf_dir)
+    _arrivals_appended(spark, emb, root)  # ensures codes v1 + groups g0, g1
+    centroids = snapshot_read_group(spark, root, "centroids", group=1)
+    cb = snapshot_read_group(spark, root, "codebook", group=1)
+    codes = snapshot_read_group(spark, root, "codes", group=1)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )

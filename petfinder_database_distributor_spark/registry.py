@@ -60,16 +60,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
-    # -- r10 window (50 entries). Head: the three queries REGISTERED
-    # this round (new code needs its first external row) plus the two
-    # ANN names whose PLANS changed this round (folded onto the
-    # persisted index — their oracles changed with them). Then the
-    # ENTIRE r6-era refresh backlog — the r9 verdict's #1 ask: all 38
-    # still-registered names whose newest driver row is r6, so after
-    # r10 no registered query's newest external row predates r7. The 7
-    # remaining slots start on the r7 cohort (substantive-first); the
-    # r11 window drains the remaining 42 r7 names. The rotation bound
-    # is now CI: tests/test_oracle_parity.py::test_driver_row_cadence.
+    # -- r10 window (50 entries). Head: the four queries REGISTERED
+    # this round (three here + ann_index_group_probe in the last slot;
+    # new code needs its first external row) plus the two ANN names
+    # whose PLANS changed this round (folded onto the persisted index —
+    # their oracles changed with them). Then the ENTIRE r6-era refresh
+    # backlog — the r9 verdict's #1 ask: all 38 still-registered names
+    # whose newest driver row is r6, so after r10 no registered query's
+    # newest external row predates r7. The remaining slots start on the
+    # r7 cohort (substantive-first); the r11 window drains the
+    # remaining r7 names. The rotation bound is now CI:
+    # tests/test_oracle_parity.py::test_driver_row_cadence.
     "snapshot_concurrent_merge",
     "ann_index_retrain_check",
     "text_perplexity_interp",
@@ -123,7 +124,9 @@ PRIORITY: list[str] = [
     "dedup_incremental_batch",
     "snapshot_merge_upsert",
     "j2_asof_join",
-    "url_canonical_dedup",
+    # (url_canonical_dedup yielded its fill slot to the round's late
+    # registration — never-sampled names must be in the window:)
+    "ann_index_group_probe",
 ]
 
 

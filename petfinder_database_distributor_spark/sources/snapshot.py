@@ -853,6 +853,105 @@ def snapshot_merge_optimistic(
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-table group commits: one atomic pointer over a SET of tables
+# ---------------------------------------------------------------------------
+
+
+def latest_group(root: str) -> int | None:
+    """Current committed group version under ``root``, or None."""
+    ptr = os.path.join(root, "_group_latest")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def _group_manifest_path(root: str, group: int) -> str:
+    return os.path.join(root, "_group_manifests", f"g{group}.json")
+
+
+def read_group_manifest(root: str, group: int) -> dict:
+    with open(_group_manifest_path(root, group)) as fh:
+        return json.load(fh)
+
+
+def snapshot_commit_group(
+    root: str,
+    members: dict[str, int],
+    base_group: int | None,
+    operation: str = "group",
+) -> int:
+    """Commit ``members`` — a {table_name: version} map over the snapshot
+    tables under ``root`` — as ONE atomic group version: the multi-table
+    transaction an index (or any table FAMILY whose members must be read
+    at mutually consistent versions) needs. Individual table commits are
+    each atomic but three of them are not: a reader resolving
+    centroids/codebook/codes pointers independently mid-retrain can get
+    v1 centroids with v0 codes — meaningless ADC scores, no error
+    raised (the r10 retrain review finding). With a group pointer the
+    retrain's three table commits stay INVISIBLE until the single group
+    swap lands; readers resolve the group once and read its pinned
+    member versions. Iceberg's catalog-level atomic swap over multiple
+    tables, on the reference's own fsync-then-replace idiom.
+
+    Same optimistic protocol as table commits: each named member version
+    must already be committed in its table (validated under the lock),
+    ``base_group`` is re-verified inside the lock window, and a racing
+    group committer fails with SnapshotConflictError — retry by
+    re-reading the winner's group and recomputing."""
+    os.makedirs(os.path.join(root, "_group_manifests"), exist_ok=True)
+    for name, version in members.items():
+        if not os.path.exists(_manifest_path(os.path.join(root, name), version)):
+            raise ValueError(
+                f"group member {name!r} has no committed v{version};"
+                " commit member tables before the group"
+            )
+    import time
+
+    with _commit_lock(root):
+        current = latest_group(root)
+        if current != base_group:
+            raise SnapshotConflictError(
+                f"group advanced to g{current} since this writer read"
+                f" {'empty' if base_group is None else f'g{base_group}'};"
+                " re-read and retry"
+            )
+        group = (current if current is not None else -1) + 1
+        manifest = {
+            "group": group,
+            "members": dict(sorted(members.items())),
+            "operation": operation,
+            "committed_at": round(time.time(), 3),
+        }
+        _fsync_replace(
+            _group_manifest_path(root, group) + "._tmp",
+            _group_manifest_path(root, group),
+            json.dumps(manifest, indent=1),
+        )
+        # THE commit point for the whole family.
+        _fsync_replace(
+            os.path.join(root, "_group_latest._tmp"),
+            os.path.join(root, "_group_latest"),
+            str(group),
+        )
+    return group
+
+
+def snapshot_read_group(
+    spark: SparkSession, root: str, name: str, group: int | None = None
+) -> DataFrame:
+    """Read member ``name`` at the version the group manifest pins —
+    resolve the group pointer ONCE (or pass an explicit ``group`` for
+    time travel), then every member read is mutually consistent no
+    matter how many table/group commits land mid-query."""
+    g = latest_group(root) if group is None else group
+    if g is None:
+        raise FileNotFoundError(f"no committed group under {root}")
+    members = read_group_manifest(root, g)["members"]
+    return snapshot_read(spark, os.path.join(root, name), version=members[name])
+
+
 def snapshot_zorder(
     spark: SparkSession,
     table_dir: str,

@@ -151,9 +151,20 @@ def test_drift_gate_trips_and_retrain_recovers_recall(spark):
     # the next version of each index table (readers stay version-pinned)
     versions = ann_index_retrain(spark, root, grown)
     assert versions == {"centroids": 1, "codebook": 1, "codes": 2}
-    c1 = snapshot_read(spark, f"{root}/centroids", version=1)
-    cb1 = snapshot_read(spark, f"{root}/codebook", version=1)
-    codes2 = snapshot_read(spark, f"{root}/codes", version=2)
+    # the retrain also lands ONE atomic group over the mixed-version
+    # family, so readers resolve a consistent triple instead of relying
+    # on the equal-version convention (false here: codes leads by one)
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        latest_group,
+        read_group_manifest,
+        snapshot_read_group,
+    )
+
+    g = latest_group(root)
+    assert read_group_manifest(root, g)["members"] == versions
+    c1 = snapshot_read_group(spark, root, "centroids", group=g)
+    cb1 = snapshot_read_group(spark, root, "codebook", group=g)
+    codes2 = snapshot_read_group(spark, root, "codes", group=g)
     post = _recall(spark, truth, c1, cb1, codes2, grown, queries)
     # deterministic measured values: pre = 0.125, post = 0.625 — a 5x
     # recovery. Absolute post recall is capped by the config's tiny

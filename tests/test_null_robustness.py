@@ -134,6 +134,8 @@ SWEPT = [
     "stream_retention_cohorts",
     "ann_index_probe_topk",
     "ann_index_append_probe",
+    # r10: the group-pointer probe inherits the vector family's contract
+    "ann_index_group_probe",
     "stream_ann_index_append",
     "snapshot_concurrent_append",
 ]

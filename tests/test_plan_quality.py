@@ -721,7 +721,12 @@ def test_ann_index_probe_has_zero_training_in_plan(spark):
     # ann_pq_adc_topk exhaustive ADC) owe the identical zero-training pin
     import re
 
-    for name in ("ann_index_probe_topk", "ann_ivf_topk", "ann_pq_adc_topk"):
+    for name in (
+        "ann_index_probe_topk",
+        "ann_ivf_topk",
+        "ann_pq_adc_topk",
+        "ann_index_group_probe",
+    ):
         p = plan_of(spark, name)
         assert "ExistingRDD" not in p, f"training leaked into {name}'s plan"
         assert "ann_ivfpq_index" in p, f"{name} must read the committed tables"

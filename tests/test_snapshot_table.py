@@ -1481,3 +1481,33 @@ def test_vacuum_sweeps_crashed_writer_staging_past_current(spark, table_dir):
     snap.snapshot_vacuum(table_dir, keep_last=10, orphan_ttl_sec=0)
     assert not _os.path.exists(ghost), "crashed-writer staging must be swept"
     assert _as_dict(snapshot_read(spark, table_dir, 0))[1] == "base"
+
+
+def test_group_commit_atomicity_and_validation(spark, table_dir):
+    """The multi-table group pointer: members must already be committed,
+    racing group commits conflict (optimistic, same as table commits),
+    and group reads resolve a mutually consistent family even after
+    member tables advance independently."""
+    import petfinder_database_distributor_spark.sources.snapshot as snap
+
+    root = table_dir
+    snap.snapshot_write(spark, f"{root}/a", _rows(spark, [(1, "a0")]))
+    snap.snapshot_write(spark, f"{root}/b", _rows(spark, [(1, "b0")]))
+    # a group may only name committed member versions
+    with pytest.raises(ValueError):
+        snap.snapshot_commit_group(root, {"a": 0, "b": 7}, base_group=None)
+    g0 = snap.snapshot_commit_group(root, {"a": 0, "b": 0}, base_group=None)
+    assert g0 == 0 and snap.latest_group(root) == 0
+    # racing committers: the loser's stale base fails loudly
+    with pytest.raises(snap.SnapshotConflictError):
+        snap.snapshot_commit_group(root, {"a": 0, "b": 0}, base_group=None)
+    # member tables advance independently; the group still reads the
+    # OLD family until a new group commits — the whole point
+    snap.snapshot_append(spark, f"{root}/a", _rows(spark, [(2, "a1")]))
+    assert _as_dict(snap.snapshot_read_group(spark, root, "a")) == {1: "a0"}
+    g1 = snap.snapshot_commit_group(root, {"a": 1, "b": 0}, base_group=0)
+    assert g1 == 1
+    assert _as_dict(snap.snapshot_read_group(spark, root, "a")) == {1: "a0", 2: "a1"}
+    # time travel to the old family
+    assert _as_dict(snap.snapshot_read_group(spark, root, "a", group=0)) == {1: "a0"}
+    assert _as_dict(snap.snapshot_read_group(spark, root, "b", group=1)) == {1: "b0"}
