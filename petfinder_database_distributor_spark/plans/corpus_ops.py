@@ -1025,6 +1025,84 @@ def ann_index_group_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup cosine threshold: within-cell pairs at/above it collapse to
+# the lowest-id representative (testdata within-cell cosine p99 ~ 0.33,
+# max ~ 0.47 — the corpus has no true near-dups, so the gate sits where
+# it measurably prunes; a real embedding space runs this at ~0.95+)
+_SEMDEDUP_TAU = 0.30
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH {_ANN_IDX_TRAIN_SQL},
+    pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+              FROM ivf a JOIN ivf b ON a.centroid_id = b.centroid_id
+                                   AND a.vec_id < b.vec_id
+                   JOIN embeddings ea ON ea.vec_id = a.vec_id
+                   JOIN embeddings eb ON eb.vec_id = b.vec_id
+              WHERE {_COS_SQL.format(a="ea.embedding", b="eb.embedding")}
+                      >= {_SEMDEDUP_TAU}),
+    dec AS (SELECT idb, min(ida) AS dup_of FROM pairs GROUP BY idb)
+    SELECT f.vec_id, f.centroid_id::INT AS cell, dec.dup_of,
+           dec.dup_of IS NULL AS keep
+    FROM ivf f LEFT JOIN dec ON f.vec_id = dec.idb
+    """,
+    doc="SemDeDup (Abbas et al. 2023) — SEMANTIC dedup as the third "
+    "candidate-generation strategy beside MinHash-LSH (lexical) and "
+    "SRP-LSH (embedding buckets): pairwise cosine is computed only "
+    "WITHIN the committed IVF index's cells (codes table v0 membership "
+    "— zero extra training, the k-means the paper runs is already "
+    "paid), so candidate volume is bounded by cell size, never "
+    "corpus^2; any member with cosine >= tau to a smaller-id cell peer "
+    "collapses to the lowest such peer (keep-one-representative, "
+    "deterministic). At 100 TB the knob is n_clusters: finer cells "
+    "bound the per-cell quadratic exactly like the paper's 50k-cluster "
+    "config. Oracle retrains the cell assignment from scratch and "
+    "re-derives the decisions, proving committed-cell SemDeDup == "
+    "recompute.",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    root = _ann_index_root(spark, sf_dir)
+    members = (
+        snapshot_read(spark, f"{root}/codes", version=0)
+        .select("vec_id", "centroid_id")
+        .join(emb, "vec_id")
+    )
+    a = members.select(
+        F.col("vec_id").alias("ida"),
+        "centroid_id",
+        as_double(F.col("embedding")).alias("va"),
+    )
+    b = members.select(
+        F.col("vec_id").alias("idb"),
+        "centroid_id",
+        as_double(F.col("embedding")).alias("vb"),
+    )
+    hits = (
+        a.join(b, "centroid_id")  # cell-bounded equi-join, never corpus^2
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= _SEMDEDUP_TAU)
+        .groupBy("idb")
+        .agg(F.min("ida").alias("dup_of"))
+    )
+    return (
+        members.select("vec_id", F.col("centroid_id").cast("int").alias("cell"))
+        .join(hits, members.vec_id == hits.idb, "left")
+        .select(
+            "vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("keep")
+        )
+    )
+
+
 @register(
     "stream_ann_index_append",
     oracle=f"""

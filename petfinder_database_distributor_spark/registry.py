@@ -60,9 +60,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
-    # -- r10 window (50 entries). Head: the four queries REGISTERED
-    # this round (three here + ann_index_group_probe in the last slot;
-    # new code needs its first external row) plus the two ANN names
+    # -- r10 window (50 entries). Head: the five queries REGISTERED
+    # this round (three here + dedup_semantic_semdedup and
+    # ann_index_group_probe in the last two slots; new code needs its
+    # first external row) plus the two ANN names
     # whose PLANS changed this round (folded onto the persisted index —
     # their oracles changed with them). Then the ENTIRE r6-era refresh
     # backlog — the r9 verdict's #1 ask: all 38 still-registered names
@@ -123,7 +124,9 @@ PRIORITY: list[str] = [
     "stream_snapshot_pipe",
     "dedup_incremental_batch",
     "snapshot_merge_upsert",
-    "j2_asof_join",
+    # (j2_asof_join yielded its fill slot to the round's late
+    # registration, like url_canonical_dedup before it:)
+    "dedup_semantic_semdedup",
     # (url_canonical_dedup yielded its fill slot to the round's late
     # registration — never-sampled names must be in the window:)
     "ann_index_group_probe",

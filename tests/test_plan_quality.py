@@ -726,6 +726,7 @@ def test_ann_index_probe_has_zero_training_in_plan(spark):
         "ann_ivf_topk",
         "ann_pq_adc_topk",
         "ann_index_group_probe",
+        "dedup_semantic_semdedup",  # cell-bounded pairs, zero training
     ):
         p = plan_of(spark, name)
         assert "ExistingRDD" not in p, f"training leaked into {name}'s plan"
