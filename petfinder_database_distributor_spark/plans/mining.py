@@ -1288,3 +1288,156 @@ def text_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ccnet_tercile"),
         (F.col("mean_bits_milli") <= _PPL_KEEP_MILLI).alias("keep"),
     )
+
+
+# DSIR feature space: hashed unigram buckets (the paper's hashed n-grams)
+_DSIR_BUCKETS = 4096
+
+
+def _dsir_oracle() -> str:
+    from petfinder_database_distributor_spark.operators.text import MD5INT_SQL
+    from petfinder_database_distributor_spark.plans.llm_pipeline import _TOKS_SQL
+
+    B = _DSIR_BUCKETS
+    return f"""
+    WITH tk AS ({_TOKS_SQL}),
+    feats AS (SELECT doc_id, lang, ({MD5INT_SQL.format(x="u.tok")}) % {B} AS b
+              FROM tk, unnest(tk.t) u(tok)),
+    cr AS (SELECT b, count(*)::BIGINT AS cr FROM feats GROUP BY 1),
+    ct AS (SELECT b, count(*)::BIGINT AS ct FROM feats WHERE lang = 'en'
+           GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS nr,
+                   count(*) FILTER (WHERE lang = 'en')::BIGINT AS nt
+            FROM feats),
+    stats AS (SELECT cr.b,
+                     greatest(1, (((cr.cr + 1)::HUGEINT * {1 << _PPL_P_BITS})
+                                  // (tot.nr + {B}))::BIGINT) AS tq_r,
+                     greatest(1, (((coalesce(ct.ct, 0) + 1)::HUGEINT
+                                   * {1 << _PPL_P_BITS})
+                                  // (tot.nt + {B}))::BIGINT) AS tq_t
+              FROM cr LEFT JOIN ct USING (b), tot),
+    tv AS (SELECT DISTINCT tq_r AS tq FROM stats
+           UNION SELECT DISTINCT tq_t FROM stats),
+    {_log2fp_sql_ctes("tv")},
+    delta AS (SELECT s.b, (pr.cost_fp - pt.cost_fp)::BIGINT AS delta_fp
+              FROM stats s JOIN ppl_cost pr ON s.tq_r = pr.tq
+                           JOIN ppl_cost pt ON s.tq_t = pt.tq),
+    per AS (SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+                   sum(d.delta_fp)::BIGINT AS logw_fp
+            FROM feats f JOIN delta d USING (b) GROUP BY 1)
+    SELECT doc_id, n_feats, logw_fp, logw_fp > 0 AS keep,
+           ntile(3) OVER (ORDER BY logw_fp DESC, doc_id)::BIGINT AS dsir_tercile
+    FROM per
+    """
+
+
+@register(
+    "sample_importance_dsir",
+    oracle=_dsir_oracle(),
+    doc="DSIR importance weighting (Xie et al. 2023) — data selection by "
+    "importance resampling: score every document by how much more "
+    "likely its hashed-unigram features are under the TARGET "
+    "distribution (the lang='en' slice — the in-domain corpus role "
+    "Wikipedia plays in the paper) than under the raw corpus. "
+    "log-importance = sum_f count_doc(f) * (log2 p_t(f) - log2 p_r(f)) "
+    "with add-one-smoothed bucket unigrams over a 4096-bucket md5 "
+    "feature space; both logs run through the SAME integer fixed-point "
+    "log2 kernel as the perplexity family (over the distinct quantized "
+    "probabilities of BOTH distributions at once), emitted as the raw "
+    "20-bit fixed-point integer — no division of signed values, so no "
+    "floor-vs-truncate divergence — making an importance-sampling "
+    "statistic bit-identical cross-engine. keep = more-target-like "
+    "than raw (logw > 0); terciles for budget-capped selection. Plan: "
+    "one token explode (DISK_ONLY-checkpointed, feeds three "
+    "aggregates), two bounded 4096-key bucket aggs, a broadcast "
+    "4096-row delta table, one per-doc agg.",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from petfinder_database_distributor_spark.operators.text import md5int, tokens
+
+    B = _DSIR_BUCKETS
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tk = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    # the exploded feature table feeds the raw counts, the target counts
+    # AND the per-doc re-agg — materialize once; corpus-bulk, so
+    # DISK_ONLY per the heap post-mortem
+    feats = (
+        tk.select("doc_id", "lang", F.explode("t").alias("tok"))
+        .select("doc_id", "lang", (md5int(F.col("tok")) % B).alias("b"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    cr = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = feats.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("nt"),
+    )
+    stats = (
+        cr.join(ct, "b", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            # DECIMAL(38,0) before the product (the interp lesson: longs
+            # wrap at 100 TB count magnitudes; the oracle goes ::HUGEINT)
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"cast((cast(cr + 1 as decimal(38,0))"
+                    f" * {1 << _PPL_P_BITS}) div (nr + {B}) as bigint)"
+                ),
+            ).alias("tq_r"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"cast((cast(ct + 1 as decimal(38,0))"
+                    f" * {1 << _PPL_P_BITS}) div (nt + {B}) as bigint)"
+                ),
+            ).alias("tq_t"),
+        )
+    )
+    tv = (
+        stats.select(F.col("tq_r").alias("tq"))
+        .union(stats.select(F.col("tq_t").alias("tq")))
+        .distinct()
+    )
+    cost = _log2fp_cost(tv)
+    delta = (
+        stats.join(
+            F.broadcast(cost.withColumnRenamed("cost_fp", "cost_r")),
+            stats.tq_r == cost.tq,
+        )
+        .drop("tq")
+        .join(
+            F.broadcast(
+                _log2fp_cost(tv).withColumnRenamed("cost_fp", "cost_t")
+            ).withColumnRenamed("tq", "tq2"),
+            F.col("tq_t") == F.col("tq2"),
+        )
+        .select("b", (F.col("cost_r") - F.col("cost_t")).alias("delta_fp"))
+    )
+    per = (
+        feats.join(F.broadcast(delta), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("delta_fp").alias("logw_fp"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_feats",
+        "logw_fp",
+        (F.col("logw_fp") > 0).alias("keep"),
+        F.ntile(3)
+        .over(Window.orderBy(F.col("logw_fp").desc(), "doc_id"))
+        .cast("long")
+        .alias("dsir_tercile"),
+    )

@@ -60,10 +60,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
-    # -- r10 window (50 entries). Head: the five queries REGISTERED
-    # this round (three here + dedup_semantic_semdedup and
-    # ann_index_group_probe in the last two slots; new code needs its
-    # first external row) plus the two ANN names
+    # -- r10 window (50 entries). Head: the six queries REGISTERED
+    # this round (three here + sample_importance_dsir,
+    # dedup_semantic_semdedup, ann_index_group_probe in the last three
+    # slots; new code needs its first external row) plus the two ANN
+    # names
     # whose PLANS changed this round (folded onto the persisted index —
     # their oracles changed with them). Then the ENTIRE r6-era refresh
     # backlog — the r9 verdict's #1 ask: all 38 still-registered names
@@ -123,7 +124,11 @@ PRIORITY: list[str] = [
     "stream_incremental_dedup",
     "stream_snapshot_pipe",
     "dedup_incremental_batch",
-    "snapshot_merge_upsert",
+    # (snapshot_merge_upsert, j2_asof_join and url_canonical_dedup
+    # yielded their fill slots to the round's late registrations —
+    # never-sampled names must be in the window; all three rejoin the
+    # r11 backlog, which stays feasible: 46 r7-era names + ~4 new.)
+    "sample_importance_dsir",
     # (j2_asof_join yielded its fill slot to the round's late
     # registration, like url_canonical_dedup before it:)
     "dedup_semantic_semdedup",
