@@ -1077,6 +1077,28 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "centroid_id")
         .join(emb, "vec_id")
     )
+    # Sum(|cell|^2) guard — the dedup_ngram_jaccard_baseline discipline:
+    # within-cell pairwise volume is quadratic in cell size, and cell
+    # size is corpus/n_clusters, so a corpus that outgrew its index's
+    # cluster count must REFUSE with the fix named (re-train with more
+    # cells — the SemDeDup paper's 50k-cluster config) instead of
+    # launching a quadratic shuffle. One bounded n_clusters-row agg.
+    # 10M pairs ~ 100 s of 64-dim cosines on local[32] — past that the
+    # right answer is more cells, not a longer shuffle
+    pair_budget = 10_000_000
+    pairs_est = sum(
+        r["n"] * r["n"]
+        for r in members.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if pairs_est > pair_budget:
+        raise ValueError(
+            f"semdedup within-cell pair volume ~{pairs_est:,} exceeds the "
+            f"{pair_budget:,} budget: the corpus has outgrown the index's "
+            "n_clusters — retrain with more cells (ann_index_retrain with "
+            "a larger n_clusters) so cell size stays bounded"
+        )
     a = members.select(
         F.col("vec_id").alias("ida"),
         "centroid_id",
