@@ -52,6 +52,18 @@ SHOW = {
     "projection -> df-cap count shuffle -> ONE hash equi-join on the "
     "chunk hash -> one (pair, alignment)-keyed window; no all-pairs "
     "operator, candidate volume bounded by the df cap",
+    "ann_index_group_probe": "every training artifact arrives from the "
+    "group-pinned snapshot scans — zero Lloyd iterations, zero "
+    "ExistingRDD; the only non-scan work is the nprobe ranking and the "
+    "cell-bounded ADC join",
+    "dedup_semantic_semdedup": "SemDeDup candidates are ONE equi-join "
+    "on the committed cell id (cell-bounded, Sum(cell^2)-guarded) — "
+    "no cartesian, no LSH machinery, clustering already paid by the "
+    "index staging",
+    "sample_importance_dsir": "one DISK_ONLY-checkpointed feature "
+    "explode feeds both distribution counts AND the per-doc re-agg; "
+    "the 4096-row delta table broadcasts — importance scoring adds no "
+    "corpus-wide shuffle beyond the per-doc agg",
 }
 
 
