@@ -997,6 +997,76 @@ def _log2fp_cost(tvals: DataFrame) -> DataFrame:
     )
 
 
+def _global_ntile(per: DataFrame, order_cols: list, out_name: str, n: int = 3) -> DataFrame:
+    """Exact distributed ``ntile(n)`` over the deterministic total order
+    ``order_cols`` — the scale-safe twin of
+    ``F.ntile(n).over(Window.orderBy(*order_cols))``, which moves the
+    ENTIRE frame into ONE task (at 1e10 documents that is hundreds of GB
+    through a single sort — the round-10 verdict's scale-killer). Two-phase
+    range-partition pattern, shared with dataset_ops.shuffle_index:
+    range-repartition on the order key so partitions ARE contiguous rank
+    ranges, count rows per partition (a |partitions|-row aggregate),
+    prefix-sum those counts into per-partition offsets with a window over
+    that tiny frame, broadcast the offsets back, add the within-partition
+    row_number for the exact 1-based global position, and map position to
+    a tile with the closed-form ANSI NTILE bucket math (N div n per
+    bucket; the first N mod n buckets take one extra row). Bit-identical
+    to the single-partition form because range partitions are ordered by
+    the same key and (order_cols) is a total order. ``per`` is
+    localCheckpointed (DISK_ONLY — per-doc corpus-bulk discipline)
+    because the laid-out frame feeds BOTH the counts aggregate and the
+    final join, and spark_partition_id must be STABLE between the two
+    consumptions (range boundaries come from sampling; an un-pinned
+    recompute could resample them)."""
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    laid = (
+        per.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    # |partitions| rows — the unpartitioned windows below are a
+    # driver-sized metadata pass, not a data-sized sort.
+    offsets = (
+        laid.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_off"),
+            F.sum("_cnt")
+            .over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("_n"),
+        )
+    )
+    pos = F.col("_off") + F.row_number().over(
+        Window.partitionBy("_pid").orderBy(*order_cols)
+    )
+    tile = F.expr(
+        f"CASE WHEN _pos <= ((_n div {n}) + 1) * (_n % {n})"
+        f" THEN (_pos - 1) div ((_n div {n}) + 1)"
+        f" ELSE (_n % {n}) + (_pos - 1 - ((_n div {n}) + 1) * (_n % {n}))"
+        f" div greatest(_n div {n}, 1) END + 1"
+    )
+    return (
+        laid.join(F.broadcast(offsets), "_pid")
+        .withColumn("_pos", pos)
+        .withColumn(out_name, tile.cast("long"))
+        .drop("_pid", "_off", "_n", "_pos")
+    )
+
+
 def _perplexity_oracle() -> str:
     from petfinder_database_distributor_spark.plans.llm_pipeline import _TOKS_SQL
 
@@ -1121,24 +1191,21 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_milli = F.expr(
         f"(nll_fp * 1000) div (n_bigrams * {1 << _PPL_FRAC_BITS})"
     )
-    from pyspark.sql.window import Window
-
     # CCNet's actual gate is RELATIVE: head/middle/tail perplexity
-    # terciles over the corpus, not an absolute threshold — ntile(3)
-    # over the deterministic (score, doc_id) total order matches
-    # DuckDB's remainder distribution exactly. The global sort is
-    # |docs| rows of two ints, a rounding error at any scale.
-    return per.select(
-        "doc_id", "n_bigrams", mean_milli.alias("mean_bits_milli")
-    ).select(
+    # terciles over the corpus, not an absolute threshold. The tercile is
+    # the distributed two-phase ntile (_global_ntile) — same bucket
+    # semantics as ntile(3) OVER (ORDER BY score, doc_id), never a
+    # single-partition sort.
+    base = per.select("doc_id", "n_bigrams", mean_milli.alias("mean_bits_milli"))
+    ranked = _global_ntile(
+        base, [F.col("mean_bits_milli"), F.col("doc_id")], "ccnet_tercile"
+    )
+    return ranked.select(
         "doc_id",
         "n_bigrams",
         "mean_bits_milli",
         F.expr("mean_bits_milli div 2000").alias("ppl_bucket"),
-        F.ntile(3)
-        .over(Window.orderBy("mean_bits_milli", "doc_id"))
-        .cast("long")
-        .alias("ccnet_tercile"),
+        "ccnet_tercile",
         (F.col("mean_bits_milli") <= _PPL_KEEP_MILLI).alias("keep"),
     )
 
@@ -1270,22 +1337,21 @@ def text_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("cost_fp")).alias("nll_fp"),
         )
     )
-    from pyspark.sql.window import Window
-
     mean_milli = F.expr(
         f"(nll_fp * 1000) div (n_bigrams * {1 << _PPL_FRAC_BITS})"
     )
-    return per.select(
-        "doc_id", "n_bigrams", mean_milli.alias("mean_bits_milli")
-    ).select(
+    # tercile = distributed two-phase ntile (see _global_ntile), never a
+    # single-partition global window
+    base = per.select("doc_id", "n_bigrams", mean_milli.alias("mean_bits_milli"))
+    ranked = _global_ntile(
+        base, [F.col("mean_bits_milli"), F.col("doc_id")], "ccnet_tercile"
+    )
+    return ranked.select(
         "doc_id",
         "n_bigrams",
         "mean_bits_milli",
         F.expr("mean_bits_milli div 2000").alias("ppl_bucket"),
-        F.ntile(3)
-        .over(Window.orderBy("mean_bits_milli", "doc_id"))
-        .cast("long")
-        .alias("ccnet_tercile"),
+        "ccnet_tercile",
         (F.col("mean_bits_milli") <= _PPL_KEEP_MILLI).alias("keep"),
     )
 
@@ -1353,7 +1419,6 @@ def _dsir_oracle() -> str:
     "4096-row delta table, one per-doc agg.",
 )
 def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
     from pyspark.storagelevel import StorageLevel
 
     from petfinder_database_distributor_spark.operators.text import md5int, tokens
@@ -1431,13 +1496,15 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta_fp").alias("logw_fp"),
         )
     )
-    return per.select(
+    # tercile = distributed two-phase ntile (see _global_ntile), never a
+    # single-partition global window
+    ranked = _global_ntile(
+        per, [F.col("logw_fp").desc(), F.col("doc_id")], "dsir_tercile"
+    )
+    return ranked.select(
         "doc_id",
         "n_feats",
         "logw_fp",
         (F.col("logw_fp") > 0).alias("keep"),
-        F.ntile(3)
-        .over(Window.orderBy(F.col("logw_fp").desc(), "doc_id"))
-        .cast("long")
-        .alias("dsir_tercile"),
+        "dsir_tercile",
     )

@@ -204,3 +204,62 @@ def test_bpe_encode_two_pass_replace_is_fixpoint(spark):
     got = {r["w"]: r["seg"].strip("|").split("|") for r in df.collect()}
     for w in words:
         assert got[w] == ref_encode(w), (w, got[w], ref_encode(w))
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """The distributed two-phase ntile must be BIT-IDENTICAL to the ANSI
+    ntile window it replaced (round-10 verdict #2), including the
+    remainder distribution (first N mod n buckets take the extra row),
+    tie-breaking through the total order, and the N < n edge. Checked
+    against Spark's own F.ntile across sizes that exercise every
+    remainder class and with both ascending and descending keys."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from petfinder_database_distributor_spark.plans.mining import _global_ntile
+
+    for n_rows in (0, 1, 2, 3, 4, 5, 7, 96, 97, 98, 500):
+        df = spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            # duplicate scores at the larger sizes -> ties broken by doc_id
+            (F.col("id") * 37 % 101).alias("score"),
+        )
+        got = {
+            r["doc_id"]: r["t"]
+            for r in _global_ntile(
+                df, [F.col("score"), F.col("doc_id")], "t"
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: r["t"]
+            for r in df.select(
+                "doc_id",
+                F.ntile(3)
+                .over(Window.orderBy("score", "doc_id"))
+                .cast("long")
+                .alias("t"),
+            ).collect()
+        }
+        assert got == want, n_rows
+
+    # descending key + a different tile count
+    df = spark.range(41).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 13 % 29).alias("score")
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in _global_ntile(
+            df, [F.col("score").desc(), F.col("doc_id")], "t", n=4
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .cast("long")
+            .alias("t"),
+        ).collect()
+    }
+    assert got == want

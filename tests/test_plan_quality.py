@@ -740,10 +740,89 @@ def test_ann_index_probe_has_zero_training_in_plan(spark):
 def test_perplexity_gate_stays_jvm_side(spark):
     """The bigram LM trains and scores without ever leaving codegen: no
     Python eval nodes anywhere (the fixed-point log2 is pure column
-    arithmetic over the tiny distinct-t frame), and the only global
-    window is the bounded CCNet tercile over |docs| two-int rows."""
+    arithmetic over the tiny distinct-t frame), and no ntile node at all
+    — the CCNet tercile is the distributed two-phase range-partition
+    form (mining._global_ntile), so the only windows are the per-_pid
+    row_number (partitioned, data-scale) and the |partitions|-row
+    offsets prefix-sum (broadcast side)."""
     import re
 
     p = plan_of(spark, "text_perplexity_bucket")
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
-    assert len(re.findall(r"Window \(\d+\)", p)) <= 1
+    assert "ntile" not in p, "tercile must be closed-form math, not an ntile window"
+    assert len(re.findall(r"Window \(\d+\)", p)) <= 2
+
+
+@pytest.mark.parametrize(
+    "name", ["text_perplexity_bucket", "text_perplexity_interp", "sample_importance_dsir"]
+)
+def test_tercile_family_window_is_partitioned(spark, name):
+    """The round-10 verdict's scale-killer, pinned fixed: the per-document
+    tercile ranking must never move the corpus into one task. The only
+    data-scale Window in the plan is the within-partition row_number,
+    partitioned by the range-partition id; the sole single-partition
+    exchange feeds the |partitions|-row offsets frame on the broadcast
+    side of the join."""
+    p = plan_of(spark, name)
+    assert "ntile" not in p, f"{name}: ntile window survived the rewrite"
+    # the data-scale window ranks within the range-partition id
+    assert "windowspecdefinition(_pid" in p, f"{name}: row_number not partitioned"
+    # every SinglePartition exchange must sit under a BroadcastExchange
+    # (the offsets metadata frame), never on the per-doc spine
+    import re
+
+    single = len(re.findall(r"Arguments: SinglePartition", p))
+    assert single <= 1, f"{name}: extra single-partition exchanges: {single}"
+    assert "BroadcastExchange" in p
+
+
+def test_no_unpartitioned_windows_over_data_scale_frames():
+    """Source-level ban (round-10 verdict #2): an unpartitioned
+    ``Window.orderBy(...)`` in plans/ funnels its whole input frame into
+    one task, which is only ever acceptable over metadata-scale frames.
+    Every such site must appear in the documented allowlist below — all
+    of them windows over |partitions|- or register-table-sized inputs.
+    Adding a new unpartitioned window anywhere else in plans/ fails this
+    test until it is either partitioned, rewritten onto the two-phase
+    range-partition pattern (mining._global_ntile /
+    dataset_ops.shuffle_index), or justified here."""
+    import ast
+    import pathlib
+
+    plans = pathlib.Path("petfinder_database_distributor_spark/plans")
+    found: set[tuple[str, str]] = set()
+    for f in sorted(plans.glob("*.py")):
+        tree = ast.parse(f.read_text())
+        stack: list[str] = []
+
+        class V(ast.NodeVisitor):
+            def visit_FunctionDef(self, node):
+                stack.append(node.name)
+                self.generic_visit(node)
+                stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Attribute(self, node):
+                if (
+                    node.attr == "orderBy"
+                    and isinstance(node.value, ast.Name)
+                    and node.value.id == "Window"
+                ):
+                    found.add((f.name, stack[-1] if stack else "<module>"))
+                self.generic_visit(node)
+
+        V().visit(tree)
+    allowed = {
+        # |partitions|-row offset frames of the two-phase global rank:
+        ("dataset_ops.py", "shuffle_index"),
+        ("mining.py", "_global_ntile"),
+        # |sources|x|langs| metadata listing (compaction planner):
+        ("dataset_ops.py", "compaction_bin_pack"),
+        # <=256-row histogram register table:
+        ("llm_pipeline.py", "sketch_histogram_quantiles"),
+    }
+    assert found == allowed, (
+        f"unpartitioned Window.orderBy sites changed: "
+        f"new={found - allowed}, stale-allowlist={allowed - found}"
+    )
