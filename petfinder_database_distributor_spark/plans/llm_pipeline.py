@@ -738,6 +738,67 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_multimodal_phash",
+    oracle="""
+    WITH pl AS (SELECT doc_id, encode(coalesce(text, '')) AS p
+                FROM documents WHERE doc_id IS NOT NULL),
+    hx AS (SELECT doc_id, hex(p) AS h, octet_length(p)::BIGINT AS n FROM pl),
+    bv AS (SELECT doc_id, n,
+                  unnest([{'k': k,
+                           'v': (strpos('0123456789ABCDEF', h[2*k+1]) - 1) * 16
+                                + strpos('0123456789ABCDEF', h[2*k+2]) - 1}
+                          for k in range(0, n)]) AS s
+           FROM hx),
+    gr AS (SELECT doc_id, ((s.k * 64) // n)::BIGINT AS strip,
+                  sum(s.v)::BIGINT AS gray
+           FROM bv GROUP BY 1, 2),
+    grid AS (SELECT hx.doc_id, r.i::BIGINT AS strip FROM hx, range(0, 64) r(i)),
+    g2 AS (SELECT grid.doc_id, grid.strip, coalesce(gr.gray, 0)::BIGINT AS gray
+           FROM grid LEFT JOIN gr ON gr.doc_id = grid.doc_id
+                                 AND gr.strip = grid.strip),
+    ph AS (SELECT a.doc_id,
+                  coalesce(sum(CASE WHEN a.gray > b.gray
+                               THEN 1::BIGINT << a.strip::INT ELSE 0 END),
+                           0)::BIGINT AS phash
+           FROM g2 a JOIN g2 b ON b.doc_id = a.doc_id AND b.strip = a.strip + 1
+           WHERE a.strip < 63
+           GROUP BY 1),
+    bands AS (SELECT doc_id, phash, r.b AS band,
+                     (phash >> (16 * r.b)::INT)
+                       & CASE WHEN r.b = 3 THEN 32767 ELSE 65535 END AS key
+              FROM ph, range(0, 4) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, a.phash AS ph_a,
+                             b.doc_id AS id_b, b.phash AS ph_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, bit_count(xor(ph_a, ph_b))::INT AS hamming
+    FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
+    """,
+    doc="Multimodal dedup — the fourth candidate-generation modality "
+    "beside lexical (MinHash-LSH), embedding (SRP-LSH) and semantic "
+    "(SemDeDup): perceptual dHash over the DECODED payloads (the "
+    "mm_decode_features fake-decode plumbing — a 64-strip exact "
+    "byte-sum gray thumbnail standing in for PIL's 9x8 grayscale; "
+    "every real 100 TB image corpus runs exactly this shape), 63 "
+    "adjacent-gradient bits, then the SimHash multi-index pigeonhole: "
+    "4 bands of ~16 bits, any pair within hamming 3 agrees exactly on "
+    "one band, candidates are a band+key equi-join (never all-pairs), "
+    "exact bit_count(xor) verifies. Only the 8-byte hash shuffles; "
+    "payload bytes stay map-side. The oracle re-derives the strip "
+    "sums per byte from hex(payload) — bit-identical cross-engine.",
+)
+def dedup_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    return phash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
 _IVF_COS = (
     "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
     " * sqrt(list_inner_product({b}, {b})))"

@@ -80,3 +80,78 @@ def test_resize_sampled_histogram_values(spark):
         assert row["sampled_histogram"] == np.bincount(arr, minlength=16).tolist()
         assert row["n_sampled"] == -(-len(raw) // 4)
         assert row["out_width"] == min(64 + len(raw) % 577, 32)
+
+
+def _np_phash(raw: bytes) -> int:
+    p = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    gray = np.zeros(64, dtype=np.int64)
+    if len(p):
+        np.add.at(gray, (np.arange(len(p)) * 64) // len(p), p)
+    ph = 0
+    for j in range(63):
+        if gray[j] > gray[j + 1]:
+            ph |= 1 << j
+    return ph
+
+
+def test_phash_signatures_match_reference_bits(spark):
+    """The vectorized bincount kernel must equal the definitional
+    per-row recompute (strip i = exact byte sum over bytes with
+    (k*64) div n == i; bit j = gray[j] > gray[j+1]) — including the
+    empty-payload, sub-64-byte (empty strips), multibyte-UTF-8 and
+    duplicate-text cases."""
+    from petfinder_database_distributor_spark.operators.multimodal import (
+        phash_signatures,
+    )
+
+    texts = [
+        "",
+        "x",
+        "short text",
+        "abcdefghij" * 50,
+        "abcdefghij" * 50,  # exact dup -> identical hash
+        "naïve café — ünïcode ⚡" * 3,
+        "mixed 123 !?\n\ttext" * 7,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    payloads = attach_binary_payload(df, "doc_id", "text")
+    got = {r["doc_id"]: r["phash"] for r in phash_signatures(payloads).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _np_phash(t.encode("utf-8")), (i, t[:20])
+    assert got[3] == got[4], "identical payloads must collide exactly"
+    assert got[0] == 0, "empty payload hashes to 0"
+
+
+def test_phash_banding_pigeonhole_recall(spark):
+    """The 4-band multi-index must find EVERY pair within hamming 3 —
+    the pigeonhole guarantee (3 flips touch at most 3 of 4 bands).
+    Brute-force over the signatures at sf0.001 is the ground truth."""
+    from petfinder_database_distributor_spark.operators.multimodal import (
+        phash_neardup_pairs,
+        phash_signatures,
+    )
+    from petfinder_database_distributor_spark.schema import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").filter("doc_id IS NOT NULL")
+    sigs = {
+        r["doc_id"]: r["phash"]
+        for r in phash_signatures(
+            attach_binary_payload(docs, "doc_id", "text")
+        ).collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in phash_neardup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == want
+    assert want, "fixture must exercise at least one near-dup pair"

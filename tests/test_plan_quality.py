@@ -54,6 +54,7 @@ def test_bruteforce_ann_broadcasts_queries(spark):
         "dedup_simhash_pairs",
         "dedup_embedding_cosine",
         "dedup_levenshtein",
+        "dedup_multimodal_phash",
     ],
 )
 def test_dedup_family_never_all_pairs(spark, name):
