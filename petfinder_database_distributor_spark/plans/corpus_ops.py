@@ -799,7 +799,9 @@ def _arrivals_appended(spark: SparkSession, emb: DataFrame, root: str) -> str:
     return codes_table
 
 
-def ann_index_retrain(spark: SparkSession, root: str, corpus: DataFrame) -> dict:
+def ann_index_retrain(
+    spark: SparkSession, root: str, corpus: DataFrame, n_clusters: int = 16
+) -> dict:
     """The scheduled-retrain half of the index lifecycle (FAISS re-train
     when add()-ed vectors degrade the index): retrain centroids/codebook/
     codes over the CURRENT corpus with ivf_pq_train and commit each as
@@ -815,8 +817,13 @@ def ann_index_retrain(spark: SparkSession, root: str, corpus: DataFrame) -> dict
     against a mismatched centroids/codebook version decodes residuals
     against the wrong cell centers — meaningless ADC scores with no
     error raised. tests/test_ann_retrain.py pins that a probe's
-    recall RECOVERS on a drifted corpus after this runs."""
-    centroids, cb, codes = ivf_pq_train(corpus)
+    recall RECOVERS on a drifted corpus after this runs.
+
+    ``n_clusters`` is the SemDeDup escape hatch: when semdedup_decisions
+    refuses on its Sum(|cell|^2) pair budget, retraining with more cells
+    restores the bound (cell size ~ corpus/n_clusters, so the quadratic
+    shrinks as 1/n_clusters) — the guard's named fix, executable."""
+    centroids, cb, codes = ivf_pq_train(corpus, n_clusters=n_clusters)
     out = {}
     for name, df in (("centroids", centroids), ("codebook", cb), ("codes", codes)):
         tdir = f"{root}/{name}"
@@ -1063,11 +1070,6 @@ _SEMDEDUP_TAU = 0.30
     "recompute.",
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from petfinder_database_distributor_spark.operators.similarity import (
-        as_double,
-        cosine,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     )
@@ -1077,15 +1079,31 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "centroid_id")
         .join(emb, "vec_id")
     )
-    # Sum(|cell|^2) guard — the dedup_ngram_jaccard_baseline discipline:
-    # within-cell pairwise volume is quadratic in cell size, and cell
-    # size is corpus/n_clusters, so a corpus that outgrew its index's
-    # cluster count must REFUSE with the fix named (re-train with more
-    # cells — the SemDeDup paper's 50k-cluster config) instead of
-    # launching a quadratic shuffle. One bounded n_clusters-row agg.
-    # 10M pairs ~ 100 s of 64-dim cosines on local[32] — past that the
-    # right answer is more cells, not a longer shuffle
-    pair_budget = 10_000_000
+    return semdedup_decisions(members)
+
+
+def semdedup_decisions(
+    members: DataFrame, pair_budget: int = 10_000_000
+) -> DataFrame:
+    """SemDeDup keep/collapse decisions over an assigned membership frame
+    (vec_id, centroid_id, embedding) — split out of the registered query
+    so the guard -> retrain(n_clusters up) -> rerun recovery loop is an
+    executable, tested path (tests/test_ann_retrain.py::
+    test_semdedup_guard_retrain_recovery), not just a message.
+
+    Sum(|cell|^2) guard — the dedup_ngram_jaccard_baseline discipline:
+    within-cell pairwise volume is quadratic in cell size, and cell
+    size is corpus/n_clusters, so a corpus that outgrew its index's
+    cluster count must REFUSE with the fix named (re-train with more
+    cells — the SemDeDup paper's 50k-cluster config) instead of
+    launching a quadratic shuffle. One bounded n_clusters-row agg.
+    10M pairs ~ 100 s of 64-dim cosines on local[32] — past that the
+    right answer is more cells, not a longer shuffle."""
+    from petfinder_database_distributor_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
     pairs_est = sum(
         r["n"] * r["n"]
         for r in members.groupBy("centroid_id")

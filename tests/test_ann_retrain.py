@@ -175,3 +175,71 @@ def test_drift_gate_trips_and_retrain_recovers_recall(spark):
     # v0 structures still read — the swap never disturbs pinned readers
     assert snapshot_read(spark, f"{root}/centroids", version=0).count() == 16
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_semdedup_guard_retrain_recovery(spark):
+    """The SemDeDup pair-budget guard's named fix must be executable and
+    sufficient (round-10 verdict #4): on a corpus that outgrew its
+    index's cell count the guard REFUSES (Sum(|cell|^2) > budget — with
+    13.5k vectors in 16 cells that holds for ANY assignment, since
+    min Sum(n^2) = n^2/k > 10M), then ann_index_retrain with
+    n_clusters scaled up restores the bound and the rerun passes under
+    the SAME 10M budget, collapsing the replica dups it was built to
+    find. Corpus = the sf0.001 embeddings replicated 27x with offset ids
+    (identical vectors — replicas must land in their base's cell and
+    collapse onto the lowest id): 13.5k vectors in 16 cells gives
+    min Sum(n^2) = 13500^2/16 = 11.4M > 10M for ANY assignment."""
+    import pytest
+
+    from petfinder_database_distributor_spark.plans.corpus_ops import (
+        semdedup_decisions,
+    )
+    from petfinder_database_distributor_spark.schema import load_table
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        latest_group,
+        snapshot_read_group,
+    )
+    from tests.conftest import SF_SMALL
+
+    root = f"{SCRATCH_ROOT}/semdedup_retrain_test"
+    shutil.rmtree(root, ignore_errors=True)
+    base = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    n_base = base.count()
+    corpus = (
+        base.crossJoin(spark.range(27).select(F.col("id").alias("r")))
+        .select(
+            (F.col("vec_id") + F.col("r") * n_base).alias("vec_id"),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
+    )
+    centroids, cb, codes = ivf_pq_train(corpus)
+    for name, df in (("centroids", centroids), ("codebook", cb), ("codes", codes)):
+        snapshot_write(spark, f"{root}/{name}", df)
+
+    members0 = (
+        snapshot_read(spark, f"{root}/codes", version=0)
+        .select("vec_id", "centroid_id")
+        .join(corpus, "vec_id")
+    )
+    with pytest.raises(ValueError, match="n_clusters"):
+        semdedup_decisions(members0)
+
+    # the guard's named fix: retrain with cells scaled to the corpus
+    versions = ann_index_retrain(spark, root, corpus, n_clusters=128)
+    codes1 = snapshot_read_group(
+        spark, root, "codes", group=latest_group(root)
+    )
+    members1 = codes1.select("vec_id", "centroid_id").join(corpus, "vec_id")
+    dec = semdedup_decisions(members1)  # same 10M budget — must not raise
+    rows = dec.collect()
+    assert len(rows) == 27 * n_base
+    assert versions["codes"] == 1
+    # every replica (vec_id >= n_base) has an identical smaller-id twin
+    # in ITS OWN cell — all must collapse onto a representative
+    replicas = [r for r in rows if r["vec_id"] >= n_base]
+    assert replicas and all(not r["keep"] for r in replicas)
+    assert all(r["dup_of"] is not None for r in replicas)
+    shutil.rmtree(root, ignore_errors=True)
