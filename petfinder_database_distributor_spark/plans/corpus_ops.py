@@ -56,6 +56,7 @@ from petfinder_database_distributor_spark.sources.snapshot import (
     latest_version,
     snapshot_append,
     snapshot_commit_group,
+    snapshot_commit_group_optimistic,
     snapshot_delete,
     snapshot_merge,
     snapshot_read,
@@ -837,8 +838,13 @@ def ann_index_retrain(
     # the three table commits above are invisible to group readers until
     # this single atomic swap — the multi-table transaction that makes
     # "a consistent triple" a RESOLVABLE thing rather than a convention
-    # (snapshot_commit_group docstring has the failure mode)
-    snapshot_commit_group(root, out, base_group=latest_group(root), operation="retrain")
+    # (snapshot_commit_group docstring has the failure mode). Optimistic:
+    # a concurrent append's group commit (codes bump) between this
+    # retrain's base read and its swap costs one retry that folds the
+    # winner's members under this retrain's fresh triple.
+    snapshot_commit_group_optimistic(
+        root, lambda base, mem: {**mem, **out}, operation="retrain"
+    )
     return out
 
 

@@ -938,6 +938,40 @@ def snapshot_commit_group(
     return group
 
 
+def snapshot_commit_group_optimistic(
+    root: str,
+    compute_members,
+    operation: str = "group",
+    max_retries: int = 5,
+) -> int:
+    """Optimistic-retry form of :func:`snapshot_commit_group` — the group
+    twin of snapshot_merge_optimistic. ``compute_members(base_group,
+    base_members)`` maps the CURRENT family state to the member-version
+    dict this writer wants to land; on a conflict the loop re-reads the
+    winner's group manifest and recomputes, so concurrent family writers
+    (an append bumping codes while a retrain bumps all three) compose
+    instead of clobbering: the loser's retry sees the winner's members
+    and folds its own bump on top. A blind commit-retry would re-land
+    the STALE member map and silently drop the winner's table bumps —
+    the same lost-update hazard the table-level merge retry exists for,
+    one level up."""
+    for _ in range(max_retries + 1):
+        base = latest_group(root)
+        base_members = (
+            read_group_manifest(root, base)["members"] if base is not None else {}
+        )
+        members = compute_members(base, base_members)
+        try:
+            return snapshot_commit_group(
+                root, members, base_group=base, operation=operation
+            )
+        except SnapshotConflictError:
+            continue
+    raise SnapshotConflictError(
+        f"group commit under {root} lost {max_retries + 1} races; giving up"
+    )
+
+
 def snapshot_read_group(
     spark: SparkSession, root: str, name: str, group: int | None = None
 ) -> DataFrame:
