@@ -60,81 +60,70 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
-    # -- r10 window (50 entries). Head: the six queries REGISTERED
-    # this round (three here + sample_importance_dsir,
-    # dedup_semantic_semdedup, ann_index_group_probe in the last three
-    # slots; new code needs its first external row) plus the two ANN
-    # names
-    # whose PLANS changed this round (folded onto the persisted index —
-    # their oracles changed with them). Then the ENTIRE r6-era refresh
-    # backlog — the r9 verdict's #1 ask: all 38 still-registered names
-    # whose newest driver row is r6, so after r10 no registered query's
-    # newest external row predates r7. The remaining slots start on the
-    # r7 cohort (substantive-first); the r11 window drains the
-    # remaining r7 names. The rotation bound is now CI:
+    # -- r11 window (50 entries, exact fit). Head: the two queries
+    # REGISTERED this round (new code needs its first external row),
+    # then the three tercile-family queries whose PLANS changed this
+    # round (the global ntile window rewritten onto the distributed
+    # two-phase range-partition form — oracles unchanged, but a
+    # plan-changed query owes a fresh external row, the r10 ANN-fold
+    # precedent). Then the ENTIRE remaining r7-era backlog — the r10
+    # verdict's #1 ask: all 45 still-registered names whose newest
+    # driver row is r7, so after r11 no registered query's newest
+    # external row predates r8. (The r8 cohort — 49 names — becomes
+    # the r12 window.) Rotation bound is CI:
     # tests/test_oracle_parity.py::test_driver_row_cadence.
-    "snapshot_concurrent_merge",
-    "ann_index_retrain_check",
+    "sample_importance_dsir_draw",
+    "dedup_multimodal_phash",
+    # --- plan-changed this round (distributed tercile):
+    "text_perplexity_bucket",
     "text_perplexity_interp",
-    "ann_ivf_topk",
-    "ann_pq_adc_topk",
-    # --- the entire r6-era backlog (38 names):
-    "bpe_first_merges",
-    "cluster_kmeans_int8",
-    "corpus_boilerplate_strip",
-    "dedup_ngram_jaccard",
-    "domain_mix_weights",
-    "embedding_quantize_int8",
-    "global_shuffle_index",
-    "j8_aqe_skew_join",
-    "kanonymity_check",
-    "p3_link_fanout",
-    "pack_sequences_greedy",
-    "pagerank_partsupp",
-    "profile_documents",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_excess_share_suppliers",
-    "q21_sole_returner",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "ref_scalar_suite",
-    "rollup_incremental_merge",
-    "sample_weighted",
-    "sketch_bloom_membership",
-    "sketch_hll_mergeable",
-    "text_commonness_score",
-    "text_log_parse",
-    "timeseries_gapfill_locf",
-    "zorder_layout_stats",
-    # --- r7-era fills (7 of 50, substantive-first; the rest are the
-    # r11 backlog). stream_snapshot_pipe is also the r9 verdict's
-    # load-suspect key (#8) — fresh driver row + fresh bench timing:
-    "flagship_distributor_pipeline",
-    "stream_incremental_dedup",
-    "stream_snapshot_pipe",
-    "dedup_incremental_batch",
-    # (snapshot_merge_upsert, j2_asof_join and url_canonical_dedup
-    # yielded their fill slots to the round's late registrations —
-    # never-sampled names must be in the window; all three rejoin the
-    # r11 backlog, which stays feasible: 46 r7-era names + ~4 new.)
     "sample_importance_dsir",
-    # (j2_asof_join yielded its fill slot to the round's late
-    # registration, like url_canonical_dedup before it:)
-    "dedup_semantic_semdedup",
-    # (url_canonical_dedup yielded its fill slot to the round's late
-    # registration — never-sampled names must be in the window:)
-    "ann_index_group_probe",
+    # --- the entire r7-era backlog (45 names):
+    "agg_percentiles",
+    "agg_salted_twophase",
+    "dedup_cluster_components_labelprop",
+    "dedup_ngram_jaccard_baseline",
+    "domain_budget_sample",
+    "events_funnel",
+    "export_roundtrip_jsonl",
+    "export_roundtrip_orc",
+    "g2_cube_marks",
+    "j2_asof_join",
+    "j3_range_join",
+    "j4_salted_join",
+    "j7_runtime_bloom_join",
+    "json_props_extract",
+    "mv_incremental_maintenance",
+    "p1_xpath_project",
+    "p3_link_fanout_xpath",
+    "parquet_schema_evolution",
+    "pivot_event_types",
+    "q13_sql_outer_count",
+    "q17_sql_correlated",
+    "q4_sql_exists",
+    "quality_classifier_score",
+    "quality_percentile_filter",
+    "sessionize_events",
+    "set_ops_customers",
+    "sketch_hll_by_group",
+    "snapshot_cdc_diff",
+    "snapshot_evolve_columns",
+    "snapshot_incremental_read",
+    "snapshot_merge_upsert",
+    "snapshot_partitioned_upsert",
+    "snapshot_pruned_scan",
+    "snapshot_source_scan",
+    "snapshot_tombstone_delete",
+    "snapshot_zorder_optimize",
+    "stream_snapshot_merge",
+    "stream_snapshot_source",
+    "transitions_grouped_pandas",
+    "unpivot_event_metrics",
+    "url_canonical_dedup",
+    "validate_constraints",
+    "variant_props_extract",
+    "w3_rank_family",
+    "window_range_frame",
 ]
 
 
