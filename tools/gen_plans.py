@@ -64,6 +64,18 @@ SHOW = {
     "explode feeds both distribution counts AND the per-doc re-agg; "
     "the 4096-row delta table broadcasts — importance scoring adds no "
     "corpus-wide shuffle beyond the per-doc agg",
+    "text_perplexity_bucket": "the CCNet tercile is the distributed "
+    "two-phase ntile: range exchange on (score, doc_id), per-_pid "
+    "row_number window (partitioned — no single-task sort), offsets "
+    "as a |partitions|-row BroadcastExchange; no ntile node anywhere",
+    "sample_importance_dsir_draw": "deterministic Gumbel noise is 40 "
+    "chained narrow kernel projections (no distinct+join-back "
+    "shuffle); the draw closes with TakeOrderedAndProject — bounded "
+    "top-k, never a global sort",
+    "dedup_multimodal_phash": "perceptual-hash candidates are a "
+    "band+key equi-join over the 8-byte signatures (4-band pigeonhole, "
+    "never all-pairs); payload bytes stay inside the mapInPandas "
+    "signature stage — only the hash shuffles",
 }
 
 
