@@ -138,6 +138,21 @@ SWEPT = [
     "ann_index_group_probe",
     "stream_ann_index_append",
     "snapshot_concurrent_append",
+    # r10 late + r11: the interp/DSIR family inherits the perplexity
+    # contracts (NULL text ≡ '' ≡ 0 tokens; a doc with no features never
+    # reaches the per-doc frame; the orphan NULL-doc_id row groups like
+    # any key — its tercile position is fixed by its distinct score);
+    # the draw and the pHash dedup EXCLUDE NULL doc_id explicitly (a
+    # NULL coin/pair id can never join back); semantic dedup and the
+    # drift gate ride the vector family's NULL id/vector exclusion; the
+    # concurrent merge filters NULL event keys at entry
+    "text_perplexity_interp",
+    "sample_importance_dsir",
+    "sample_importance_dsir_draw",
+    "dedup_multimodal_phash",
+    "dedup_semantic_semdedup",
+    "ann_index_retrain_check",
+    "snapshot_concurrent_merge",
 ]
 
 

@@ -33,6 +33,15 @@ FAMILY = [
     "search_bm25_topk",
     "text_commonness_score",
     "bpe_first_merges",
+    # r11: the perplexity/DSIR family tokenizes through the same
+    # portable_lower path; the pHash dedup hashes raw UTF-8 BYTES (hex
+    # nibbles per byte on the oracle side), so multibyte text must
+    # produce identical strips cross-engine
+    "text_perplexity_bucket",
+    "text_perplexity_interp",
+    "sample_importance_dsir",
+    "sample_importance_dsir_draw",
+    "dedup_multimodal_phash",
 ]
 
 
