@@ -1196,8 +1196,10 @@ def _ppl_corpus_frames(spark: SparkSession, sf_dir: str):
     "bigram's surprise at 30 bits — reachable only when a history "
     "exceeds ~2^30 occurrences). Plan: two linear bigram aggs (c2, c1), "
     "a broadcast vocab scalar, the tiny distinct-t log frame, one "
-    "join-back + per-doc agg. Docs under 2 tokens have no bigram "
-    "evidence and are excluded by construction.",
+    "join-back + per-doc agg; the CCNet tercile closes through the "
+    "distributed two-phase range-partition ntile (_global_ntile — "
+    "never a single-task global sort). Docs under 2 tokens have no "
+    "bigram evidence and are excluded by construction.",
 )
 def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk, big = _ppl_corpus_frames(spark, sf_dir)
@@ -1468,7 +1470,9 @@ def _dsir_oracle() -> str:
     "than raw (logw > 0); terciles for budget-capped selection. Plan: "
     "one token explode (DISK_ONLY-checkpointed, feeds three "
     "aggregates), two bounded 4096-key bucket aggs, a broadcast "
-    "4096-row delta table, one per-doc agg.",
+    "4096-row delta table, one per-doc agg; the tercile closes "
+    "through the distributed two-phase range-partition ntile "
+    "(_global_ntile).",
 )
 def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = _dsir_per_frame(spark, sf_dir)

@@ -242,6 +242,29 @@ def test_global_ntile_matches_window_ntile(spark):
         }
         assert got == want, n_rows
 
+    # ALL-EQUAL scores: the order reduces to the tie-break alone, which
+    # must hold across range-partition boundaries
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit(7).alias("score")
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in _global_ntile(
+            df, [F.col("score"), F.col("doc_id")], "t"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id",
+            F.ntile(3)
+            .over(Window.orderBy("score", "doc_id"))
+            .cast("long")
+            .alias("t"),
+        ).collect()
+    }
+    assert got == want
+
     # descending key + a different tile count
     df = spark.range(41).select(
         F.col("id").alias("doc_id"), (F.col("id") * 13 % 29).alias("score")
