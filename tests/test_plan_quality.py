@@ -822,6 +822,10 @@ def test_no_unpartitioned_windows_over_data_scale_frames():
         ("dataset_ops.py", "compaction_bin_pack"),
         # <=256-row histogram register table:
         ("llm_pipeline.py", "sketch_histogram_quantiles"),
+        # |domains|-row per-source register frame (UniMax waterfilling —
+        # the corpus-sized work is one hash agg; every window runs over
+        # the bounded per-source result):
+        ("staged_r12.py", "domain_budget_unimax"),
     }
     assert found == allowed, (
         f"unpartitioned Window.orderBy sites changed: "

