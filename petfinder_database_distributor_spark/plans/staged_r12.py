@@ -51,7 +51,7 @@ _UNIMAX_EPOCH_MILLI = 1150
 
 _UNIMAX_ORACLE = f"""
     WITH tt AS (
-      SELECT source,
+      SELECT coalesce(source, '') AS source,
              len(list_filter(string_split_regex(lower(replace(replace(
                    trim(coalesce(text, '')), 'İ', 'i'), 'Σ', 'σ')), '\\s+'),
                  x -> x <> ''))::BIGINT AS n_tok
@@ -106,8 +106,15 @@ def domain_budget_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus tokens (re-mixing, not subsetting: under-represented domains
     repeat up to the cap, over-represented ones are cut to the level)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    # NULL source ≡ '' domain (the compaction_bin_pack contract) — the
+    # rank's (c, source) total order must never see a NULL key: Spark
+    # sorts NULLS FIRST, DuckDB NULLS LAST, and the waterfill prefix is
+    # rank-determined
     c = (
-        docs.select("source", token_count(F.col("text")).cast("long").alias("n_tok"))
+        docs.select(
+            F.coalesce(F.col("source"), F.lit("")).alias("source"),
+            token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
         .groupBy("source")
         .agg(F.sum("n_tok").alias("c"))
     )

@@ -61,6 +61,115 @@ def test_unimax_waterfilling_invariants(spark):
         assert r["alloc_tok"] <= r["cap_tok"]
 
 
+def _unimax_closed_form(caps: list[int], budget: int) -> list[int]:
+    """Pure-Python mirror of the closed form BOTH engines implement:
+    ascending caps, m = first-violation minus one, capped prefix gets its
+    cap, the rest split the remainder by floor division."""
+    n = len(caps)
+    caps = sorted(caps)
+    caps_before = 0
+    m = n
+    for i, cap in enumerate(caps, start=1):
+        if not (cap * (n - i + 1) <= budget - caps_before):
+            m = i - 1
+            break
+        caps_before += cap
+    caps_m = sum(caps[:m])
+    return [
+        caps[i] if i < m else (budget - caps_m) // (n - m) for i in range(n)
+    ]
+
+
+def _unimax_sequential_exact(caps: list[int], budget: int):
+    """The definitional UniMax waterfill in EXACT rational arithmetic
+    (the paper's real-valued form): process ascending, each domain gets
+    min(cap, even share of what's left). Uncapped shares are all equal to
+    one level L by construction."""
+    from fractions import Fraction
+
+    caps = sorted(caps)
+    out, left = [], Fraction(budget)
+    for i, cap in enumerate(caps):
+        share = left / (len(caps) - i)
+        a = min(Fraction(cap), share)
+        out.append(a)
+        left -= a
+    return out
+
+
+def test_unimax_closed_form_is_floor_of_exact_waterfill():
+    """The prefix theorem the SQL relies on, adversarially checked: the
+    window-expressible closed form must (a) cap exactly the domains the
+    real-valued sequential waterfill caps, and (b) give every uncapped
+    domain floor(level) — identical floors, never the
+    remainder-to-later-domains integer drift a naive integer sequential
+    loop would produce (a first draft of this test used one and CAUGHT
+    that divergence: caps=[1,1], budget=1 → closed [0,0], drifting
+    sequential [0,1])."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        caps=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+        budget=st.integers(min_value=0, max_value=4 * 10**10),
+    )
+    def check(caps, budget):
+        caps = sorted(caps)
+        closed = _unimax_closed_form(caps, budget)
+        exact = _unimax_sequential_exact(caps, budget)
+        n = len(caps)
+        for i in range(n):
+            if exact[i] == caps[i]:  # capped (or tie — same value both ways)
+                assert closed[i] == caps[i]
+            else:
+                assert closed[i] == exact[i].numerator // exact[i].denominator
+        # floor under-spend is bounded by the uncapped-domain count
+        assert 0 <= min(budget, sum(caps)) - sum(closed) < max(n, 1)
+
+    check()
+
+
+def test_kcenter_matches_independent_numpy_greedy(spark):
+    """Full independent recompute: the Spark selection must equal a NumPy
+    farthest-point-sampling over the same quantized vectors — every pick,
+    every radius, exact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.plans.staged_r12 import _kc_qe
+    from petfinder_database_distributor_spark.schema import load_table
+
+    fn, _oracle, _ = STAGED["sample_kcenter_greedy"]
+    got = sorted(fn(spark, SF_SMALL).collect(), key=lambda r: r["sel_rank"])
+    # quantize through the operator's own kernel (quantizer parity is the
+    # DuckDB oracle's job — np.round would half-even where both engines
+    # round half-up); the GREEDY below is the independent recompute
+    rows = (
+        load_table(spark, SF_SMALL, "embeddings")
+        .filter("vec_id IS NOT NULL AND embedding IS NOT NULL")
+        .select("vec_id", _kc_qe(F.col("embedding")).alias("qe"))
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    q = np.array([rows[i]["qe"] for i in order], dtype=np.int64)
+    picked = [0]  # lowest vec_id after the sort
+    dists = [0]
+    mind = ((q - q[0]) ** 2).sum(axis=1)
+    mind[0] = -1  # picked sentinel: never re-selected
+    for _ in range(7):
+        best = int(np.lexsort((ids, -mind))[0])
+        picked.append(best)
+        dists.append(int(mind[best]))
+        d = ((q - q[best]) ** 2).sum(axis=1)
+        mind = np.minimum(mind, d)
+        mind[best] = -1
+    expect = [(i + 1, int(ids[p]), dists[i]) for i, p in enumerate(picked)]
+    assert [(r["sel_rank"], r["vec_id"], r["dist_sq"]) for r in got] == expect
+
+
 def test_kcenter_radius_monotone_and_distinct(spark):
     """Farthest-point sampling: the selection-time distance (covering
     radius) is monotone non-increasing after the seed, picks are distinct,
