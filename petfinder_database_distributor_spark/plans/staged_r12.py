@@ -345,10 +345,6 @@ def knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the same guard+retrain loop SemDeDup uses; vectors in
     singleton cells have no in-cell neighbors and are absent, as in
     FAISS's IVF-restricted search."""
-    from petfinder_database_distributor_spark.operators.similarity import (
-        as_double,
-        cosine,
-    )
     from petfinder_database_distributor_spark.plans.corpus_ops import (
         _ann_index_root,
     )
@@ -360,19 +356,35 @@ def knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ann_index_root(spark, sf_dir)
     codes = snapshot_read(spark, f"{root}/codes", version=0)
     members = codes.select("vec_id", "centroid_id").join(emb, "vec_id")
-    # Sum(|cell|^2) refusal guard — one bounded n_clusters-row agg; the
-    # named fix (ann_index_retrain with n_clusters scaled up) is the
-    # tested recovery path of tests/test_ann_retrain.py
+    return knn_graph_decisions(members)
+
+
+def knn_graph_decisions(
+    members: DataFrame, k: int = _KNN_K, pair_budget: int = 10_000_000
+) -> DataFrame:
+    """The graph core over an assigned membership frame (vec_id,
+    centroid_id, embedding) — split out of the query (the
+    semdedup_decisions discipline) so the guard -> retrain(n_clusters up)
+    -> rerun recovery loop is an executable, tested path
+    (tests/test_staged_r12.py::test_knn_guard_retrain_recovery), not just
+    a message. Sum(|cell|^2) refusal guard: one bounded n_clusters-row
+    agg; past the budget the within-cell self-join is refused with the
+    fix named rather than launched."""
+    from petfinder_database_distributor_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
     pairs_est = sum(
         r["n"] * r["n"]
         for r in members.groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    if pairs_est > 10_000_000:
+    if pairs_est > pair_budget:
         raise ValueError(
             f"knn_graph_cells: within-cell pair volume ~{pairs_est:,} exceeds "
-            "the 10,000,000 budget — retrain the index with more cells "
+            f"the {pair_budget:,} budget — retrain the index with more cells "
             "(ann_index_retrain(n_clusters=...)) so cell sizes shrink"
         )
     a = members.select(
@@ -391,7 +403,7 @@ def knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "nbr_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _KNN_K)
+        .filter(F.col("rank") <= k)
         .select("vec_id", "nbr_id", "rank", F.round("cos", 6).alias("cos_r"))
     )
 

@@ -270,6 +270,88 @@ def test_knn_graph_pair_budget_in_bounds(spark):
     )
 
 
+def test_knn_guard_retrain_recovery(spark):
+    """The kNN graph's pair-budget refusal names an executable fix, and
+    the fix suffices — the SemDeDup recovery loop's twin
+    (tests/test_ann_retrain.py::test_semdedup_guard_retrain_recovery):
+    27x offset replicas put 13.5k vectors in 16 cells (min Sum(n^2) =
+    13500^2/16 = 11.4M > 10M for ANY assignment), the guard refuses,
+    ann_index_retrain(n_clusters=128) restores the bound, and the rerun
+    under the SAME budget finds every replica's identical twin at
+    cosine 1."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.operators.similarity import (
+        ivf_pq_train,
+    )
+    from petfinder_database_distributor_spark.plans.corpus_ops import (
+        ann_index_retrain,
+    )
+    from petfinder_database_distributor_spark.plans.staged_r12 import (
+        knn_graph_decisions,
+    )
+    from petfinder_database_distributor_spark.schema import load_table
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        latest_group,
+        snapshot_read,
+        snapshot_read_group,
+        snapshot_write,
+    )
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        SCRATCH_ROOT,
+    )
+
+    root = f"{SCRATCH_ROOT}/knn_retrain_test"
+    shutil.rmtree(root, ignore_errors=True)
+    base = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    n_base = base.count()
+    corpus = (
+        base.crossJoin(spark.range(27).select(F.col("id").alias("r")))
+        .select(
+            (F.col("vec_id") + F.col("r") * n_base).alias("vec_id"),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
+    )
+    centroids, cb, codes = ivf_pq_train(corpus)
+    for name, df in (("centroids", centroids), ("codebook", cb), ("codes", codes)):
+        snapshot_write(spark, f"{root}/{name}", df)
+
+    members0 = (
+        snapshot_read(spark, f"{root}/codes", version=0)
+        .select("vec_id", "centroid_id")
+        .join(corpus, "vec_id")
+    )
+    with pytest.raises(ValueError, match="n_clusters"):
+        knn_graph_decisions(members0)
+
+    versions = ann_index_retrain(spark, root, corpus, n_clusters=128)
+    assert versions["codes"] == 1
+    codes1 = snapshot_read_group(spark, root, "codes", group=latest_group(root))
+    members1 = codes1.select("vec_id", "centroid_id").join(corpus, "vec_id")
+    top1 = {
+        r["vec_id"]: (r["nbr_id"], r["cos_r"])
+        for r in knn_graph_decisions(members1).collect()
+        if r["rank"] == 1
+    }
+    # every replica has 26 identical twins in its cell (identical vectors
+    # encode identically, so twins share a cell): nearest neighbor is the
+    # LOWEST-id other twin at cosine exactly 1
+    misses = 0
+    for vid, (nbr, cos_r) in top1.items():
+        base_id = vid % n_base
+        expect = base_id if vid != base_id else base_id + n_base
+        if nbr != expect or cos_r != 1.0:
+            misses += 1
+    assert misses == 0, f"{misses} replicas missed their identical twin"
+    assert len(top1) == 27 * n_base
+
+
 def test_gopher_rules_semantics(spark):
     """Hand-computed rule checks on real rows: a doc under 50 words fails
     r_wordcount; keep == AND of the seven flags everywhere."""
