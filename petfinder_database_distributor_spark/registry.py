@@ -60,6 +60,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
+    # R12 ROTATION PLAN (precomputed this round so the promotion is
+    # mechanical): register the four staged queries of
+    # plans/staged_r12.py (domain_budget_unimax, sample_kcenter_greedy,
+    # knn_graph_cells, text_gopher_rules — each already holding the full
+    # oracle bar at sf0.001+sf0.01, see tests/test_staged_r12.py) and
+    # set the r12 window = those 4 + 46 of the 49-name r8 cohort
+    # (newest==8 after the r11 run; listed by tools/registry_inventory).
+    # The 3 leftover r8 names head the r13 window ahead of the r9
+    # cohort. At 200 registrations the cadence bound is ceil(200/50)=4
+    # rounds, so every cohort stays inside CI.
+    #
     # -- r11 window (50 entries, exact fit). Head: the two queries
     # REGISTERED this round (new code needs its first external row),
     # then the three tercile-family queries whose PLANS changed this
