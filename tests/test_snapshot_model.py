@@ -149,3 +149,109 @@ def test_snapshot_random_walk_matches_model(spark, seed):
         else:
             assert _read(spark, table_dir, w) == _visible(*m), f"v{w} drifted"
     shutil.rmtree(table_dir, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_snapshot_crash_injection_walk(spark, seed, monkeypatch):
+    """Crash-injection walk over the same op set: every committing op
+    passes through exactly two _fsync_replace calls (manifest, pointer),
+    and a crash at ANY of the four points — before either write, or
+    after writing the ._tmp but before the atomic replace — must leave
+    the table byte-for-byte at the previous version AND leave no state
+    that poisons an immediate retry of the same op. The directed suite
+    pins three of these points once each; this walk composes all four
+    with every op type and proves retryability, not just invisibility."""
+    import random as _random
+
+    from petfinder_database_distributor_spark.sources import snapshot as snap
+
+    rng = _random.Random(seed)
+    table_dir = f"{SCRATCH_ROOT}/snapshot_crash_walk_{seed}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    real_fsync_replace = snap._fsync_replace
+    t = 0
+
+    def batch(n):
+        nonlocal t
+        out = []
+        for _ in range(n):
+            t += 1
+            out.append((rng.choice(KEYS), rng.randrange(1000), t))
+        return out
+
+    first = batch(4)
+    v = snapshot_write(spark, table_dir, _df(spark, first))
+    model = {v: (list(first), set())}
+
+    def inject(crash_call: int, torn: bool):
+        state = {"n": 0}
+
+        def crashing(tmp_path, final_path, payload):
+            state["n"] += 1
+            if state["n"] == crash_call:
+                if torn:  # write the tmp, die before the atomic replace
+                    with open(tmp_path, "w") as fh:
+                        fh.write(payload)
+                raise OSError("injected crash")
+            return real_fsync_replace(tmp_path, final_path, payload)
+
+        monkeypatch.setattr(snap, "_fsync_replace", crashing)
+
+    for step in range(16):
+        rows, tombs = model[v]
+        op = rng.choice(["append", "merge", "delete", "compact", "restore"])
+        b = batch(rng.randint(1, 3))
+        ks = sorted(rng.sample(KEYS, rng.randint(1, 2)))
+        tv = rng.choice(sorted(model))
+
+        def run():
+            if op == "append":
+                return snapshot_append(spark, table_dir, _df(spark, b))
+            if op == "merge":
+                return snapshot_merge(
+                    spark, table_dir, _df(spark, b), key_cols=["k"], order_cols=["o"]
+                )
+            if op == "delete":
+                return snapshot_delete(
+                    spark,
+                    table_dir,
+                    spark.createDataFrame([(k,) for k in ks], "k long"),
+                    ["k"],
+                )
+            if op == "compact":
+                return snapshot_compact(spark, table_dir, target_files=1)
+            return snapshot_restore(table_dir, tv)
+
+        if rng.random() < 0.6:  # crash this op at a random point, then retry
+            inject(crash_call=rng.randint(1, 2), torn=rng.random() < 0.5)
+            with pytest.raises(OSError, match="injected"):
+                run()
+            monkeypatch.setattr(snap, "_fsync_replace", real_fsync_replace)
+            assert snap.latest_version(table_dir) == v, "crash must be invisible"
+            assert _read(spark, table_dir) == _visible(rows, tombs), (
+                f"seed {seed} step {step} op {op}: crashed op leaked state"
+            )
+        nv = run()  # the retry (or the uninjected op) must land cleanly
+        assert nv == v + 1
+        if op == "append":
+            model[nv] = (rows + b, set(tombs))
+        elif op == "merge":
+            model[nv] = (_winner(_visible(rows, tombs) + b), set())
+        elif op == "delete":
+            model[nv] = (list(rows), tombs | set(ks))
+        elif op == "compact":
+            model[nv] = (_visible(rows, tombs), set())
+        else:
+            trows, ttombs = model[tv]
+            model[nv] = (list(trows), set(ttombs))
+        v = nv
+        assert _read(spark, table_dir) == _visible(*model[v]), (
+            f"seed {seed} step {step} op {op} v{v}: retry diverged from model"
+        )
+
+    # the crash debris (orphan manifests/tmps/staged dirs) must not
+    # confuse retention: vacuum still serves the retained tail exactly
+    snapshot_vacuum(table_dir, keep_last=3)
+    for w in sorted(model)[-3:]:
+        assert _read(spark, table_dir, w) == _visible(*model[w])
+    shutil.rmtree(table_dir, ignore_errors=True)
