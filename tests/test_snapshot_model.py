@@ -151,6 +151,90 @@ def test_snapshot_random_walk_matches_model(spark, seed):
     shutil.rmtree(table_dir, ignore_errors=True)
 
 
+@pytest.mark.parametrize("seed", [23])
+def test_partitioned_merge_walk_matches_model_and_reuses_files(spark, seed):
+    """Random-walk over the PARTITIONED commit path (its manifest shape —
+    partition value → file list — and merge are a separate code path from
+    the flat table): after every merge, (a) the full read equals a
+    dict-model upsert, (b) a manifest-pruned single-partition read equals
+    the model filtered, and (c) every partition the batch did NOT touch
+    carries its previous version's file list forward VERBATIM — the
+    O(changed partitions) claim checked compositionally, not once."""
+    import random as _random
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        read_manifest,
+        snapshot_merge_partitioned,
+        snapshot_read_partitioned,
+    )
+
+    rng = _random.Random(seed)
+    table_dir = f"{SCRATCH_ROOT}/snapshot_model_part_{seed}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    t = 0
+    state: dict[int, tuple] = {}  # k -> (k, v, o, p): the upsert model
+    hist: dict[int, list] = {}  # version -> sorted expected rows
+
+    def pcol(k: int) -> int:
+        return k % 3  # stable function of the key — the documented contract
+
+    v = None
+    for step in range(12):
+        b = []
+        for _ in range(rng.randint(1, 4)):
+            t += 1
+            k = rng.choice(KEYS)
+            b.append((k, rng.randrange(1000), t, pcol(k)))
+        df = spark.createDataFrame(b, "k long, v long, o long, p long")
+        prev_manifest = (
+            read_manifest(table_dir, v)["partitions"] if v is not None else {}
+        )
+        v = snapshot_merge_partitioned(
+            spark, table_dir, df, key_cols=["k"], order_cols=["o"],
+            partition_col="p",
+        )
+        for r in b:  # batch o values are increasing within the batch too
+            if r[0] not in state or r[2] > state[r[0]][2]:
+                state[r[0]] = r
+        hist[v] = sorted(state.values())
+        got = sorted(
+            tuple(r)
+            for r in snapshot_read_partitioned(spark, table_dir).collect()
+        )
+        assert got == hist[v], f"seed {seed} step {step}: full read != model"
+        probe = rng.choice([0, 1, 2])
+        pruned = sorted(
+            tuple(r)
+            for r in snapshot_read_partitioned(
+                spark, table_dir, values=[probe]
+            ).collect()
+        )
+        assert pruned == [r for r in hist[v] if r[3] == probe]
+        touched = {str(pcol(r[0])) for r in b}
+        now = read_manifest(table_dir, v)["partitions"]
+        for part, files in prev_manifest.items():
+            if part not in touched:
+                assert now[part] == files, (
+                    f"step {step}: untouched partition {part} was rewritten"
+                )
+
+    # time travel across the whole chain, then vacuum and re-check the tail
+    for w, expect in hist.items():
+        got = sorted(
+            tuple(r)
+            for r in snapshot_read_partitioned(spark, table_dir, version=w).collect()
+        )
+        assert got == expect, f"v{w} drifted"
+    snapshot_vacuum(table_dir, keep_last=3)
+    for w in sorted(hist)[-3:]:
+        got = sorted(
+            tuple(r)
+            for r in snapshot_read_partitioned(spark, table_dir, version=w).collect()
+        )
+        assert got == hist[w]
+    shutil.rmtree(table_dir, ignore_errors=True)
+
+
 @pytest.mark.parametrize("seed", [7])
 def test_snapshot_crash_injection_walk(spark, seed, monkeypatch):
     """Crash-injection walk over the same op set: every committing op
