@@ -1,0 +1,115 @@
+"""Extremes-robustness parity sweep (round-11 continuation, the third
+robustness program beside the null and unicode sweeps).
+
+The clean fixtures are statistically tame (~54 tokens/doc, balanced
+vocabulary). This sweep appends adversarial documents — a 20k-token
+document, a single 50k-character word, a degenerate one-token-repeated
+distribution (drives bigram/unigram probabilities to the p→1 quantization
+clamp, t = 2^30, cost 0 — the fixed-point log2 kernel's upper edge), a
+numeric-only document (alpha-rule edge), and a one-character document —
+and requires full cross-engine hash parity over the token-statistics /
+fixed-point-LM / hashed-feature families, the places where an integer
+overflow, a quantization clamp, or a float accumulation would first
+diverge. Registered queries run through the registry; the staged r12
+text queries hold the same bar.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMALL
+
+FAMILY = [
+    "text_token_stats",
+    "text_quality_score",
+    "text_bigram_tf",
+    "text_commonness_score",
+    "text_fingerprint",
+    "tfidf_top_terms",
+    "search_bm25_topk",
+    "bpe_first_merges",
+    "text_perplexity_bucket",
+    "text_perplexity_interp",
+    "sample_importance_dsir",
+    "sample_importance_dsir_draw",
+    "quality_classifier_score",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_chunking",
+    "text_repetition_ratio",
+    "pack_sequences_greedy",
+]
+
+STAGED_FAMILY = ["text_gopher_rules", "domain_budget_unimax"]
+
+
+@pytest.fixture(scope="module")
+def extreme_sf_dir(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("extremesweep"))
+    con = duckdb.connect()
+    con.execute(f"""COPY (
+      SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')
+      -- 20k tokens of a two-token alternation: corpus-scale counts jump
+      -- ~40x in one doc; bigram counts and BM25 length norms must not wrap
+      UNION ALL SELECT 99960, repeat('alpha beta ', 10000), 'en', 'xsrc', 110000
+      -- one 50,000-character word: mean-word-length and chunking edges
+      UNION ALL SELECT 99961, repeat('z', 50000), 'en', 'xsrc', 50000
+      -- degenerate distribution: one token repeated — conditional bigram
+      -- probability hits 1.0, the p-quantization clamp t=2^30, cost 0
+      UNION ALL SELECT 99962, repeat('the ', 5000), 'en', 'xsrc', 20000
+      -- numeric-only tokens: zero alpha words, stopword-free
+      UNION ALL SELECT 99963, '12345 67890 11111 22222 33333 44444', 'en', 'xsrc', 35
+      -- single character
+      UNION ALL SELECT 99964, 'x', 'en', 'xsrc', 1
+    ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{tmp}/{t}.parquet")
+    return tmp
+
+
+@pytest.mark.parametrize("name", FAMILY)
+def test_extremes_parity(spark, extreme_sf_dir, name):
+    from petfinder_database_distributor_spark.registry import load_all
+    from tests.oracle_compare import assert_parity, run_oracle
+
+    spec = load_all()[name]
+    assert_parity(
+        spec.fn(spark, extreme_sf_dir),
+        run_oracle(spec.oracle, extreme_sf_dir),
+        name,
+    )
+
+
+@pytest.mark.parametrize("name", STAGED_FAMILY)
+def test_extremes_parity_staged(spark, extreme_sf_dir, name):
+    from petfinder_database_distributor_spark.plans.staged_r12 import STAGED
+    from tests.oracle_compare import assert_parity, run_oracle
+
+    fn, oracle, _doc = STAGED[name]
+    assert_parity(fn(spark, extreme_sf_dir), run_oracle(oracle, extreme_sf_dir), name)
+
+
+def test_degenerate_distribution_exercises_near_one_probabilities(spark, extreme_sf_dir):
+    """The fixture must actually exercise the kernel edge it claims: the
+    repeated-token doc pushes the conditional bigram probability into the
+    near-1 region (quantized t near the 2^30 top of the kernel's mantissa
+    range — corpus smoothing keeps it just under the exact clamp), so its
+    mean surprise must land far below every natural document's (<1 bit
+    per bigram vs the corpus's ~4.5) and in the lowest-perplexity
+    tercile. The cross-engine agreement itself is the family sweep's job;
+    this pins that the edge is actually reached."""
+    from petfinder_database_distributor_spark.registry import load_all
+
+    spec = load_all()["text_perplexity_bucket"]
+    rows = {
+        r["doc_id"]: (r["mean_bits_milli"], r["ccnet_tercile"])
+        for r in spec.fn(spark, extreme_sf_dir).collect()
+    }
+    mean_milli, tercile = rows[99962]
+    assert 0 <= mean_milli < 1000, "near-1 probabilities must cost <1 bit/bigram"
+    assert tercile == 1
