@@ -310,9 +310,13 @@ def _knn_graph_oracle() -> str:
     cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
     return f"""
     WITH {_ANN_IDX_TRAIN_SQL},
+    nz AS (SELECT vec_id FROM embeddings
+           WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id
               FROM ivf a JOIN ivf b USING (centroid_id)
-              WHERE a.vec_id <> b.vec_id),
+              WHERE a.vec_id <> b.vec_id
+                AND a.vec_id IN (SELECT vec_id FROM nz)
+                AND b.vec_id IN (SELECT vec_id FROM nz)),
     scored AS (SELECT p.vec_id, p.nbr_id, {cos} AS cos
                FROM pairs p
                JOIN embeddings ea ON ea.vec_id = p.vec_id
@@ -375,6 +379,16 @@ def knn_graph_decisions(
         cosine,
     )
 
+    # Zero-norm contract: a zero vector has no direction, so cosine is
+    # undefined — and under Spark 4.x's default ANSI mode the division
+    # RAISES instead of yielding NULL/NaN, killing the whole job on one
+    # dirty row. Excluded at entry like NULL vectors (DuckDB twin:
+    # len(list_filter(embedding, x -> x <> 0)) > 0). The same guard is
+    # the planned round-12 fix for the registered vector family (see
+    # PLANS.md, round-11 continuation findings).
+    members = members.filter(
+        F.exists(F.col("embedding"), lambda x: x != 0)
+    )
     pairs_est = sum(
         r["n"] * r["n"]
         for r in members.groupBy("centroid_id")

@@ -352,6 +352,30 @@ def test_knn_guard_retrain_recovery(spark):
     assert len(top1) == 27 * n_base
 
 
+def test_knn_zero_norm_vectors_excluded_not_crashing(spark):
+    """Zero-norm contract: under Spark 4.x default ANSI mode, cosine's
+    division RAISES on a zero-norm vector — one dirty row would kill a
+    100 TB job. The decisions helper must exclude zero vectors at entry
+    (like NULL vectors) and still rank the live ones. (The identical fix
+    is the planned r12 change for the registered vector family.)"""
+    from petfinder_database_distributor_spark.plans.staged_r12 import (
+        knn_graph_decisions,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.9, 0.1]),
+        (3, 0, [0.0, 0.0]),  # zero-norm: excluded, must not raise
+        (4, 1, [0.0, 1.0]),
+    ]
+    members = spark.createDataFrame(
+        rows, "vec_id long, centroid_id int, embedding array<double>"
+    )
+    got = knn_graph_decisions(members, k=2)
+    out = {(r["vec_id"], r["nbr_id"]) for r in got.collect()}
+    assert out == {(1, 2), (2, 1)}, out  # cell 0 pair only; 3 gone, 4 alone
+
+
 def test_gopher_rules_semantics(spark):
     """Hand-computed rule checks on real rows: a doc under 50 words fails
     r_wordcount; keep == AND of the seven flags everywhere."""
