@@ -235,6 +235,95 @@ def test_partitioned_merge_walk_matches_model_and_reuses_files(spark, seed):
     shutil.rmtree(table_dir, ignore_errors=True)
 
 
+@pytest.mark.parametrize("seed", [31])
+def test_group_commit_walk_reads_are_always_mutually_consistent(spark, seed):
+    """Model walk over the GROUP (multi-table family) layer — the third
+    commit path beside flat and partitioned tables: random interleavings
+    of member-scoped maintenance ("append": one member advances) and
+    family-wide rebuilds ("retrain": every member advances), committed
+    through the optimistic group protocol. After every group commit the
+    manifest must equal the model member-map, every group time-travel
+    read of every member must return the member content AT THE PINNED
+    VERSION (never a newer table version that landed after the group —
+    the mixed-epoch hazard the layer exists to kill), and group numbers
+    are gapless."""
+    import random as _random
+
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        latest_group,
+        read_group_manifest,
+        snapshot_commit_group_optimistic,
+        snapshot_read_group,
+        snapshot_write,
+    )
+
+    rng = _random.Random(seed)
+    root = f"{SCRATCH_ROOT}/group_model_walk_{seed}"
+    shutil.rmtree(root, ignore_errors=True)
+    names = ["a", "b", "c"]
+    t = 0
+
+    def fresh_rows():
+        nonlocal t
+        t += 1
+        return [(t, rng.randrange(1000), t)]
+
+    # per member: version -> expected rows; and current version
+    content = {n: {} for n in names}
+    cur = {}
+    for n in names:
+        rows = fresh_rows()
+        v = snapshot_write(spark, f"{root}/{n}", _df(spark, rows))
+        content[n][v] = sorted(rows)
+        cur[n] = v
+    g = snapshot_commit_group_optimistic(
+        root, lambda base, mem: dict(cur), operation="train"
+    )
+    groups = {g: dict(cur)}
+
+    for step in range(10):
+        if rng.random() < 0.6:  # member maintenance: one table advances
+            n = rng.choice(names)
+            rows = fresh_rows()
+            v = snapshot_write(
+                spark, f"{root}/{n}", _df(spark, rows), base_version=cur[n]
+            )
+            content[n][v] = sorted(rows)
+            cur[n] = v
+            g = snapshot_commit_group_optimistic(
+                root, lambda base, mem, n=n, v=v: {**mem, n: v},
+                operation="append",
+            )
+        else:  # family rebuild: every member advances together
+            for n in names:
+                rows = fresh_rows()
+                v = snapshot_write(
+                    spark, f"{root}/{n}", _df(spark, rows), base_version=cur[n]
+                )
+                content[n][v] = sorted(rows)
+                cur[n] = v
+            g = snapshot_commit_group_optimistic(
+                root, lambda base, mem: dict(cur), operation="retrain"
+            )
+        groups[g] = dict(cur)
+        assert latest_group(root) == g
+        assert read_group_manifest(root, g)["members"] == groups[g]
+
+    assert sorted(groups) == list(range(len(groups))), "group numbers must be gapless"
+    # time travel: every group pins every member to ITS version's content,
+    # regardless of the table commits that landed in later groups
+    for gv, members in groups.items():
+        for n in names:
+            got = sorted(
+                tuple(r)
+                for r in snapshot_read_group(spark, root, n, group=gv).collect()
+            )
+            assert got == content[n][members[n]], (
+                f"seed {seed} g{gv} member {n}: mixed-epoch read"
+            )
+    shutil.rmtree(root, ignore_errors=True)
+
+
 @pytest.mark.parametrize("seed", [7])
 def test_snapshot_crash_injection_walk(spark, seed, monkeypatch):
     """Crash-injection walk over the same op set: every committing op
