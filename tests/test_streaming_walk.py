@@ -46,10 +46,22 @@ def _expected_pairs(events_df):
     return sorted((r.user_id, r.event_id) for r in rows)
 
 
-@pytest.mark.parametrize("seed", [5, 17])
-def test_random_arrival_and_resume_points_stay_exactly_once(spark, seed):
+@pytest.mark.parametrize(
+    "seed,duplicate_overlap",
+    [(5, False), (17, False), (29, True)],
+    ids=["seed5", "seed17", "seed29-at-least-once"],
+)
+def test_random_arrival_and_resume_points_stay_exactly_once(
+    spark, seed, duplicate_overlap
+):
+    """duplicate_overlap=True stages every event into TWO chunks (the
+    at-least-once delivery the reference's dup-check defends against):
+    the idempotent upsert must converge to the same batch answer no
+    matter which of a row's two arrivals each random phase delivers."""
     rng = random.Random(seed)
-    full_stage = stage_event_chunks(spark, SF_SMALL, n_chunks=N_CHUNKS)
+    full_stage = stage_event_chunks(
+        spark, SF_SMALL, n_chunks=N_CHUNKS, duplicate_overlap=duplicate_overlap
+    )
     live = f"{SCRATCH_ROOT}/walk_resume_live_{seed}"
     run_dir = f"{SCRATCH_ROOT}/walk_resume_run_{seed}"
     shutil.rmtree(live, ignore_errors=True)
@@ -82,9 +94,11 @@ def test_random_arrival_and_resume_points_stay_exactly_once(spark, seed):
             max_files=rng.choice([1, 2, 3]),
         )
         first = False
-        expect = _expected_pairs(
-            events.filter((F.col("event_id") % N_CHUNKS).isin(sorted(revealed)))
-        )
+        chunk_of = F.col("event_id") % N_CHUNKS
+        seen = chunk_of.isin(sorted(revealed))
+        if duplicate_overlap:  # each event also rides chunk (c+1) % N
+            seen = seen | ((chunk_of + 1) % N_CHUNKS).isin(sorted(revealed))
+        expect = _expected_pairs(events.filter(seen))
         assert (
             sorted((r.user_id, r.event_id) for r in got.select("user_id", "event_id").collect())
             == expect
