@@ -41,6 +41,25 @@ def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
 
+# Zero-norm vector contract (round-11 continuation finding): a zero
+# vector has no direction, so cosine is undefined on it — and under
+# Spark 4.x's default ANSI mode the norm-product division RAISES
+# DIVIDE_BY_ZERO, killing a 100 TB job on one dirty row (DuckDB's
+# double 0/0 diverges to NULL/NaN instead — asymmetric either way).
+# Zero-norm rows are excluded at the family entry exactly like NULL
+# vectors. Round 12 applies this pair at every registered cosine-family
+# entry (PLANS.md, round-11 continuation findings); the staged kNN graph
+# already rides it.
+NONZERO_VEC_SQL = "len(list_filter({v}, x -> x <> 0)) > 0"
+
+
+def nonzero_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Drop zero-norm vectors — the Spark half of the contract above
+    (`F.exists` is a short-circuiting JVM-side predicate; no norm is
+    computed, so the filter is cheaper than the division it guards)."""
+    return df.filter(F.exists(F.col(vec_col), lambda x: x != 0))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,

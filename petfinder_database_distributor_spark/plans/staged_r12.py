@@ -302,16 +302,19 @@ _KNN_K = 3
 
 
 def _knn_graph_oracle() -> str:
+    from petfinder_database_distributor_spark.operators.similarity import (
+        NONZERO_VEC_SQL,
+    )
     from petfinder_database_distributor_spark.plans.corpus_ops import (
         _ANN_IDX_TRAIN_SQL,
     )
     from petfinder_database_distributor_spark.plans.llm_pipeline import _COS_SQL
 
     cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
+    nz_pred = NONZERO_VEC_SQL.format(v="embedding")
     return f"""
     WITH {_ANN_IDX_TRAIN_SQL},
-    nz AS (SELECT vec_id FROM embeddings
-           WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+    nz AS (SELECT vec_id FROM embeddings WHERE {nz_pred}),
     pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id
               FROM ivf a JOIN ivf b USING (centroid_id)
               WHERE a.vec_id <> b.vec_id
@@ -379,16 +382,13 @@ def knn_graph_decisions(
         cosine,
     )
 
-    # Zero-norm contract: a zero vector has no direction, so cosine is
-    # undefined — and under Spark 4.x's default ANSI mode the division
-    # RAISES instead of yielding NULL/NaN, killing the whole job on one
-    # dirty row. Excluded at entry like NULL vectors (DuckDB twin:
-    # len(list_filter(embedding, x -> x <> 0)) > 0). The same guard is
-    # the planned round-12 fix for the registered vector family (see
-    # PLANS.md, round-11 continuation findings).
-    members = members.filter(
-        F.exists(F.col("embedding"), lambda x: x != 0)
+    # Zero-norm contract — see operators/similarity.py::nonzero_vectors
+    # (ANSI divide-by-zero on dirty rows; the r12 family-wide guard)
+    from petfinder_database_distributor_spark.operators.similarity import (
+        nonzero_vectors,
     )
+
+    members = nonzero_vectors(members)
     pairs_est = sum(
         r["n"] * r["n"]
         for r in members.groupBy("centroid_id")
