@@ -14,7 +14,7 @@ from petfinder_database_distributor_spark.operators.joins import (
     range_join_bucketed,
 )
 from petfinder_database_distributor_spark.registry import register
-from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.schema import finite_measures, load_table
 from petfinder_database_distributor_spark.util import int_div
 
 
@@ -71,7 +71,8 @@ def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j3_range_join",
     oracle="""
-    WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+              WHERE (value IS NULL OR isfinite(value))),
          b AS (SELECT i AS band_id, i * 200 AS lo, i * 200 + 500 AS hi FROM range(0, 20) r(i))
     SELECT b.band_id, count(*) AS n_events, CAST(sum(e.cents) AS BIGINT) AS total_cents
     FROM e JOIN b ON e.cents >= b.lo AND e.cents < b.hi
@@ -81,7 +82,7 @@ def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equi-join (shuffle-bounded; the scalable alternative to broadcast-NLJ)",
 )
 def j3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_measures(load_table(spark, sf_dir, "events"))
     points = ev.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
     bands = spark.range(0, 20).select(
         F.col("id").alias("band_id"),
@@ -292,13 +293,13 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS cents_24h
-    FROM events
+    FROM events WHERE (value IS NULL OR isfinite(value))
     """,
     doc="RANGE-frame window: per-user trailing 24h value sum keyed on event "
     "time (value-based frame, not row-count) — exact integer cents",
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_measures(load_table(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
@@ -318,7 +319,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, count(*) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
-    FROM events GROUP BY event_type
+    FROM events WHERE (value IS NULL OR isfinite(value)) GROUP BY event_type
     """,
     doc="Skew-defeating two-phase aggregation: salt the hot grouping key "
     "(cardinality 5 over millions of rows), partial-agg on (key, salt), then "
@@ -326,7 +327,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "result provably equals the direct groupBy",
 )
 def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_measures(load_table(spark, sf_dir, "events"))
     n_salts = 16
     cents = F.round(F.col("value") * 100).cast("long")
     salted = ev.select(
@@ -350,6 +351,7 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events e JOIN (VALUES ('click'), ('purchase'), ('view')) d(event_type)
       ON e.event_type = d.event_type
+    WHERE (e.value IS NULL OR isfinite(e.value))
     GROUP BY e.event_type
     """,
     doc="Skew-defeating salted equi-join: the hot key (event_type, cardinality "
@@ -359,7 +361,7 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j4_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.operators.joins import salted_join
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_measures(load_table(spark, sf_dir, "events"))
     dim = spark.range(1).select(
         F.explode(F.array(F.lit("click"), F.lit("purchase"), F.lit("view"))).alias(
             "event_type"
@@ -652,7 +654,7 @@ def w3_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE)
                  AS total_value,
                max(value) AS max_value
-        FROM events WHERE event_type IS NOT NULL
+        FROM events WHERE event_type IS NOT NULL AND (value IS NULL OR isfinite(value))
         GROUP BY 1
     )
     SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM m
@@ -671,7 +673,9 @@ def w3_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(unpivot drops all-NULL rows only when told to).",
 )
 def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    ev = finite_measures(
+        load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    )
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)"))
@@ -829,6 +833,7 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(round(value * 100) AS BIGINT)) OVER w AS q
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        AND isfinite(value)
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
     SELECT event_id, user_id, c AS value_cents, n::BIGINT AS n_window,
@@ -849,10 +854,12 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verbatim to applyInPandasWithState for the streaming twin.",
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-        & F.col("ts").isNotNull()
-        & F.col("value").isNotNull()
+    ev = finite_measures(
+        load_table(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
     )
     c = F.round(F.col("value") * 100).cast("long")
     w = (

@@ -48,6 +48,7 @@ from petfinder_database_distributor_spark.operators.text import (
 from petfinder_database_distributor_spark.plans.llm_pipeline import (
     _SHINGLES_SQL,
     _TOKS_SQL,
+    _load_embeddings,
 )
 from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
@@ -543,9 +544,7 @@ def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
 
     def build(root: str) -> None:
         shutil.rmtree(root, ignore_errors=True)
-        emb = load_table(spark, sf_dir, "embeddings").filter(
-            F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-        )
+        emb = _load_embeddings(spark, sf_dir)
         corpus = emb.filter(F.col("vec_id") % 5 != 0)
         centroids, cb, codes = ivf_pq_train(corpus)
         snapshot_write(spark, f"{root}/centroids", centroids)
@@ -571,7 +570,7 @@ def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
 _ANN_IDX_TRAIN_SQL = f"""
     qa AS (SELECT vec_id,
                   list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qe
-           FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+           FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
     q AS (SELECT * FROM qa WHERE vec_id % 5 <> 0),
     c0 AS (SELECT vec_id::INT AS centroid_id, qe AS icvec FROM q WHERE vec_id < 16),
     a1 AS ({_IVFPQ_ASSIGN.format(vecs="q", cents="c0")}),
@@ -658,9 +657,7 @@ def _ann_idx_probe_sql(ivf: str, codes: str, nprobe: int = 6, rerank: int = 96) 
     "train()/search() lifecycle on a table format.",
 )
 def ann_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-    )
+    emb = _load_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     root = _ann_index_root(spark, sf_dir)
     centroids = snapshot_read(spark, f"{root}/centroids", version=0)
@@ -718,9 +715,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_flat_probe,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-    )
+    emb = _load_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     root = _ann_index_root(spark, sf_dir)
     centroids = snapshot_read(spark, f"{root}/centroids", version=0)
@@ -750,9 +745,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scratch, proving committed-ADC == recompute.",
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-    )
+    emb = _load_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     root = _ann_index_root(spark, sf_dir)
     centroids = snapshot_read(spark, f"{root}/centroids", version=0)
@@ -902,9 +895,7 @@ RETRAIN_DRIFT_PPM = 1_500_000
     "recomputed drift.",
 )
 def ann_index_retrain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-    )
+    emb = _load_embeddings(spark, sf_dir)
     root = _ann_index_root(spark, sf_dir)
     centroids = snapshot_read(spark, f"{root}/centroids", version=0)
     codes = snapshot_read(spark, _arrivals_appended(spark, emb, root), version=1)
@@ -986,9 +977,7 @@ _ANN_GROWN_PROBE_SQL = f"""
     "proving append-maintained == recomputed.",
 )
 def ann_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-    )
+    emb = _load_embeddings(spark, sf_dir)
     root = _ann_index_root(spark, sf_dir)
     centroids = snapshot_read(spark, f"{root}/centroids", version=0)
     cb = snapshot_read(spark, f"{root}/codebook", version=0)
@@ -1022,9 +1011,7 @@ def ann_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to g2 = {centroids 1, codebook 1, codes 2} atomically.",
 )
 def ann_index_group_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-    )
+    emb = _load_embeddings(spark, sf_dir)
     root = _ann_index_root(spark, sf_dir)
     _arrivals_appended(spark, emb, root)  # ensures codes v1 + groups g0, g1
     centroids = snapshot_read_group(spark, root, "centroids", group=1)
@@ -1076,9 +1063,7 @@ _SEMDEDUP_TAU = 0.30
     "recompute.",
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-    )
+    emb = _load_embeddings(spark, sf_dir)
     root = _ann_index_root(spark, sf_dir)
     members = (
         snapshot_read(spark, f"{root}/codes", version=0)

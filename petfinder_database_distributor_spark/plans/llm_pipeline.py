@@ -49,11 +49,20 @@ from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import load_table
 
 def _load_embeddings(spark: SparkSession, sf_dir: str):
-    """Embeddings with the vector-family null contract applied: rows with
-    a NULL id or NULL vector are excluded (they would crash the Arrow
-    kernels and diverge from the oracles, which carry the same WHERE)."""
+    """Embeddings with the vector-family dirty-data contract applied: rows
+    with a NULL id or NULL vector are excluded (they would crash the Arrow
+    kernels), and so are ZERO-NORM vectors (r11 continuation finding: a
+    zero vector has no direction, cosine's norm-product division RAISES
+    DIVIDE_BY_ZERO under Spark 4.x default ANSI mode — one dirty row
+    would kill a 100 TB job). Every oracle in the family carries the
+    identical WHERE, so exclusion is symmetric; the clean fixtures
+    contain no such rows, so clean hashes are unchanged by construction.
+    `F.exists` short-circuits JVM-side — cheaper than the division it
+    guards."""
     return load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & F.exists(F.col("embedding"), lambda x: x != 0)
     )
 
 
@@ -494,7 +503,7 @@ _SRP_PLANES128_VALUES = ",\n      ".join(
     qvecs AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[], x -> round(1000 * x)) AS qe
-      FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     banded AS (
       SELECT q.vec_id, pl.i // 8 AS band,
@@ -534,7 +543,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine_exact",
     oracle="""
-    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0 AND embedding IS NOT NULL)
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
              / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
@@ -595,7 +604,7 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-_ANN_QUERIES_SQL = "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL"
+_ANN_QUERIES_SQL = "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0"
 
 
 @register(
@@ -608,6 +617,7 @@ _ANN_QUERIES_SQL = "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
                / (sqrt(list_inner_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
                   * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
       FROM q, embeddings e WHERE q.query_id <> e.vec_id
+            AND e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x <> 0)) > 0
     )
     SELECT query_id, vec_id, rank, round(cos, 6) AS cos_r
     FROM (SELECT query_id, vec_id, cos,
@@ -641,7 +651,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[], x -> round(1000 * x)) AS qe
-      FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     banded AS (
       SELECT q.vec_id, pl.i // 8 AS band,
@@ -842,7 +852,7 @@ _IVFPQ_UPDATE = """
     oracle=f"""
     WITH q AS (SELECT vec_id,
                       list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qe
-               FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+               FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
     c0 AS (SELECT vec_id::INT AS centroid_id, qe AS icvec FROM q WHERE vec_id < 16),
     a1 AS ({_IVFPQ_ASSIGN.format(vecs="q", cents="c0")}),
     c1 AS ({_IVFPQ_UPDATE.format(assigned="a1")}),
@@ -2092,7 +2102,7 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dims AS (
       SELECT u.i - 1 AS dim, (e.embedding[u.i])::DECIMAL(20,8) AS v
       FROM embeddings e, range(1, 65) u(i)
-      WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
+      WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x <> 0)) > 0
     )
     SELECT dim::INT AS dim,
            round(CAST(CAST(sum(v) AS DECIMAL(38,8)) AS DOUBLE) / count(*), 6) AS mean,
@@ -2218,7 +2228,7 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # negative halves. The quantized vector rides as a CSV string because
     # the canonical row compare stringifies arrays engine-specifically.
     oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
     s AS (SELECT vec_id, e,
                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
           FROM v)
@@ -2645,7 +2655,7 @@ def _span_overlap_frame(docs: DataFrame) -> DataFrame:
     "embedding_gram_matrix",
     oracle="""
     WITH q AS (SELECT list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qe
-               FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+               FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
     SELECT i.i AS i, j.j AS j,
            sum(qe[i.i + 1] * qe[j.j + 1])::BIGINT AS s,
            count(*)::BIGINT AS n

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from petfinder_database_distributor_spark.registry import register
-from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.schema import finite_measures, load_table
 from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT
 
 N_BUCKETS = 8
@@ -133,7 +133,7 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
                 AS DOUBLE) AS total_value
     FROM events
-    WHERE day(CAST(ts AS DATE)) <= 7
+    WHERE day(CAST(ts AS DATE)) <= 7 AND (value IS NULL OR isfinite(value))
     GROUP BY 1
     """,
     doc="Dynamic partition pruning: events staged partitionBy(event_date), "
@@ -145,7 +145,7 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     "tests/test_plan_quality.py",
 )
 def j6_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    joined = dpp_events_calendar_join(spark, sf_dir)
+    joined = finite_measures(dpp_events_calendar_join(spark, sf_dir))
     return joined.groupBy(
         F.date_format("event_date", "yyyy-MM-dd").alias("event_date")
     ).agg(

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from petfinder_database_distributor_spark.registry import register
-from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.schema import finite_measures, load_table
 
 
 def _dec(c, p=18, s=6):
@@ -163,7 +163,7 @@ def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
     """,
     doc="Window running aggregate + lag: per-user ordered frame (decimal-exact running sum)",
 )
@@ -171,7 +171,9 @@ def w2_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordered-window contract: NULL-ts rows are excluded — Spark orders
     # NULLS FIRST, DuckDB NULLS LAST, so they silently shift every
     # running sum after them
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = finite_measures(
+        load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(

@@ -38,7 +38,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from petfinder_database_distributor_spark.operators.text import token_count, tokens
+from petfinder_database_distributor_spark.operators.text import (
+    DEFAULT_STOPWORDS,
+    token_count,
+    tokens,
+)
 from petfinder_database_distributor_spark.schema import load_table
 
 # ---------------------------------------------------------------------------
@@ -270,7 +274,14 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     )
     q = emb.select("vec_id", _kc_qe(F.col("embedding")).alias("qe"))
-    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    seed_rows = q.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        # degenerate input: no vectors → empty selection, same schema the
+        # oracle produces (its seed CTE is empty too) — never an IndexError
+        return spark.createDataFrame(
+            [], "sel_rank bigint, vec_id bigint, dist_sq bigint"
+        )
+    seed = seed_rows[0]
     selected = [(1, int(seed["vec_id"]), 0, list(seed["qe"]))]
     for i in range(2, _KCENTER_K + 1):
         mind = F.least(
@@ -431,7 +442,8 @@ def knn_graph_decisions(
 # text.py) instead of the paper's English 8 ('be'/'to'/'that'/... never
 # occur in the synthetic corpus vocabulary, which would make the rule a
 # constant-false — a production deployment swaps the list per language).
-_GOPHER_STOPS = ("the", "a", "of", "and", "is")
+# Imported, not copied, so the two lists cannot drift (r11 advice).
+_GOPHER_STOPS = DEFAULT_STOPWORDS
 
 
 def _gopher_oracle() -> str:
@@ -469,14 +481,14 @@ def _gopher_oracle() -> str:
     SELECT doc_id, n AS n_words, mwl_milli,
            (n BETWEEN 50 AND 100000) AS r_wordcount,
            (mwl_milli BETWEEN 3000 AND 10000) AS r_meanwordlen,
-           ((hash_cnt + ell_cnt) * 10 <= n) AS r_symbol,
+           (hash_cnt * 10 <= n AND ell_cnt * 10 <= n) AS r_symbol,
            (bullet_lines * 10 <= 9 * n_lines) AS r_bullet,
            (endell_lines * 10 <= 3 * n_lines) AS r_ellipsis,
            (alpha_w * 5 >= 4 * n) AS r_alpha,
            (stops >= 2) AS r_stopwords,
            ((n BETWEEN 50 AND 100000)
             AND (mwl_milli BETWEEN 3000 AND 10000)
-            AND ((hash_cnt + ell_cnt) * 10 <= n)
+            AND (hash_cnt * 10 <= n AND ell_cnt * 10 <= n)
             AND (bullet_lines * 10 <= 9 * n_lines)
             AND (endell_lines * 10 <= 3 * n_lines)
             AND (alpha_w * 5 >= 4 * n)
@@ -490,8 +502,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     as per-rule flags — the rule-level transparency a production corpus
     pipeline needs for ablations, where text_quality_score collapses four
     signals into one scalar: word count in [50, 100k]; mean word length
-    in [3, 10] (milli-integer — no float division); '#'/'...'
-    symbol-to-word ratio <= 0.1; <= 90% of lines bullet-led; <= 30% of
+    in [3, 10] (milli-integer — no float division); symbol-to-word ratio
+    <= 0.1 for EACH of '#' and '...' separately (the paper applies the
+    threshold per symbol); <= 90% of lines bullet-led; <= 30% of
     lines ellipsis-terminated; >= 80% of words containing an [a-z]
     letter; >= 2 distinct required stopwords present. Every comparison is
     integer cross-multiplication (ratio <= p/q as q*count <= p*total) —
@@ -562,7 +575,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r_wc = F.col("n").between(50, 100000)
     r_mwl = F.col("mwl_milli").between(3000, 10000)
-    r_sym = (F.col("hash_cnt") + F.col("ell_cnt")) * 10 <= F.col("n")
+    r_sym = (F.col("hash_cnt") * 10 <= F.col("n")) & (
+        F.col("ell_cnt") * 10 <= F.col("n")
+    )
     r_bul = F.col("bullet_lines") * 10 <= 9 * F.col("n_lines")
     r_ell = F.col("endell_lines") * 10 <= 3 * F.col("n_lines")
     r_alp = F.col("alpha_w") * 5 >= 4 * F.col("n")

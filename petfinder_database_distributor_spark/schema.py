@@ -127,3 +127,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif dtypes[c] == "bigint":  # epoch-nanos; generator emits µs values
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
+
+
+# ---------------------------------------------------------------------------
+# Non-finite measure contract (round-11 continuation finding #2, landed
+# round 12): CAST(double('NaN'|'Infinity') AS DECIMAL) is NULL in Spark 4
+# (silently dropped by sums) but an Invalid Input Error in DuckDB, so ONE
+# non-finite float in a measure column makes the oracle side of every
+# decimal-exact aggregate ERROR while Spark quietly excludes the row — a
+# red driver row from a single dirty record, and divergent results either
+# way. Contract: a non-finite measurement is not an observation — rows
+# whose measure is NaN/±Inf are excluded at the family entry on BOTH
+# engines. NULL rows are deliberately KEPT (each query's own NULL
+# contract governs them — this guard must not change NULL semantics, so
+# clean-fixture and null-sweep hashes are unchanged by construction).
+# ---------------------------------------------------------------------------
+
+def FINITE_SQL(col: str = "value") -> str:
+    """DuckDB half of the contract: keep NULLs, drop NaN/±Inf."""
+    return f"({col} IS NULL OR isfinite({col}))"
+
+
+def finite_measures(df: DataFrame, col: str = "value") -> DataFrame:
+    """Spark half: same predicate, whole-stage-codegen comparisons only.
+
+    NaN needs `isnan` (NaN != NaN comparisons are special-cased by
+    Spark's NaN-ordering rules); ±Inf are ordinary comparisons.
+    """
+    c = F.col(col)
+    return df.filter(
+        c.isNull()
+        | (
+            ~F.isnan(c)
+            & (c != F.lit(float("inf")))
+            & (c != F.lit(float("-inf")))
+        )
+    )
