@@ -143,19 +143,33 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_props_extract",
+    # Malformed-JSON contract (r11 continuation finding #3, landed r12):
+    # DuckDB's json_extract RAISES on malformed JSON while Spark's
+    # get_json_object returns NULL — one bad record would turn this row
+    # red (and ANSI string→int casts raise on garbage in BOTH engines).
+    # Contract: malformed props ≡ NULL fields — the oracle routes props
+    # through a json_valid CASE (NULL for invalid AND for NULL props) and
+    # TRY_CASTs the extracted value; Spark mirrors with try_cast. Clean
+    # fixtures contain only valid JSON, so clean hashes are unchanged.
     oracle="""
-    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+    WITH kk AS (
+      SELECT TRY_CAST(json_extract(
+               CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) AS k
+      FROM events)
+    SELECT k % 10 AS k_mod,
            count(*) AS n,
-           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_total
-    FROM events
+           CAST(sum(k) AS BIGINT) AS k_total
+    FROM kk
     GROUP BY 1
     """,
     doc="JSON path extraction from a string column (get_json_object, JVM-side) "
-    "feeding an aggregate",
+    "feeding an aggregate; malformed JSON ≡ NULL on both engines",
 )
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # get_json_object is already NULL-on-malformed; try_cast keeps a
+    # non-numeric k from raising under ANSI (NULL instead, like the oracle)
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return ev.select(k.alias("k")).groupBy((F.col("k") % 10).alias("k_mod")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("k").cast("long").alias("k_total"),
@@ -501,11 +515,20 @@ def q13_sql_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "variant_props_extract",
+    # Same malformed-JSON contract as json_props_extract — doubly vital
+    # here: Spark's parse_json RAISES under ANSI on malformed input (a
+    # job-killer at scale, not just a red row), so the Spark side parses
+    # through try_parse_json (NULL variant) + try_variant_get.
     oracle="""
+    WITH kk AS (
+      SELECT event_type,
+             TRY_CAST(json_extract(
+               CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) AS k
+      FROM events)
     SELECT event_type, count(*) AS n,
-           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max,
-           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_total
-    FROM events
+           CAST(max(k) AS INT) AS k_max,
+           CAST(sum(k) AS BIGINT) AS k_total
+    FROM kk
     GROUP BY event_type
     """,
     doc="Semi-structured access through Spark 4's VariantType: parse_json once "
@@ -516,7 +539,7 @@ def q13_sql_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.max("k").cast("int").alias("k_max"),

@@ -1073,6 +1073,67 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_decisions(members)
 
 
+# Registered from plans/staged_r12.py (whose _knn_graph_oracle() is the
+# shared recompute ground truth) — the oracle must be importable without
+# a module cycle: staged_r12 -> corpus_ops is the one legal direction.
+def knn_graph_retrain_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-lifecycle recovery loop as a REGISTERED, driver-facing
+    query (r11 verdict #5): build a deliberately under-provisioned IVF
+    index (4 cells), let knn_graph_decisions' Sum(|cell|^2) pair-budget
+    guard REFUSE it, run the guard's named fix — ann_index_retrain with
+    more cells (16) committed as an atomic group version — and rerun to
+    the full k-NN graph. The refusal is DETERMINISTIC at every scale, not
+    a data-dependent branch: by Cauchy-Schwarz Sum(|cell|^2) >= n^2/4 on
+    any 4-cell assignment, and the budget is n^2/5 < n^2/4; after the
+    16-cell retrain the balanced assignment sits near n^2/16, well under
+    budget (the scale probes pin the margin). The oracle is the SAME
+    recompute ground truth as knn_graph_cells, so hash parity proves the
+    recovered index converges to the well-provisioned answer — the
+    SemDeDup/kNN guard's escape hatch (more cells => smaller cells =>
+    bounded pairs) exercised end-to-end in the driver window, where the
+    tests (test_staged_r12.py::test_knn_guard_retrain_recovery,
+    test_ann_retrain.py) previously proved it only locally."""
+    from petfinder_database_distributor_spark.plans.staged_r12 import (
+        _KNN_K,
+        knn_graph_decisions,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    root = f"{SCRATCH_ROOT}/knn_recover/{tag}"
+    shutil.rmtree(root, ignore_errors=True)  # deterministic per call
+
+    # under-provisioned initial train: 4 cells for the whole corpus
+    centroids, cb, codes = ivf_pq_train(corpus, n_clusters=4)
+    for name, df in (("centroids", centroids), ("codebook", cb), ("codes", codes)):
+        snapshot_write(spark, f"{root}/{name}", df)
+    snapshot_commit_group(
+        root,
+        {"centroids": 0, "codebook": 0, "codes": 0},
+        base_group=None,
+        operation="train",
+    )
+    n = corpus.count()
+    budget = (n * n) // 5  # < n^2/4, so 4 cells ALWAYS refuse (pigeonhole)
+
+    def graph(version: int) -> DataFrame:
+        members = (
+            snapshot_read(spark, f"{root}/codes", version=version)
+            .select("vec_id", "centroid_id")
+            .join(emb, "vec_id")
+        )
+        return knn_graph_decisions(members, k=_KNN_K, pair_budget=budget)
+
+    try:
+        return graph(version=0)
+    except ValueError:
+        # the guard's named fix, executed: retrain with 4x the cells,
+        # committed as the next atomic group version, then rerun
+        ann_index_retrain(spark, root, corpus, n_clusters=16)
+        return graph(version=1)
+
+
 def semdedup_decisions(
     members: DataFrame, pair_budget: int = 10_000_000
 ) -> DataFrame:
@@ -1203,8 +1264,13 @@ def stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = stage_embedding_chunks(spark, sf_dir, n_chunks=4)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # same entry contract as _load_embeddings: NULL ids/vectors AND
+        # zero-norm vectors are excluded (r12 dirty-data contract — the
+        # arriving stream is exactly where dirty rows show up first)
         batch = batch_df.filter(
-            F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+            F.col("vec_id").isNotNull()
+            & F.col("embedding").isNotNull()
+            & F.exists(F.col("embedding"), lambda x: x != 0)
         )
         enc = ivf_pq_encode(batch, centroids, cb)
         # snapshot_append, not merge: each trigger's keys are disjoint

@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 
 from petfinder_database_distributor_spark.operators.text import MD5INT_SQL, md5int
 from petfinder_database_distributor_spark.registry import register
-from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.schema import finite_measures, load_table
 from petfinder_database_distributor_spark.util import int_div
 
 _MD5INT = MD5INT_SQL
@@ -281,6 +281,10 @@ def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(sum(CASE WHEN event_type NOT IN
                     ('view', 'click', 'purchase', 'signup') THEN 1 ELSE 0 END), 0)::BIGINT
     FROM events
+    UNION ALL
+    SELECT 'value_finite', count(value)::BIGINT,
+           coalesce(sum(CASE WHEN NOT isfinite(value) THEN 1 ELSE 0 END), 0)::BIGINT
+    FROM events
     """,
     doc="Declarative data-validation audit (the Deequ/expectations shape a "
     "pipeline runs BEFORE shipping a snapshot to training): completeness, "
@@ -300,6 +304,14 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("user_id").alias("n_user"),
         F.count("value").alias("n_value"),
         F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_value"),
+        F.sum(
+            F.when(
+                F.isnan(F.col("value"))
+                | (F.col("value") == F.lit(float("inf")))
+                | (F.col("value") == F.lit(float("-inf"))),
+                1,
+            ).otherwise(0)
+        ).alias("nonfinite_value"),
         F.count("event_type").alias("n_type"),
         F.sum(
             F.when(
@@ -332,6 +344,14 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("event_type_in_domain").alias("rule"),
             F.col("n_type").alias("n_checked"),
             F.coalesce(F.col("bad_type"), F.lit(0)).alias("n_violations"),
+        ),
+        # non-finite measure rule (r12 dirty-data contract): the validator
+        # REPORTS NaN/±Inf rows — it is the one query in the value family
+        # that must SEE them rather than filter them at entry
+        F.struct(
+            F.lit("value_finite").alias("rule"),
+            F.col("n_value").alias("n_checked"),
+            F.coalesce(F.col("nonfinite_value"), F.lit(0)).alias("n_violations"),
         ),
     )
     return agg.select(F.explode(rules).alias("r")).select(
@@ -383,6 +403,7 @@ def kanonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) AS day_value
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        AND isfinite(value)
       GROUP BY 1, 2),
     mx AS (SELECT max(day) AS dmax FROM daily),
     spine AS (
@@ -410,10 +431,12 @@ def kanonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "day is observed by construction, so value_filled is never NULL.",
 )
 def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-        & F.col("ts").isNotNull()
-        & F.col("value").isNotNull()
+    ev = finite_measures(
+        load_table(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
     )
     # `daily` feeds THREE consumers (global max, per-user spine starts, and
     # the join probe side) — materialize it once (localCheckpoint: blocks
@@ -465,6 +488,7 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS total_value
     FROM events
     WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+      AND isfinite(value)
     GROUP BY 1, 2
     """,
     doc="Continuous-aggregate maintenance (the hypertable/lambda shape): "
@@ -488,10 +512,12 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         SCRATCH_ROOT,
     )
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull()
-        & F.col("event_type").isNotNull()
-        & F.col("value").isNotNull()
+    ev = finite_measures(
+        load_table(spark, sf_dir, "events").filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
     )
     day = (F.unix_micros("ts") / 86400000000).cast("long")
 

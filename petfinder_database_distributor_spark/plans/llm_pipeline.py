@@ -46,7 +46,7 @@ from petfinder_database_distributor_spark.operators.text import (
     token_count,
 )
 from petfinder_database_distributor_spark.registry import register
-from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.schema import finite_measures, load_table
 
 def _load_embeddings(spark: SparkSession, sf_dir: str):
     """Embeddings with the vector-family dirty-data contract applied: rows
@@ -1913,7 +1913,7 @@ _HQ_QS = (0.25, 0.5, 0.9, 0.99)
     oracle=f"""
     WITH b AS (
       SELECT least(greatest(floor(value / {_HQ_W}), 0), {_HQ_BINS - 1})::BIGINT AS bin
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     counts AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
     cum AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,
@@ -1938,7 +1938,9 @@ _HQ_QS = (0.25, 0.5, 0.9, 0.99)
 def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = finite_measures(
+        load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    )
     b = ev.select(
         F.least(
             F.greatest(F.floor(F.col("value") / _HQ_W), F.lit(0)),

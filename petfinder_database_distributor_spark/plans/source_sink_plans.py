@@ -29,7 +29,7 @@ from petfinder_database_distributor_spark.operators.extraction import (
     regex_field_columns,
 )
 from petfinder_database_distributor_spark.registry import register
-from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.schema import finite_measures, load_table
 from petfinder_database_distributor_spark.sources.export import (
     decode_from_export,
     encode_for_export,
@@ -358,7 +358,7 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS total_value
     FROM events
     WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-      AND value IS NOT NULL AND ts IS NOT NULL
+      AND value IS NOT NULL AND ts IS NOT NULL AND isfinite(value)
     GROUP BY event_type
     """,
     doc="Raw-log text source: events rendered as classic log lines "
@@ -373,7 +373,7 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "them) — the oracle states the same predicate.",
 )
 def text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(
+    ev = finite_measures(load_table(spark, sf_dir, "events")).filter(
         F.col("user_id").isNotNull()
         & F.col("event_type").isNotNull()
         & F.col("value").isNotNull()
@@ -819,7 +819,7 @@ def snapshot_evolve_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS total_value
     FROM events
     WHERE event_id IS NOT NULL AND event_type IS NOT NULL
-      AND value IS NOT NULL
+      AND value IS NOT NULL AND isfinite(value)
     GROUP BY event_type
     """,
     doc="Incremental view maintenance driven by the snapshot version "
@@ -849,7 +849,7 @@ def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_write,
     )
 
-    ev = load_table(spark, sf_dir, "events").filter(
+    ev = finite_measures(load_table(spark, sf_dir, "events")).filter(
         F.col("event_id").isNotNull()
         & F.col("event_type").isNotNull()
         & F.col("value").isNotNull()
@@ -911,8 +911,11 @@ def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS total_cents
     FROM events
     WHERE event_id IS NOT NULL AND event_type IS NOT NULL
-      AND value IS NOT NULL
-      AND CAST(round(value * 100) AS BIGINT) BETWEEN 10000 AND 30000
+      AND value IS NOT NULL AND isfinite(value)
+      -- TRY_CAST: AND conjuncts carry no evaluation-order guarantee, so
+      -- the cast may run BEFORE the isfinite conjunct has excluded NaN
+      -- (observed in the dirty-data sweep); NULL BETWEEN is never true
+      AND TRY_CAST(round(value * 100) AS BIGINT) BETWEEN 10000 AND 30000
     GROUP BY event_type
     """,
     doc="Manifest-level data skipping end-to-end: events are committed "
@@ -937,7 +940,7 @@ def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_write,
     )
 
-    ev = load_table(spark, sf_dir, "events").filter(
+    ev = finite_measures(load_table(spark, sf_dir, "events")).filter(
         F.col("event_id").isNotNull()
         & F.col("event_type").isNotNull()
         & F.col("value").isNotNull()

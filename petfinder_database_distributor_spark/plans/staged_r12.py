@@ -1,17 +1,13 @@
 """Round-12 staged queries — implemented and oracle-verified THIS round,
 registered NEXT round.
 
-Why staged: the round-11 driver window is an exact 50-slot fit (2 new
-registrations + 3 plan-changed tercile queries + the ENTIRE 45-name
-r7-era backlog — the r10 verdict's #1 ask, whose done-criterion is "no
-registered query's newest driver row predates r8 after r11"). Registering
-these now would displace backlog names from PRIORITY[:50] and break that
-drain. So this module is deliberately NOT imported by registry.load_all();
-each entry here carries the same (fn, oracle, doc) triple a registration
-does, every entry is hash-verified against its DuckDB oracle at sf0.001
-AND sf0.01 by tests/test_staged_r12.py on every pytest run, and round 12
-promotes them by moving the triples under @register and adding the names
-to the window head (see STAGED at the bottom).
+Staged in round 11 (the r11 driver window was an exact 50-slot
+backlog drain, so registering then would have displaced names from
+PRIORITY[:50]); PROMOTED in round 12: registry.load_all() imports this
+module, the four names head the r12 PRIORITY window, and the STAGED
+manifest remains for the staging-era tests. Every entry was
+hash-verified against its DuckDB oracle at sf0.001 AND sf0.01 on every
+pytest run for a full round before its first external driver row.
 
 The four queries extend the LLM-pipeline pillars where round-10's verdict
 called them thinnest or where a real curation pipeline still lacked a
@@ -606,6 +602,8 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged() -> dict[str, tuple]:
+    """The four (fn, oracle, doc) triples. Kept as a manifest dict (the
+    staging-era tests iterate it); registration happens below."""
     return {
         "domain_budget_unimax": (
             domain_budget_unimax,
@@ -631,3 +629,31 @@ def _staged() -> dict[str, tuple]:
 
 
 STAGED = _staged()
+
+
+# ---------------------------------------------------------------------------
+# Round-12 promotion: the staging bar is met (oracle parity at sf0.001 +
+# sf0.01 on every pytest run since r11, 8x/32x scale probes, plan
+# evidence in PLANS.md), so the four triples register for real —
+# registry.load_all() imports this module as of round 12 and the names
+# head the r12 PRIORITY window for their first external driver rows.
+# ---------------------------------------------------------------------------
+from petfinder_database_distributor_spark.registry import register  # noqa: E402
+
+for _name, (_fn, _oracle, _doc) in STAGED.items():
+    register(_name, oracle=_oracle, doc=_doc)(_fn)
+
+# knn_graph_cells' guard -> retrain -> rerun loop as a registered query
+# (r11 verdict #5) — lives in plans/corpus_ops.py with the rest of the
+# index lifecycle, registered here where its oracle (the SAME recompute
+# ground truth as knn_graph_cells — parity proves the recovered index
+# CONVERGES to the well-provisioned answer) is constructible.
+from petfinder_database_distributor_spark.plans.corpus_ops import (  # noqa: E402
+    knn_graph_retrain_recover,
+)
+
+register(
+    "knn_graph_retrain_recover",
+    oracle=_knn_graph_oracle(),
+    doc=knn_graph_retrain_recover.__doc__,
+)(knn_graph_retrain_recover)

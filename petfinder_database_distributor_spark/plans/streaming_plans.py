@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from petfinder_database_distributor_spark.plans.llm_pipeline import _HLL_ORACLE_SQL
 from petfinder_database_distributor_spark.registry import register
+from petfinder_database_distributor_spark.schema import finite_measures
 from petfinder_database_distributor_spark.streaming.incremental import (
     SCRATCH_ROOT,
     STREAM_SHUFFLE_PARTITIONS,
@@ -92,6 +93,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) AS total_value
     FROM events
+    WHERE (value IS NULL OR isfinite(value))
     GROUP BY 1, 2
     """,
     doc="Event-time tumbling windows (1 day × event_type) over the micro-batch "
@@ -99,7 +101,9 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_windowed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
-    agg = windowed_event_counts(read_event_stream(spark, stage, max_files=2))
+    agg = windowed_event_counts(
+        finite_measures(read_event_stream(spark, stage, max_files=2))
+    )
     return _run_to_memory(agg, "complete")
 
 
@@ -134,6 +138,7 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events
+    WHERE (value IS NULL OR isfinite(value))
     GROUP BY user_id
     """,
     doc="A2 running counters as a custom stateful operator "
@@ -144,7 +149,9 @@ def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 files per trigger: state still spans micro-batches (the semantics
     # under test) at half the per-batch Python state-store round-trips.
     stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
-    counters = stateful_user_counters(read_event_stream(spark, stage, max_files=2))
+    counters = stateful_user_counters(
+        finite_measures(read_event_stream(spark, stage, max_files=2))
+    )
     emitted = _run_to_memory(counters, "update")
     # Running totals are monotone in n_events; keep each user's final emission.
     from pyspark.sql.window import Window
@@ -165,7 +172,8 @@ def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM events WHERE (value IS NULL OR isfinite(value))
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, ts, value,
@@ -193,7 +201,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 files per trigger: the sentinel file is mtime-last, so it still
     # arrives in its own final batch and flushes every session.
     agg = (
-        read_event_stream(spark, stage, max_files=2)
+        finite_measures(read_event_stream(spark, stage, max_files=2))
         .withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(
@@ -315,7 +323,7 @@ def stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS total_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
-    WHERE e.value IS NOT NULL
+    WHERE e.value IS NOT NULL AND isfinite(e.value)
     GROUP BY 1
     """,
     doc="Stream-static enrichment join (the dimension-lookup pattern every "
@@ -334,7 +342,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     enriched = (
-        read_event_stream(spark, stage, max_files=2)
+        finite_measures(read_event_stream(spark, stage, max_files=2))
         .filter(F.col("value").isNotNull())
         .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
@@ -362,7 +370,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
                 AS DOUBLE) AS total_value
     FROM events, per
-    WHERE event_id >= per.p
+    WHERE event_id >= per.p AND (value IS NULL OR isfinite(value))
     GROUP BY 1
     """,
     doc="Watermark late-data semantics, actually exercised: the staged "
@@ -390,7 +398,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and is dropped POST-agg — the session-window query's pattern.
     is_sentinel = F.coalesce(F.col("event_type"), F.lit("")) == "__sentinel__"
     agg = (
-        read_event_stream(spark, stage, max_files=1)
+        finite_measures(read_event_stream(spark, stage, max_files=1))
         .withWatermark("ts", "1 hour")
         .groupBy(
             F.window("ts", "1 day").alias("w"), is_sentinel.alias("is_sentinel")
@@ -490,6 +498,7 @@ def stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(round(value * 100) AS BIGINT)) OVER w AS q
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        AND isfinite(value)
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
     SELECT event_id, user_id, c AS value_cents, n::BIGINT AS n_window,
@@ -517,7 +526,7 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stage = stage_event_chunks(spark, sf_dir, n_chunks=4, contiguous=True)
-    ev = read_event_stream(spark, stage, max_files=2).filter(
+    ev = finite_measures(read_event_stream(spark, stage, max_files=2)).filter(
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("value").isNotNull()

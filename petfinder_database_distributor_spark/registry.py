@@ -60,81 +60,76 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
-    # R12 ROTATION PLAN (precomputed this round so the promotion is
-    # mechanical): register the four staged queries of
-    # plans/staged_r12.py (domain_budget_unimax, sample_kcenter_greedy,
-    # knn_graph_cells, text_gopher_rules — each already holding the full
-    # oracle bar at sf0.001+sf0.01, see tests/test_staged_r12.py) and
-    # set the r12 window = those 4 + 46 of the 49-name r8 cohort
-    # (newest==8 after the r11 run; listed by tools/registry_inventory).
-    # The 3 leftover r8 names head the r13 window ahead of the r9
-    # cohort. At 200 registrations the cadence bound is ceil(200/50)=4
-    # rounds, so every cohort stays inside CI.
-    #
-    # -- r11 window (50 entries, exact fit). Head: the two queries
-    # REGISTERED this round (new code needs its first external row),
-    # then the three tercile-family queries whose PLANS changed this
-    # round (the global ntile window rewritten onto the distributed
-    # two-phase range-partition form — oracles unchanged, but a
-    # plan-changed query owes a fresh external row, the r10 ANN-fold
-    # precedent). Then the ENTIRE remaining r7-era backlog — the r10
-    # verdict's #1 ask: all 45 still-registered names whose newest
-    # driver row is r7, so after r11 no registered query's newest
-    # external row predates r8. (The r8 cohort — 49 names — becomes
-    # the r12 window.) Rotation bound is CI:
-    # tests/test_oracle_parity.py::test_driver_row_cadence.
-    "sample_importance_dsir_draw",
-    "dedup_multimodal_phash",
-    # --- plan-changed this round (distributed tercile):
-    "text_perplexity_bucket",
-    "text_perplexity_interp",
-    "sample_importance_dsir",
-    # --- the entire r7-era backlog (45 names):
-    "agg_percentiles",
-    "agg_salted_twophase",
-    "dedup_cluster_components_labelprop",
-    "dedup_ngram_jaccard_baseline",
-    "domain_budget_sample",
-    "events_funnel",
-    "export_roundtrip_jsonl",
-    "export_roundtrip_orc",
-    "g2_cube_marks",
-    "j2_asof_join",
-    "j3_range_join",
-    "j4_salted_join",
-    "j7_runtime_bloom_join",
+    # -- r12 window (exact 50). Head: the FIVE queries registered this
+    # round (4 staged promotions + the knn retrain-recovery lifecycle
+    # witness — new code needs its first external row). Then every query
+    # whose PLAN changed this round under the three dirty-data contracts
+    # (r11 continuation findings, landed r12): the malformed-JSON pair
+    # (try_parse_json/TRY_CAST + json_valid oracle guards), the 16-name
+    # zero-norm vector family (nonzero-norm guard at the embedding
+    # loaders + oracles), and the 21-name non-finite measure family
+    # (isfinite entry filters; validate_constraints REPORTS via its new
+    # value_finite rule). Plan-changed queries owe a fresh external row
+    # (the r10 ANN-fold / r11 tercile precedent) even though clean-
+    # fixture hashes are unchanged by construction. The remaining 6
+    # slots drain the oldest (r8) cohort, oldest-first; the ~33 r8
+    # leftovers head the r13 window (cadence bound is now
+    # ceil(201/50)=5 rounds, so r8 rows stay legal through r13).
+    # --- registered this round:
+    "knn_graph_retrain_recover",
+    "domain_budget_unimax",
+    "sample_kcenter_greedy",
+    "knn_graph_cells",
+    "text_gopher_rules",
+    # --- malformed-JSON contract pair:
     "json_props_extract",
-    "mv_incremental_maintenance",
-    "p1_xpath_project",
-    "p3_link_fanout_xpath",
-    "parquet_schema_evolution",
-    "pivot_event_types",
-    "q13_sql_outer_count",
-    "q17_sql_correlated",
-    "q4_sql_exists",
-    "quality_classifier_score",
-    "quality_percentile_filter",
-    "sessionize_events",
-    "set_ops_customers",
-    "sketch_hll_by_group",
-    "snapshot_cdc_diff",
-    "snapshot_evolve_columns",
-    "snapshot_incremental_read",
-    "snapshot_merge_upsert",
-    "snapshot_partitioned_upsert",
-    "snapshot_pruned_scan",
-    "snapshot_source_scan",
-    "snapshot_tombstone_delete",
-    "snapshot_zorder_optimize",
-    "stream_snapshot_merge",
-    "stream_snapshot_source",
-    "transitions_grouped_pandas",
-    "unpivot_event_metrics",
-    "url_canonical_dedup",
-    "validate_constraints",
     "variant_props_extract",
-    "w3_rank_family",
+    # --- zero-norm vector family (16):
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_exact",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_pq_topk",
+    "embedding_dim_stats",
+    "embedding_quantize_int8",
+    "embedding_gram_matrix",
+    "ann_index_probe_topk",
+    "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "ann_index_retrain_check",
+    "ann_index_append_probe",
+    "ann_index_group_probe",
+    "dedup_semantic_semdedup",
+    "stream_ann_index_append",
+    # --- non-finite measure family (21):
+    "j3_range_join",
     "window_range_frame",
+    "agg_salted_twophase",
+    "j4_salted_join",
+    "unpivot_event_metrics",
+    "events_anomaly_zscore",
+    "w2_running_totals",
+    "j6_dpp_join",
+    "sketch_histogram_quantiles",
+    "validate_constraints",
+    "timeseries_gapfill_locf",
+    "rollup_incremental_merge",
+    "text_log_parse",
+    "mv_incremental_maintenance",
+    "snapshot_pruned_scan",
+    "stream_windowed_totals",
+    "stream_stateful_counters",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "stream_late_data_drop",
+    "stream_anomaly_zscore",
+    # --- r8-cohort drain (6 oldest not already above):
+    "topk_orders_global",
+    "events_retention_cohorts",
+    "market_basket_pairs",
+    "graph_triangle_count",
+    "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard_salted",
 ]
 
 
@@ -188,6 +183,7 @@ def load_all() -> dict[str, QuerySpec]:
         reference_ops,
         relational,
         source_sink_plans,
+        staged_r12,
         streaming_plans,
         tpch_extended,
     )

@@ -1,0 +1,183 @@
+"""Dirty-data contract sweep (round 12) — the three r11-continuation
+findings, landed and pinned.
+
+The clean driver fixtures are generator-perfect: every embedding has a
+direction, every double is finite, every props string parses. Real
+100 TB corpora do not — and each of the three dirt classes below was a
+LATENT wrong-answer or job-kill path before round 12:
+
+1. **Zero-norm vectors** — cosine's norm-product division RAISES
+   DIVIDE_BY_ZERO under Spark 4's default ANSI mode (DuckDB diverges to
+   NaN instead — asymmetric either way). Contract: a zero vector has no
+   direction → excluded at the family entry like a NULL vector.
+2. **Non-finite floats** — CAST(double('NaN') AS DECIMAL) is NULL in
+   Spark (silently dropped by sums) but an Invalid Input Error in
+   DuckDB: one NaN in events.value makes the oracle side of every
+   decimal-exact aggregate ERROR while Spark quietly excludes the row.
+   Contract: a non-finite measurement is not an observation → filtered
+   at the family entry on both engines (NULL rows keep their per-query
+   NULL contract). validate_constraints instead REPORTS them — a
+   validator must see dirt, not hide it.
+3. **Malformed JSON** — DuckDB json_extract RAISES; Spark
+   get_json_object returns NULL and parse_json RAISES under ANSI.
+   Contract: malformed props ≡ NULL fields (try_parse_json /
+   TRY_CAST + json_valid CASE guards).
+
+This sweep appends exactly those dirt rows to copies of the sf0.001
+fixtures and requires full cross-engine hash parity over all three
+families — proving both that nothing crashes AND that both engines
+exclude identically.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMALL
+
+# Every registered query whose embeddings entry carries the zero-norm
+# guard (llm_pipeline._load_embeddings + the corpus_ops index family).
+VECTOR_FAMILY = [
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_exact",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_pq_topk",
+    "embedding_dim_stats",
+    "embedding_quantize_int8",
+    "embedding_gram_matrix",
+    "ann_index_probe_topk",
+    "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "ann_index_retrain_check",
+    "ann_index_append_probe",
+    "ann_index_group_probe",
+    "dedup_semantic_semdedup",
+    "stream_ann_index_append",
+]
+
+# Every registered query whose events.value entry carries the finite
+# guard; validate_constraints is in the family but REPORTS instead.
+VALUE_FAMILY = [
+    "j3_range_join",
+    "window_range_frame",
+    "agg_salted_twophase",
+    "j4_salted_join",
+    "unpivot_event_metrics",
+    "events_anomaly_zscore",
+    "w2_running_totals",
+    "j6_dpp_join",
+    "sketch_histogram_quantiles",
+    "validate_constraints",
+    "timeseries_gapfill_locf",
+    "rollup_incremental_merge",
+    "text_log_parse",
+    "mv_incremental_maintenance",
+    "snapshot_pruned_scan",
+    "stream_windowed_totals",
+    "stream_stateful_counters",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "stream_late_data_drop",
+    "stream_anomaly_zscore",
+]
+
+JSON_FAMILY = ["json_props_extract", "variant_props_extract"]
+
+
+@pytest.fixture(scope="module")
+def dirty_sf_dir(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("dirtysweep"))
+    con = duckdb.connect()
+    # embeddings: two zero-norm vectors (one on the %4 subset so the
+    # guarded exact baseline sees it, one adjacent), one NULL vector,
+    # one NULL vec_id — every loader-entry branch exercised.
+    con.execute(f"""COPY (
+      SELECT * FROM read_parquet('{SF_SMALL}/embeddings.parquet')
+      UNION ALL SELECT 99900, [0.0 for i in range(64)]::FLOAT[], 0
+      UNION ALL SELECT 99901, [0.0 for i in range(64)]::FLOAT[], 1
+      UNION ALL SELECT 99902, NULL, 0
+      UNION ALL SELECT NULL, [0.5 for i in range(64)]::FLOAT[], 0
+    ) TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)""")
+    # events: NaN / +Inf / -Inf values (valid JSON props), malformed
+    # props of three shapes (finite values), and a non-numeric k. The
+    # injected ts values sit AFTER the fixture's max (2024-01-30) so the
+    # testdata's event_id<->ts monotonicity invariant — which the
+    # contiguous streaming stagings rely on — still holds; the dirt
+    # classes under test are measure/props dirt, not out-of-order time.
+    con.execute(f"""COPY (
+      SELECT * FROM read_parquet('{SF_SMALL}/events.parquet')
+      UNION ALL SELECT 99990, TIMESTAMP '2024-02-01 10:00:00', 11,
+                 'click', 'NaN'::DOUBLE, '{{"k": 5}}'
+      UNION ALL SELECT 99991, TIMESTAMP '2024-02-01 10:01:00', 11,
+                 'view', 'Infinity'::DOUBLE, '{{"k": 6}}'
+      UNION ALL SELECT 99992, TIMESTAMP '2024-02-01 10:02:00', 12,
+                 'purchase', '-Infinity'::DOUBLE, '{{"k": 7}}'
+      UNION ALL SELECT 99993, TIMESTAMP '2024-02-01 10:03:00', 13,
+                 'click', 41.5, '{{bad json'
+      UNION ALL SELECT 99994, TIMESTAMP '2024-02-01 10:04:00', 13,
+                 'view', 42.5, 'not json at all'
+      UNION ALL SELECT 99995, TIMESTAMP '2024-02-01 10:05:00', 14,
+                 'click', 43.5, ''
+      UNION ALL SELECT 99996, TIMESTAMP '2024-02-01 10:06:00', 14,
+                 'view', 44.5, '{{"k": "abc"}}'
+    ) TO '{tmp}/events.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents"):
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{tmp}/{t}.parquet")
+    return tmp
+
+
+def _assert_family_parity(spark, dirty_sf_dir, name):
+    from petfinder_database_distributor_spark.registry import load_all
+    from tests.oracle_compare import assert_parity, run_oracle
+
+    spec = load_all()[name]
+    assert_parity(
+        spec.fn(spark, dirty_sf_dir),
+        run_oracle(spec.oracle, dirty_sf_dir),
+        name,
+    )
+
+
+@pytest.mark.parametrize("name", VECTOR_FAMILY)
+def test_zero_norm_vector_parity(spark, dirty_sf_dir, name):
+    _assert_family_parity(spark, dirty_sf_dir, name)
+
+
+@pytest.mark.parametrize("name", VALUE_FAMILY)
+def test_nonfinite_value_parity(spark, dirty_sf_dir, name):
+    _assert_family_parity(spark, dirty_sf_dir, name)
+
+
+@pytest.mark.parametrize("name", JSON_FAMILY)
+def test_malformed_json_parity(spark, dirty_sf_dir, name):
+    _assert_family_parity(spark, dirty_sf_dir, name)
+
+
+def test_validator_reports_nonfinite(spark, dirty_sf_dir):
+    """The validator must SEE the dirt the rest of the family filters:
+    exactly the 3 injected non-finite rows, counted over non-null values."""
+    from petfinder_database_distributor_spark.registry import load_all
+
+    rows = {
+        r["rule"]: (r["n_checked"], r["n_violations"])
+        for r in load_all()["validate_constraints"].fn(spark, dirty_sf_dir).collect()
+    }
+    assert rows["value_finite"][1] == 3, rows
+
+
+def test_zero_vectors_present_and_excluded(spark, dirty_sf_dir):
+    """The fixture actually contains zero vectors, and the family loader
+    excludes exactly the dirty rows (2 zero + 1 NULL vec + 1 NULL id)."""
+    from petfinder_database_distributor_spark.plans.llm_pipeline import (
+        _load_embeddings,
+    )
+    from petfinder_database_distributor_spark.schema import load_table
+
+    raw = load_table(spark, dirty_sf_dir, "embeddings").count()
+    kept = _load_embeddings(spark, dirty_sf_dir).count()
+    assert raw - kept == 4, (raw, kept)
