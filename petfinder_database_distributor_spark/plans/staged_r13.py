@@ -214,11 +214,14 @@ def domain_budget_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("n_tok").alias("c"))
     )
+    # |domains|-row frame whose LINEAGE is the corpus-sized token agg —
+    # materialize once (localCheckpoint) or every downstream consumer
+    # (tot / ranked / short) re-runs the corpus scan (4 scans observed)
     w = c.select(
         "source",
         "c",
         F.floor(F.sqrt(F.col("c").cast("double")) * 1000).cast("long").alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     tot = w.agg(
         F.sum("c").cast("long").alias("b"),
         F.sum("w").cast("decimal(38,0)").alias("wsum"),
@@ -317,10 +320,13 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     two broadcast scalars. At 100 TB the only corpus-sized work is the
     tf agg; the curve itself is metadata-sized."""
     docs = load_table(spark, sf_dir, "documents")
+    # |vocab|-row frame feeding TWO consumers (scalars + top-k) —
+    # materialize once so the corpus explode+agg runs a single time
     tf = (
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     # two corpus-level scalars in ONE pass, broadcast to the 3-row output
     tot = tf.agg(
@@ -590,29 +596,32 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"),
         (F.count(F.lit(1)) * F.length("g")).cast("long").alias("mass"),
     )
-    w = Window.partitionBy("doc_id", "n").orderBy(F.col("c").desc(), "g")
-    tops = (
-        cnt.filter(F.col("n") < _REP_DUP_N)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.coalesce(
-                    F.max(F.when(F.col("n") == n, F.col("mass"))), F.lit(0)
-                ).alias(f"m{n}")
-                for n in _REP_RULES
-            ]
-        )
+    # ONE consumption of the gram-count frame: per (doc, n) the top-1
+    # mass rides a struct-min ((-count, gram, mass) — max count, then
+    # lexicographically smallest gram; no window, no second shuffle of
+    # cnt) and the duplicated mass is a conditional sum in the SAME agg.
+    per_n = cnt.groupBy("doc_id", "n").agg(
+        F.min(
+            F.struct(
+                (-F.col("c")).alias("nc"), F.col("g").alias("g"),
+                F.col("mass").alias("mass"),
+            )
+        )["mass"].alias("topmass"),
+        F.sum(F.when(F.col("c") >= 2, F.col("mass"))).alias("dupmass_n"),
     )
-    dups = (
-        cnt.filter((F.col("n") == _REP_DUP_N) & (F.col("c") >= 2))
-        .groupBy("doc_id")
-        .agg(F.sum("mass").cast("long").alias("dupmass"))
+    per_doc = per_n.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("topmass"))), F.lit(0)
+            ).alias(f"m{n}")
+            for n in _REP_RULES
+        ],
+        F.max(F.when(F.col("n") == _REP_DUP_N, F.col("dupmass_n"))).alias(
+            "dupmass"
+        ),
     )
     j = (
-        base.join(tops, "doc_id", "left")
-        .join(dups, "doc_id", "left")
+        base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.size("t").cast("long").alias("n_tokens"),

@@ -826,6 +826,13 @@ def test_no_unpartitioned_windows_over_data_scale_frames():
         # the corpus-sized work is one hash agg; every window runs over
         # the bounded per-source result):
         ("staged_r12.py", "domain_budget_unimax"),
+        # |domains|-row remainder-rank frame (largest-remainder
+        # apportionment; same register class as UniMax — the frame is
+        # localCheckpoint-materialized from the one corpus agg):
+        ("staged_r13.py", "domain_budget_temperature"),
+        # <=10k-row TakeOrderedAndProject result (the top-k vocabulary —
+        # bounded by construction before the rank window runs):
+        ("staged_r13.py", "text_vocab_coverage"),
         # one-off streaming-FIXTURE staging (balanced chunk split for the
         # micro-batch tests; never an operator plan — the r10 verdict's
         # adjudication, now pinned by the repo-wide scan):

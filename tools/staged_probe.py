@@ -1,4 +1,5 @@
-"""Scaling probe for the round-12 STAGED queries (plans/staged_r12.py) —
+"""Scaling probe for STAGED queries (plans/staged_r13.py by default; pass
+--r12 to probe the promoted r12 tranche via its manifest) —
 same protocol as tools/scaling_probe.py (whose scaled-input staging and
 calibration it reuses), but sourcing callables from STAGED instead of the
 registry, since staged queries deliberately aren't registered yet.
@@ -21,9 +22,18 @@ import time
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
-from petfinder_database_distributor_spark.plans.staged_r12 import STAGED  # noqa: E402
 from petfinder_database_distributor_spark.session import get_spark  # noqa: E402
 from tools.scaling_probe import BASE_SF, _time_once, build_scaled  # noqa: E402
+
+if "--r12" in sys.argv:
+    sys.argv.remove("--r12")
+    from petfinder_database_distributor_spark.plans.staged_r12 import (  # noqa: E402
+        STAGED,
+    )
+else:
+    from petfinder_database_distributor_spark.plans.staged_r13 import (  # noqa: E402
+        STAGED,
+    )
 
 
 def main() -> None:
