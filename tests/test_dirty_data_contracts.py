@@ -57,6 +57,14 @@ VECTOR_FAMILY = [
     "ann_index_group_probe",
     "dedup_semantic_semdedup",
     "stream_ann_index_append",
+    # r12 registrations that consume embeddings: the kNN graph pair
+    # carries the nonzero_vectors guard inside knn_graph_decisions; the
+    # k-center selector needs NO guard (squared-L2 is well-defined on a
+    # zero vector) and must stay parity-identical WITH the dirty rows
+    # included on both engines.
+    "knn_graph_cells",
+    "knn_graph_retrain_recover",
+    "sample_kcenter_greedy",
 ]
 
 # Every registered query whose events.value entry carries the finite
