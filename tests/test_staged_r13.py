@@ -230,3 +230,40 @@ def test_repetition_synthetic_loop_rejected(spark):
     assert not got[1]["r_top2"] and not got[1]["r_dup5"]
     assert got[1]["dup5_ppm"] == 1_000_000  # fully duplicated, capped
     assert got[2]["keep"], got[2]
+
+
+def test_vacuum_reclaims_expired_storage_only(spark):
+    """The invariants the parity hash can't see: vacuum actually deletes
+    v0's unreferenced files; retained versions stay readable (v1 time
+    travel works, v2 is latest); expired time travel RAISES rather than
+    serving a ghost; files referenced by retained manifests survive."""
+    import glob
+    import os
+
+    from petfinder_database_distributor_spark.plans.staged_r13 import (
+        snapshot_vacuum_retention,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot import snapshot_read
+    from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT
+
+    from tests.conftest import SF_SMALL
+
+    # the query itself rebuilds the table deterministically and vacuums
+    latest = snapshot_vacuum_retention(spark, SF_SMALL)
+    n_latest = latest.count()
+    tag = SF_SMALL.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    table = f"{SCRATCH_ROOT}/vacuum_retention/{tag}"
+    # v0's data files are gone (manifest removed, unreferenced files unlinked)
+    v0_files = glob.glob(f"{table}/v0/**/*.parquet", recursive=True)
+    assert not v0_files, f"expired v0 data files survived vacuum: {v0_files}"
+    assert not os.path.exists(f"{table}/v0/_manifest.json") and not glob.glob(
+        f"{table}/v0/*manifest*"
+    )
+    # retained time travel intact
+    v1 = snapshot_read(spark, table, version=1)
+    assert v1.count() < n_latest  # v1 is the filtered subset, v2 appended back
+    # expired time travel raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        snapshot_read(spark, table, version=0).count()
