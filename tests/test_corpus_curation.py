@@ -126,8 +126,10 @@ def test_validate_constraints_rule_values(spark):
     rows = {r.rule: r for r in SPECS["validate_constraints"].fn(spark, SF_SMALL).collect()}
     assert set(rows) == {
         "event_id_complete", "event_id_unique", "user_id_complete",
-        "value_non_negative", "event_type_in_domain",
+        "value_non_negative", "event_type_in_domain", "value_finite",
     }
+    # the non-finite contract's reporting rule (r12): clean fixture = 0
+    assert rows["value_finite"].n_violations == 0
     # the shipped fixture is clean on these rules; the null-fixture parity
     # run (tests/test_null_robustness.py) exercises the violation paths
     assert rows["event_id_complete"].n_violations == 0
