@@ -1098,19 +1098,41 @@ def knn_graph_retrain_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_graph_decisions,
     )
 
+    from petfinder_database_distributor_spark.operators.similarity import (
+        _assign_int,
+        _update_int,
+    )
+
     emb = _load_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
     root = f"{SCRATCH_ROOT}/knn_recover/{tag}"
     shutil.rmtree(root, ignore_errors=True)  # deterministic per call
 
-    # under-provisioned initial train: 4 cells for the whole corpus
-    centroids, cb, codes = ivf_pq_train(corpus, n_clusters=4)
-    for name, df in (("centroids", centroids), ("codebook", cb), ("codes", codes)):
-        snapshot_write(spark, f"{root}/{name}", df)
+    # Under-provisioned initial index: 4 cells, IVF-FLAT only — the
+    # refusal depends solely on CELL MEMBERSHIP, so training a PQ
+    # codebook for an index built to be refused would be pure waste
+    # (measured: the full coarse ivf_pq_train cost ~half the query).
+    # Same integer Lloyd kernel as ivf_pq_train's IVF half (seed = 4
+    # smallest ids, one update round, final assign).
+    qcorpus = corpus.select(
+        F.col("vec_id"), quantize(F.col("embedding"), 1000).alias("qe")
+    ).localCheckpoint(eager=True)
+    seeds = qcorpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("qe").alias("icvec"),
+    )
+    cents4 = _update_int(
+        _assign_int(qcorpus, seeds, "vec_id"), "vec_id"
+    ).localCheckpoint(eager=True)
+    codes4 = _assign_int(qcorpus, cents4, "vec_id").select(
+        "vec_id", "centroid_id"
+    )
+    snapshot_write(spark, f"{root}/centroids", cents4)
+    snapshot_write(spark, f"{root}/codes", codes4)
     snapshot_commit_group(
         root,
-        {"centroids": 0, "codebook": 0, "codes": 0},
+        {"centroids": 0, "codes": 0},
         base_group=None,
         operation="train",
     )
