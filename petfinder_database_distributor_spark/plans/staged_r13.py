@@ -539,12 +539,12 @@ def _repetition_oracle() -> str:
     SELECT b.doc_id,
            len(b.t)::BIGINT AS n_tokens,
            b.denom::BIGINT AS denom_chars,
-           {", ".join(f"coalesce(m{n}, 0) * 1000000 // b.denom AS top{n}_ppm" for n in _REP_RULES)},
+           {", ".join(f"least(coalesce(m{n}, 0), b.denom) * 1000000 // b.denom AS top{n}_ppm" for n in _REP_RULES)},
            least(coalesce(d.dupmass, 0), b.denom) * 1000000 // b.denom AS dup{_REP_DUP_N}_ppm,
-           {", ".join(f"(coalesce(m{n}, 0) * 1000000 <= {ppm} * b.denom) AS r_top{n}" for n, ppm in _REP_RULES.items())},
+           {", ".join(f"(least(coalesce(m{n}, 0), b.denom) * 1000000 <= {ppm} * b.denom) AS r_top{n}" for n, ppm in _REP_RULES.items())},
            (least(coalesce(d.dupmass, 0), b.denom) * 1000000
               <= {_REP_DUP_PPM} * b.denom) AS r_dup{_REP_DUP_N},
-           ({" AND ".join(f"coalesce(m{n}, 0) * 1000000 <= {ppm} * b.denom" for n, ppm in _REP_RULES.items())}
+           ({" AND ".join(f"least(coalesce(m{n}, 0), b.denom) * 1000000 <= {ppm} * b.denom" for n, ppm in _REP_RULES.items())}
             AND least(coalesce(d.dupmass, 0), b.denom) * 1000000
                   <= {_REP_DUP_PPM} * b.denom) AS keep
     FROM base b
@@ -580,10 +580,15 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     def grams(n: int) -> Column:
-        # [t[i] || ' ' || ... for each window of n] — the shingle pattern
+        # [t[i] || ' ' || ... for each window of n] — the shingle
+        # pattern. The short-doc guard must be a CASE, not greatest(..,0):
+        # Spark's sequence(1, 0) yields the DESCENDING [1, 0] and the 0
+        # start crashes slice (caught by the extremes sweep's 1-token doc).
         return F.expr(
-            f"transform(sequence(1, greatest(size(t) - {n - 1}, 0)), "
-            f"i -> array_join(slice(t, i, {n}), ' '))"
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> array_join(slice(t, i, {n}), ' ')) "
+            f"ELSE array() END"
         )
 
     tagged = None
@@ -626,7 +631,17 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("t").cast("long").alias("n_tokens"),
             F.col("denom").cast("long").alias("denom_chars"),
-            *[F.coalesce(F.col(f"m{n}"), F.lit(0)).alias(f"m{n}") for n in _REP_RULES],
+            # least(mass, denom): occurrences of a SELF-OVERLAPPING gram
+            # ("the the the...") jointly cover more characters than the
+            # document holds under the per-occurrence count — cap at 100%
+            # (identical cap in the oracle; rule outcomes are unaffected
+            # since any capped mass already exceeds every threshold)
+            *[
+                F.least(F.coalesce(F.col(f"m{n}"), F.lit(0)), F.col("denom"))
+                .cast("long")
+                .alias(f"m{n}")
+                for n in _REP_RULES
+            ],
             F.least(F.coalesce(F.col("dupmass"), F.lit(0)), F.col("denom"))
             .cast("long")
             .alias("dupmass"),

@@ -44,7 +44,16 @@ FAMILY = [
     "pack_sequences_greedy",
 ]
 
+# staged_r12's two text entries are REGISTERED as of r12 but keep their
+# manifest-driven rows here (identical callables); the staged_r13 text
+# queries hold the same extremes bar pre-registration.
 STAGED_FAMILY = ["text_gopher_rules", "domain_budget_unimax"]
+STAGED_R13_FAMILY = [
+    "text_c4_rules",
+    "text_gopher_repetition",
+    "text_vocab_coverage",
+    "domain_budget_temperature",
+]
 
 
 @pytest.fixture(scope="module")
@@ -88,6 +97,15 @@ def test_extremes_parity(spark, extreme_sf_dir, name):
 @pytest.mark.parametrize("name", STAGED_FAMILY)
 def test_extremes_parity_staged(spark, extreme_sf_dir, name):
     from petfinder_database_distributor_spark.plans.staged_r12 import STAGED
+    from tests.oracle_compare import assert_parity, run_oracle
+
+    fn, oracle, _doc = STAGED[name]
+    assert_parity(fn(spark, extreme_sf_dir), run_oracle(oracle, extreme_sf_dir), name)
+
+
+@pytest.mark.parametrize("name", STAGED_R13_FAMILY)
+def test_extremes_parity_staged_r13(spark, extreme_sf_dir, name):
+    from petfinder_database_distributor_spark.plans.staged_r13 import STAGED
     from tests.oracle_compare import assert_parity, run_oracle
 
     fn, oracle, _doc = STAGED[name]
