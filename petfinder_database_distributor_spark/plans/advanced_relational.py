@@ -102,7 +102,7 @@ def j3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
            count(*) AS n,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) AS sum_qty
+           CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -440,12 +440,12 @@ def j8_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q17_SQL = """
-    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) / 7.0
+    SELECT CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE) / 7.0
              AS avg_yearly
     FROM {li} l JOIN {pt} p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#23'
       AND l.l_quantity < 0.2 * (
-        SELECT CAST(CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE)
+        SELECT CAST(CAST(round(sum(CAST(l2.l_quantity AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE)
                  / count(*)
         FROM {li} l2 WHERE l2.l_partkey = l.l_partkey)
 """
@@ -674,7 +674,7 @@ def w3_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT event_type,
                count(*)::DOUBLE AS n_events,
-               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE)
+               CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE)
                  AS total_value,
                max(value) AS max_value
         FROM events WHERE event_type IS NOT NULL AND (value IS NULL OR isfinite(value))

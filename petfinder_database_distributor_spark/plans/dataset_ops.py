@@ -399,7 +399,7 @@ def kanonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
+             CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2))
                   AS DOUBLE) AS day_value
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
@@ -484,7 +484,7 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT epoch_us(ts) // 86400000000 AS day,
            event_type,
            count(*)::BIGINT AS n_events,
-           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
+           CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2))
                 AS DOUBLE) AS total_value
     FROM events
     WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL

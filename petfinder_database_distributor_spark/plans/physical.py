@@ -71,7 +71,7 @@ def bucketed_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS mktsegment,
            count(*) AS n_orders,
-           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(32,2))
+           CAST(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(32,2))
                 AS DOUBLE) AS total_price
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1
@@ -130,7 +130,7 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
            count(*) AS n_events,
-           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
+           CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2))
                 AS DOUBLE) AS total_value
     FROM events
     WHERE day(CAST(ts AS DATE)) <= 7 AND (value IS NULL OR isfinite(value))
@@ -195,9 +195,8 @@ def dpp_events_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j7_runtime_bloom_join",
     oracle="""
     SELECT count(*)::BIGINT AS n_lineitems,
-           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                         * (1 - CAST(l.l_discount AS DECIMAL(8,6))))
-                     AS DECIMAL(32,4)) AS DOUBLE) AS urgent_revenue
+           CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DECIMAL(32,4)) AS DOUBLE) AS urgent_revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
     """,

@@ -35,10 +35,10 @@ def _dec8(c):
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) AS sum_qty,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) AS sum_base_price,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(32,4)) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6))) * (1 + CAST(l_tax AS DECIMAL(8,6)))) AS DECIMAL(32,6)) AS DOUBLE) AS sum_charge,
+           CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DECIMAL(32,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6))) * (1 + CAST(l_tax AS DECIMAL(8,6)))), 6) AS DECIMAL(32,6)) AS DOUBLE) AS sum_charge,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -67,7 +67,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue_orders",
     oracle="""
     SELECT o.o_orderkey,
-           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))) AS DECIMAL(32,4)) AS DOUBLE) AS revenue,
+           CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DECIMAL(32,4)) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -101,7 +101,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_nation_revenue",
     oracle="""
     SELECT n.n_name,
-           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))) AS DECIMAL(32,4)) AS DOUBLE) AS revenue
+           CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DECIMAL(32,4)) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -189,7 +189,7 @@ def w2_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g1_rollup_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE) AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)

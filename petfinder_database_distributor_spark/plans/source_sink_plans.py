@@ -354,7 +354,7 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_log_parse",
     oracle="""
     SELECT event_type, count(*)::BIGINT AS n_lines,
-           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
+           CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2))
                 AS DOUBLE) AS total_value
     FROM events
     WHERE user_id IS NOT NULL AND event_type IS NOT NULL
@@ -815,7 +815,7 @@ def snapshot_evolve_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mv_incremental_maintenance",
     oracle="""
     SELECT event_type, count(*)::BIGINT AS n_events,
-           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
+           CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2))
                 AS DOUBLE) AS total_value
     FROM events
     WHERE event_id IS NOT NULL AND event_type IS NOT NULL

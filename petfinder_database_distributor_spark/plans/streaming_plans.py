@@ -91,7 +91,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            - CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN 1 ELSE 0 END
            AS day_idx, event_type,
            count(*) AS n_events,
-           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE) AS total_value
+           CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE) AS total_value
     FROM events
     WHERE (value IS NULL OR isfinite(value))
     GROUP BY 1, 2
@@ -319,7 +319,7 @@ def stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_enrich",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n_events,
-           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE)
+           CAST(CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE)
              AS total_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
@@ -367,7 +367,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            - CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN 1 ELSE 0 END
            AS day_idx,
            count(*)::BIGINT AS n_events,
-           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(32,2))
+           CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2))
                 AS DOUBLE) AS total_value
     FROM events, per
     WHERE event_id >= per.p AND (value IS NULL OR isfinite(value))

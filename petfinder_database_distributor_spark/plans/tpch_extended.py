@@ -52,8 +52,8 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DEC
 @register(
     "q6_forecast_revenue",
     oracle=f"""
-    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                         * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(32,4)) AS DOUBLE)
+    SELECT CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                         * CAST(l_discount AS DECIMAL(8,6))), 4) AS DECIMAL(32,4)) AS DOUBLE)
              AS promo_revenue,
            count(*) AS n_lines
     FROM lineitem
@@ -146,7 +146,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
-           CAST(CAST(sum({_REV_SQL}) AS DECIMAL(32,4)) AS DOUBLE) AS volume
+           CAST(CAST(round(sum({_REV_SQL}), 4) AS DECIMAL(32,4)) AS DOUBLE) AS volume
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation sn ON sn.n_nationkey = s.s_nationkey
@@ -226,8 +226,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT o_year,
-           CAST(CAST(nation_vol AS DECIMAL(32,4)) AS DOUBLE)
-             / CAST(CAST(total_vol AS DECIMAL(32,4)) AS DOUBLE) AS mkt_share
+           CAST(CAST(round(nation_vol, 4) AS DECIMAL(32,4)) AS DOUBLE)
+             / CAST(CAST(round(total_vol, 4) AS DECIMAL(32,4)) AS DOUBLE) AS mkt_share
     FROM vol
     """,
     doc="TPC-H Q8 market share: NATION_3's fraction of PROMO-part revenue "
@@ -288,10 +288,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle=f"""
     SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
-           CAST(CAST(sum({_REV_SQL}
+           CAST(CAST(round(sum({_REV_SQL}
                  - CAST(p.p_retailprice AS DECIMAL(12,2))
                    * CAST(l.l_quantity AS DECIMAL(8,2))
-                   * CAST(0.5 AS DECIMAL(2,1))) AS DECIMAL(32,4)) AS DOUBLE)
+                   * CAST(0.5 AS DECIMAL(2,1))), 4) AS DECIMAL(32,4)) AS DOUBLE)
              AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
@@ -335,7 +335,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,
-           CAST(CAST(sum({_REV_SQL}) AS DECIMAL(32,4)) AS DOUBLE) AS revenue,
+           CAST(CAST(round(sum({_REV_SQL}), 4) AS DECIMAL(32,4)) AS DOUBLE) AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -383,7 +383,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey < 5
         GROUP BY 1
     )
-    SELECT partkey, CAST(CAST(value AS DECIMAL(32,4)) AS DOUBLE) AS value
+    SELECT partkey, CAST(CAST(round(value, 4) AS DECIMAL(32,4)) AS DOUBLE) AS value
     FROM holdings, (SELECT sum(value) AS total FROM holdings)
     WHERE value * 1000 > total
     """,
@@ -458,7 +458,7 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL}
                               ELSE CAST(0 AS DECIMAL(18,6)) END)
                      * 100 AS DECIMAL(34,4)) AS DOUBLE)
-           / CAST(CAST(sum({_REV_SQL}) AS DECIMAL(32,4)) AS DOUBLE)
+           / CAST(CAST(round(sum({_REV_SQL}), 4) AS DECIMAL(32,4)) AS DOUBLE)
              AS promo_pct
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -503,7 +503,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT s.s_suppkey, s.s_name,
-           CAST(CAST(rev.total_rev AS DECIMAL(32,4)) AS DOUBLE) AS total_rev
+           CAST(CAST(round(rev.total_rev, 4) AS DECIMAL(32,4)) AS DOUBLE) AS total_rev
     FROM rev
     JOIN (SELECT max(total_rev) AS best FROM rev) ON total_rev = best
     JOIN supplier s ON s.s_suppkey = rev.suppkey
@@ -574,7 +574,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           CAST(CAST(big.sum_qty AS DECIMAL(32,2)) AS DOUBLE) AS sum_qty
+           CAST(CAST(round(big.sum_qty, 2) AS DECIMAL(32,2)) AS DOUBLE) AS sum_qty
     FROM (
         SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
         FROM lineitem GROUP BY 1
@@ -614,7 +614,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle=f"""
-    SELECT CAST(CAST(sum({_REV_SQL}) AS DECIMAL(32,4)) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(round(sum({_REV_SQL}), 4) AS DECIMAL(32,4)) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -760,7 +760,7 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
            count(*) AS n_cust,
-           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(32,2)) AS DOUBLE)
+           CAST(CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE)
              AS total_acctbal
     FROM pos, stats
     WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n > total

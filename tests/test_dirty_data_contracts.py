@@ -132,6 +132,12 @@ def dirty_sf_dir(tmp_path_factory):
                  'click', 43.5, ''
       UNION ALL SELECT 99996, TIMESTAMP '2024-02-01 10:06:00', 14,
                  'view', 44.5, '{{"k": "abc"}}'
+      -- exact NEGATIVE HALF in cents (-0.125*100 = -12.5, exactly
+      -- representable): pins that both engines round halves away from
+      -- zero on doubles (probed directly: round(-12.5) = -13 in both) —
+      -- the rounding convention the whole cents family depends on
+      UNION ALL SELECT 99997, TIMESTAMP '2024-02-01 10:07:00', 15,
+                 'click', -0.125, '{{"k": 8}}'
     ) TO '{tmp}/events.parquet' (FORMAT PARQUET)""")
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "documents"):
