@@ -138,6 +138,12 @@ def dirty_sf_dir(tmp_path_factory):
       -- the rounding convention the whole cents family depends on
       UNION ALL SELECT 99997, TIMESTAMP '2024-02-01 10:07:00', 15,
                  'click', -0.125, '{{"k": 8}}'
+      -- 7-decimal exact binary (2^-7): pins the double->DECIMAL(18,6)
+      -- ENTRY cast convention (probed: both engines round to 0.007813)
+      -- and, summed with the rows above, keeps sub-cent digits flowing
+      -- through the explicit round(x, 2) rescale contract
+      UNION ALL SELECT 99998, TIMESTAMP '2024-02-01 10:08:00', 15,
+                 'view', 0.0078125, '{{"k": 9}}'
     ) TO '{tmp}/events.parquet' (FORMAT PARQUET)""")
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "documents"):
