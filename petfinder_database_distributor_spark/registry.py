@@ -60,6 +60,31 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
+    # R13 ROTATION PLAN (precomputed this round so the promotion is
+    # mechanical): register the SIX staged queries of plans/staged_r13.py
+    # (text_c4_rules, domain_budget_temperature, text_vocab_coverage,
+    # graph_kcore_decomposition, text_gopher_repetition,
+    # snapshot_vacuum_retention — each already at the full oracle bar,
+    # tests/test_staged_r13.py) and set the r13 window = those 6 + the
+    # 32-name r8 leftover cohort (bpe_encode_segments,
+    # corpus_span_excision, dedup_apply_corpus, dedup_levenshtein,
+    # dedup_simhash, dedup_simhash_pairs, dedup_span_overlap,
+    # ingest_frontend, j1_semi_anti_join, j5_bucketed_join,
+    # merge_partitioned_upsert, mm_binary_metadata, mm_resize,
+    # p1_html_project, ref_key_dedup, ref_liveness_filter,
+    # ref_nonblank_key, ref_null_ratio_filter, ref_placeholder_filter,
+    # ref_worklist_urls, sample_priority_topk, sketch_cms_term_counts,
+    # snapshot_clone_cow, snapshot_partitioned_source_scan,
+    # snapshot_point_lookup, snapshot_restore, snapshot_time_travel,
+    # stream_dedup_replay, stream_stream_interval_join,
+    # stream_upsert_merge, tfidf_top_terms, udtf_chunk_documents)
+    # + 12 of the 16 TPC-H queries whose ORACLES gained the explicit
+    # round() rescale this round (results provably unchanged — 16/16
+    # green sf0.01 sims — but the changed-text precedent earns them
+    # refreshed rows; the remainder head r14 with the r9 cohort). At
+    # 207 registrations the cadence bound is ceil(207/50) = 5 rounds,
+    # so the r9 cohort's deadline is r14 — CI-checked every run.
+    #
     # -- r12 window (exact 50). Head: the FIVE queries registered this
     # round (4 staged promotions + the knn retrain-recovery lifecycle
     # witness — new code needs its first external row). Then every query
