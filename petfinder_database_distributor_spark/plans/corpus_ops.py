@@ -1137,7 +1137,13 @@ def knn_graph_retrain_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
         operation="train",
     )
     n = corpus.count()
-    budget = (n * n) // 5  # < n^2/4, so 4 cells ALWAYS refuse (pigeonhole)
+    # Budget: n^2/5 keeps the coarse refusal DETERMINISTIC at every scale
+    # (pigeonhole: any 4-cell assignment has Sum(|cell|^2) >= n^2/4 >
+    # min(n^2/5, cap)), while the 10M absolute cap is the SAME quadratic
+    # ceiling knn_graph_cells refuses at — without it this query would
+    # RUN the pair join that the rest of the family refuses (measured:
+    # 28x wall at 8x data before the cap).
+    budget = min((n * n) // 5, 10_000_000)
 
     def graph(version: int) -> DataFrame:
         members = (
@@ -1150,9 +1156,16 @@ def knn_graph_retrain_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         return graph(version=0)
     except ValueError:
-        # the guard's named fix, executed: retrain with 4x the cells,
-        # committed as the next atomic group version, then rerun
-        ann_index_retrain(spark, root, corpus, n_clusters=16)
+        # the guard's named fix, executed: retrain with enough cells
+        # that the balanced pair estimate n^2/n_clusters fits the budget
+        # (16 at every driver fixture scale — the oracle's cell count;
+        # doubling beyond that is the lifecycle's more-cells escape
+        # hatch at corpus sizes the fixtures never reach), committed as
+        # the next atomic group version, then rerun.
+        n_clusters = 16
+        while n_clusters < n and (n * n) // n_clusters > budget:
+            n_clusters *= 2
+        ann_index_retrain(spark, root, corpus, n_clusters=n_clusters)
         return graph(version=1)
 
 
