@@ -196,6 +196,14 @@ def kmeans_int8(
     # returned plan is unreferenced.
     qdf = quantize_int8(emb).persist(StorageLevel.MEMORY_AND_DISK)
     seed_rows = qdf.orderBy("vec_id").limit(k).collect()
+    if not seed_rows:
+        # degenerate input: no vectors -> no clusters, the typed empty
+        # assignment (the k-center empty-seed contract; an empty _assign
+        # would otherwise build a zero-arm least() and fail to resolve)
+        qdf.unpersist()
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cluster int, dist bigint"
+        )
     cents = [
         (i, list(r["q"])) for i, r in enumerate(sorted(seed_rows, key=lambda r: r["vec_id"]))
     ]

@@ -129,12 +129,21 @@ def merge_into_partitioned(
     # treating it as "first write" would dynamic-overwrite the affected
     # partitions with the bare update batch and silently drop previously
     # merged rows. (On object storage this becomes an FS listing call.)
-    if os.path.isdir(table_dir):
+    import glob
+
+    # "exists" means data files, not just the directory: an earlier write
+    # of an EMPTY batch leaves the dir (with _SUCCESS) but zero part
+    # files, and reading it raises UNABLE_TO_INFER_SCHEMA — a
+    # zero-partition table is the first-write case (degenerate-input
+    # contract; caught by the empty-fixture sweep).
+    if os.path.isdir(table_dir) and glob.glob(
+        f"{table_dir}/{partition_col}=*/*.parquet"
+    ):
         existing = spark.read.parquet(table_dir).filter(
             F.col(partition_col).isin(affected)
         )
         merged = existing.unionByName(updates)
-    else:  # first write: table does not exist yet
+    else:  # first write: table does not exist yet (or holds no data)
         merged = updates
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
     winner = (

@@ -286,6 +286,13 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
+    if not os.path.exists(dec_dir):
+        # zero micro-batches (empty staging): no decisions were ever
+        # appended — the dedup decision set of nothing is empty
+        # (degenerate-input contract)
+        return spark.createDataFrame(
+            [], "doc_id long, dup_of long, admitted boolean"
+        )
     return spark.read.parquet(dec_dir).dropDuplicates(["doc_id"])
 
 

@@ -175,7 +175,15 @@ def dpp_events_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if d.startswith("event_date=")
     )
     if not dates:
-        raise ValueError(f"no event_date partitions staged under {path}")
+        # empty events table: zero date partitions staged — the prunable
+        # join over nothing is the empty frame with the join's schema
+        # (degenerate-input contract; the oracle's filtered aggregate
+        # over zero events is empty too)
+        return spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string, event_date date, d date",
+        )
     dim = (
         spark.range(1)
         .select(

@@ -244,6 +244,15 @@ def merge_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_into_partitioned(
         spark, table_dir, updates, ["user_id"], ["ts", "event_id"], "bucket"
     )
+    import glob
+
+    if not glob.glob(f"{table_dir}/*/*.parquet"):
+        # empty events table: the dynamic-partition-overwrite writes
+        # emitted zero files, so the read can't infer a schema — the
+        # merged state of nothing is empty (degenerate-input contract)
+        return spark.createDataFrame(
+            [], "user_id long, last_event_id long, last_ts_us long"
+        )
     final = spark.read.parquet(table_dir)
     return final.select(
         "user_id",

@@ -291,7 +291,7 @@ def _vocab_oracle() -> str:
     tf AS (SELECT u.x AS term, count(*)::BIGINT AS tf
            FROM toks, unnest(toks.t) u(x) GROUP BY 1),
     tot AS (SELECT sum(tf)::BIGINT AS total_tok, count(*)::BIGINT AS vocab_size
-            FROM tf),
+            FROM tf HAVING count(*) > 0),
     top AS (SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term) AS rk
             FROM tf ORDER BY tf DESC, term LIMIT {max(_VOCAB_KS)}),
     ks(k) AS (VALUES {ks})
@@ -318,7 +318,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after runs over that bounded <=10k-row frame (the
     register-table window class, see the plan-quality allowlist) plus
     two broadcast scalars. At 100 TB the only corpus-sized work is the
-    tf agg; the curve itself is metadata-sized."""
+    tf agg; the curve itself is metadata-sized. An EMPTY corpus has no
+    curve: zero rows on both engines (the oracle's HAVING empties its
+    scalar CTE; Spark's empty top-k crossJoin is already empty)."""
     docs = load_table(spark, sf_dir, "documents")
     # |vocab|-row frame feeding TWO consumers (scalars + top-k) —
     # materialize once so the corpus explode+agg runs a single time

@@ -477,6 +477,19 @@ def stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        latest_version as snap_latest,
+    )
+
+    if snap_latest(table_dir) is None:
+        # zero micro-batches (empty staging): the merged state of nothing
+        # is the empty table (degenerate-input contract; the oracle's
+        # latest-per-user over zero events is empty too)
+        return spark.createDataFrame(
+            [],
+            "user_id long, last_event_id long, last_event_type string, "
+            "last_value double, last_ts_us long",
+        )
     return snapshot_read(spark, table_dir).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),

@@ -317,7 +317,13 @@ def run_upsert_stream(
             .start()
         )
         query.awaitTermination()
-    return spark.read.parquet(latest_version(table_dir))
+    latest = latest_version(table_dir)
+    if latest is None:
+        # zero micro-batches (empty staging): the upsert table was never
+        # committed — the merged state of nothing is the empty table,
+        # with the stream's schema (degenerate-input contract)
+        return spark.createDataFrame([], read_event_stream(spark, stage_dir).schema)
+    return spark.read.parquet(latest)
 
 
 def windowed_event_counts(stream: DataFrame) -> DataFrame:
@@ -379,6 +385,12 @@ def add_sentinel_chunk(spark: SparkSession, stage_dir: str, sf_dir: str) -> str:
     their state in the trailing no-data batch — the bounded-stream analog of
     'the day ended, close the books' (the reference's end-of-epoch sweep,
     server.py:384-392). Callers filter user_id < 0 out of the result."""
+    chunks = glob.glob(f"{stage_dir}/chunk_*.parquet")
+    if not chunks:
+        # empty corpus staged zero chunks: there is no state to flush and
+        # max(ts) is NULL (a NULL-ts sentinel would poison the watermark);
+        # the bounded run simply emits nothing (degenerate-input contract)
+        return stage_dir
     ev = load_table(spark, sf_dir, "events")
     row = ev.select(
         F.max("event_id").alias("event_id"), F.max("ts").alias("ts")
@@ -393,7 +405,6 @@ def add_sentinel_chunk(spark: SparkSession, stage_dir: str, sf_dir: str) -> str:
     tmp = f"{stage_dir}/_sentinel_tmp"
     row.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = sorted(glob.glob(f"{tmp}/part-*.parquet"))[0]
-    chunks = glob.glob(f"{stage_dir}/chunk_*.parquet")
     last_t = max(os.stat(p).st_mtime for p in chunks)
     dest = f"{stage_dir}/chunk_sentinel_0.parquet"
     os.replace(part, dest)
