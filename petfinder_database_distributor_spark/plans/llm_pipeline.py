@@ -2097,21 +2097,32 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_dim_stats",
-    # Decimal-exact moments: sums of x and x^2 run in DECIMAL so
-    # accumulation order can't move a bit; the float division/sqrt at the
-    # end is a deterministic IEEE op on identical inputs in both engines.
+    # Integer-exact moments (r12 rework): the old mean-of-squares-minus-
+    # square-of-mean form computed variance as a DIFFERENCE OF DOUBLES,
+    # and at exactly-zero variance (one vector, or a constant dimension)
+    # the two engines' float residues straddled the round-to-6 boundary
+    # (Spark 1e-06 vs DuckDB 0.0 — the single-row probe's find). Now the
+    # variance numerator n*sum(q^2) - sum(q)^2 is computed EXACTLY over
+    # micro-quantized integers (q = round(v*1e6); HUGEINT/DECIMAL(38,0)
+    # products, bounds: |q|<=2^21, n<=1e12 => |num| < 4e36 < 38 digits),
+    # so both engines sqrt the IDENTICAL value — bit-exact by
+    # construction, and exact zeros stay exactly zero.
     oracle="""
     WITH dims AS (
-      SELECT u.i - 1 AS dim, (e.embedding[u.i])::DECIMAL(20,8) AS v
+      SELECT u.i - 1 AS dim,
+             round(e.embedding[u.i]::DOUBLE * 1000000)::BIGINT AS q
       FROM embeddings e, range(1, 65) u(i)
       WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x <> 0)) > 0
-    )
+    ),
+    m AS (SELECT dim, count(*)::HUGEINT AS n,
+                 sum(q)::HUGEINT AS s1,
+                 sum((q * q)::HUGEINT)::HUGEINT AS s2
+          FROM dims GROUP BY dim)
     SELECT dim::INT AS dim,
-           round(CAST(CAST(sum(v) AS DECIMAL(38,8)) AS DOUBLE) / count(*), 6) AS mean,
-           round(sqrt(greatest(
-             CAST(CAST(sum(v * v) AS DECIMAL(38,12)) AS DOUBLE) / count(*)
-             - pow(CAST(CAST(sum(v) AS DECIMAL(38,8)) AS DOUBLE) / count(*), 2), 0)), 6) AS std
-    FROM dims GROUP BY dim
+           round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000, 6) AS mean,
+           round(sqrt(CAST(greatest(n * s2 - s1 * s1, 0) AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000, 6) AS std
+    FROM m
     """,
     doc="Per-dimension embedding health stats (mean/std — the collapsed- or "
     "dead-dimension check an embedding pipeline runs before indexing): "
@@ -2123,19 +2134,21 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = ensure_parallelism(_load_embeddings(spark, sf_dir))
     dims = emb.select(
-        F.posexplode(F.col("embedding").cast("array<decimal(20,8)>")).alias(
-            "dim", "v"
-        )
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000000).cast("long"),
+            )
+        ).alias("dim", "q")
     )
-    n = F.count(F.lit(1))
-    sum_v = F.sum("v").cast("decimal(38,8)").cast("double")
-    sum_v2 = F.sum(F.col("v") * F.col("v")).cast("decimal(38,12)").cast("double")
-    mean = sum_v / n
+    n = F.count(F.lit(1)).cast("decimal(38,0)")
+    s1 = F.sum("q").cast("decimal(38,0)")
+    s2 = F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+    num = F.greatest(n * s2 - s1 * s1, F.lit(0).cast("decimal(38,0)"))
+    nd = n.cast("double")
     return dims.groupBy("dim").agg(
-        F.round(mean, 6).alias("mean"),
-        F.round(
-            F.sqrt(F.greatest(sum_v2 / n - F.pow(mean, F.lit(2)), F.lit(0.0))), 6
-        ).alias("std"),
+        F.round(s1.cast("double") / nd / 1000000, 6).alias("mean"),
+        F.round(F.sqrt(num.cast("double")) / nd / 1000000, 6).alias("std"),
     ).select(F.col("dim").cast("int").alias("dim"), "mean", "std")
 
 

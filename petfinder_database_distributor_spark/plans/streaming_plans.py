@@ -359,18 +359,33 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_late_data_drop",
+    # The oracle models the WATERMARK ITSELF, not a row-count proxy
+    # (r12 single-row probe find): a chunk-0 row is dropped iff its
+    # day-window had already CLOSED when it arrived — window_end <=
+    # max ts of the earlier-arriving chunks minus the 1-hour delay.
+    # With nothing arriving earlier (the whole corpus fits in chunk 0)
+    # nothing drops, which the old "drop the first ceil(n/4) ids"
+    # model got wrong on degenerate sizes; at the fixture scales the
+    # two models agree exactly (quarter boundaries are days apart).
     oracle="""
-    WITH per AS (SELECT (count(*) + 3) // 4 AS p FROM events)
+    WITH per AS (SELECT (count(*) + 3) // 4 AS p FROM events),
+    late_max AS (SELECT max(epoch_us(ts)) AS m
+                 FROM events, per WHERE event_id >= per.p)
     -- FLOOR division (// truncates toward zero): Spark's window('1 day')
     -- floors to the day boundary, so pre-1970 timestamps agree too
-    SELECT (epoch_us(ts) // 86400000000)
-           - CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN 1 ELSE 0 END
-           AS day_idx,
+    SELECT day_idx,
            count(*)::BIGINT AS n_events,
            CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2))
                 AS DOUBLE) AS total_value
-    FROM events, per
-    WHERE event_id >= per.p AND (value IS NULL OR isfinite(value))
+    FROM (SELECT event_id, value,
+                 (epoch_us(ts) // 86400000000)
+                 - CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN 1 ELSE 0 END
+                 AS day_idx
+          FROM events) e, per, late_max
+    WHERE (value IS NULL OR isfinite(value))
+      AND NOT (e.event_id < per.p
+               AND late_max.m IS NOT NULL
+               AND (e.day_idx + 1) * 86400000000 - 3600000000 <= late_max.m)
     GROUP BY 1
     """,
     doc="Watermark late-data semantics, actually exercised: the staged "

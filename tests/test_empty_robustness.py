@@ -63,6 +63,24 @@ def empty_sf_dir():
     return build_empty_fixture()
 
 
+@pytest.fixture(scope="module")
+def one_row_sf_dir(tmp_path_factory):
+    """LIMIT 1 of every table — the other degenerate size (r12 probe: it
+    caught a float-residue variance divergence in embedding_dim_stats and
+    the late-data oracle's row-count watermark proxy breaking down)."""
+    import duckdb
+
+    tmp = str(tmp_path_factory.mktemp("onerow"))
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+            f" LIMIT 1) TO '{tmp}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return tmp
+
+
 @pytest.mark.parametrize("name", FIXED + FAMILY_SAMPLE)
 def test_empty_fixture_parity(spark, empty_sf_dir, name):
     """Neither engine may crash, and the (usually empty) results must
@@ -85,3 +103,23 @@ def test_staged_r13_on_empty_fixture(spark, empty_sf_dir):
 
     for name, (fn, oracle, _doc) in STAGED.items():
         assert_parity(fn(spark, empty_sf_dir), run_oracle(oracle, empty_sf_dir), name)
+
+
+# the two single-row-probe finds + the same per-family sample
+ONE_ROW_FIXED = ["embedding_dim_stats", "stream_late_data_drop"]
+
+
+@pytest.mark.parametrize("name", ONE_ROW_FIXED + FAMILY_SAMPLE)
+def test_one_row_fixture_parity(spark, one_row_sf_dir, name):
+    """A 1-row corpus: zero-variance moments must be exactly zero on both
+    engines (no float-residue rounding), and streaming watermark models
+    must survive everything landing in one chunk."""
+    from petfinder_database_distributor_spark.registry import load_all
+    from tests.oracle_compare import assert_parity, run_oracle
+
+    spec = load_all()[name]
+    assert_parity(
+        spec.fn(spark, one_row_sf_dir),
+        run_oracle(spec.oracle, one_row_sf_dir),
+        name,
+    )
