@@ -72,7 +72,7 @@ def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j3_range_join",
     oracle="""
     WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
-              WHERE (value IS NULL OR isfinite(value))),
+              WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))),
          b AS (SELECT i AS band_id, i * 200 AS lo, i * 200 + 500 AS hi FROM range(0, 20) r(i))
     SELECT b.band_id, count(*) AS n_events, CAST(sum(e.cents) AS BIGINT) AS total_cents
     FROM e JOIN b ON e.cents >= b.lo AND e.cents < b.hi
@@ -307,7 +307,7 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS cents_24h
-    FROM events WHERE (value IS NULL OR isfinite(value))
+    FROM events WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
     """,
     doc="RANGE-frame window: per-user trailing 24h value sum keyed on event "
     "time (value-based frame, not row-count) — exact integer cents",
@@ -333,7 +333,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, count(*) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
-    FROM events WHERE (value IS NULL OR isfinite(value)) GROUP BY event_type
+    FROM events WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0)) GROUP BY event_type
     """,
     doc="Skew-defeating two-phase aggregation: salt the hot grouping key "
     "(cardinality 5 over millions of rows), partial-agg on (key, salt), then "
@@ -365,7 +365,7 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events e JOIN (VALUES ('click'), ('purchase'), ('view')) d(event_type)
       ON e.event_type = d.event_type
-    WHERE (e.value IS NULL OR isfinite(e.value))
+    WHERE (e.value IS NULL OR (isfinite(e.value) AND abs(e.value) < 1000000.0))
     GROUP BY e.event_type
     """,
     doc="Skew-defeating salted equi-join: the hot key (event_type, cardinality "
@@ -677,7 +677,7 @@ def w3_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE)
                  AS total_value,
                max(value) AS max_value
-        FROM events WHERE event_type IS NOT NULL AND (value IS NULL OR isfinite(value))
+        FROM events WHERE event_type IS NOT NULL AND (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
         GROUP BY 1
     )
     SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM m
@@ -856,7 +856,7 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(round(value * 100) AS BIGINT)) OVER w AS q
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-        AND isfinite(value)
+        AND isfinite(value) AND abs(value) < 1000000.0
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
     SELECT event_id, user_id, c AS value_cents, n::BIGINT AS n_window,

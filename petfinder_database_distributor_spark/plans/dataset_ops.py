@@ -18,7 +18,11 @@ from pyspark.sql.window import Window
 
 from petfinder_database_distributor_spark.operators.text import MD5INT_SQL, md5int
 from petfinder_database_distributor_spark.registry import register
-from petfinder_database_distributor_spark.schema import finite_measures, load_table
+from petfinder_database_distributor_spark.schema import (
+    MEASURE_RANGE,
+    finite_measures,
+    load_table,
+)
 from petfinder_database_distributor_spark.util import int_div
 
 _MD5INT = MD5INT_SQL
@@ -285,6 +289,11 @@ def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'value_finite', count(value)::BIGINT,
            coalesce(sum(CASE WHEN NOT isfinite(value) THEN 1 ELSE 0 END), 0)::BIGINT
     FROM events
+    UNION ALL
+    SELECT 'value_in_range', count(value)::BIGINT,
+           coalesce(sum(CASE WHEN isfinite(value) AND abs(value) >= 1000000.0
+                        THEN 1 ELSE 0 END), 0)::BIGINT
+    FROM events
     """,
     doc="Declarative data-validation audit (the Deequ/expectations shape a "
     "pipeline runs BEFORE shipping a snapshot to training): completeness, "
@@ -312,6 +321,14 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("nonfinite_value"),
+        F.sum(
+            F.when(
+                ~F.isnan(F.col("value"))
+                & (F.abs(F.col("value")) != F.lit(float("inf")))
+                & (F.abs(F.col("value")) >= F.lit(MEASURE_RANGE)),
+                1,
+            ).otherwise(0)
+        ).alias("outofrange_value"),
         F.count("event_type").alias("n_type"),
         F.sum(
             F.when(
@@ -352,6 +369,13 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("value_finite").alias("rule"),
             F.col("n_value").alias("n_checked"),
             F.coalesce(F.col("nonfinite_value"), F.lit(0)).alias("n_violations"),
+        ),
+        # exact-arithmetic envelope rule (r12): finite but outside the
+        # measure range the decimal/cents pipeline can represent exactly
+        F.struct(
+            F.lit("value_in_range").alias("rule"),
+            F.col("n_value").alias("n_checked"),
+            F.coalesce(F.col("outofrange_value"), F.lit(0)).alias("n_violations"),
         ),
     )
     return agg.select(F.explode(rules).alias("r")).select(
@@ -403,7 +427,7 @@ def kanonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) AS day_value
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-        AND isfinite(value)
+        AND isfinite(value) AND abs(value) < 1000000.0
       GROUP BY 1, 2),
     mx AS (SELECT max(day) AS dmax FROM daily),
     spine AS (
@@ -488,7 +512,7 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS total_value
     FROM events
     WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
-      AND isfinite(value)
+      AND isfinite(value) AND abs(value) < 1000000.0
     GROUP BY 1, 2
     """,
     doc="Continuous-aggregate maintenance (the hypertable/lambda shape): "

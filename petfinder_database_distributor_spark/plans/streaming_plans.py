@@ -93,7 +93,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE) AS total_value
     FROM events
-    WHERE (value IS NULL OR isfinite(value))
+    WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
     GROUP BY 1, 2
     """,
     doc="Event-time tumbling windows (1 day × event_type) over the micro-batch "
@@ -138,7 +138,7 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events
-    WHERE (value IS NULL OR isfinite(value))
+    WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
     GROUP BY user_id
     """,
     doc="A2 running counters as a custom stateful operator "
@@ -172,7 +172,7 @@ def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events WHERE (value IS NULL OR isfinite(value))
+      FROM events WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -323,7 +323,7 @@ def stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS total_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
-    WHERE e.value IS NOT NULL AND isfinite(e.value)
+    WHERE e.value IS NOT NULL AND isfinite(e.value) AND abs(e.value) < 1000000.0
     GROUP BY 1
     """,
     doc="Stream-static enrichment join (the dimension-lookup pattern every "
@@ -382,7 +382,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN 1 ELSE 0 END
                  AS day_idx
           FROM events) e, per, late_max
-    WHERE (value IS NULL OR isfinite(value))
+    WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
       AND NOT (e.event_id < per.p
                AND late_max.m IS NOT NULL
                AND (e.day_idx + 1) * 86400000000 - 3600000000 <= late_max.m)
@@ -526,7 +526,7 @@ def stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(round(value * 100) AS BIGINT)) OVER w AS q
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-        AND isfinite(value)
+        AND isfinite(value) AND abs(value) < 1000000.0
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
     SELECT event_id, user_id, c AS value_cents, n::BIGINT AS n_window,

@@ -143,16 +143,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # clean-fixture and null-sweep hashes are unchanged by construction).
 # ---------------------------------------------------------------------------
 
+# Representable-range bound (r12 probe): one huge measure value RAISES
+# in BOTH engines under ANSI — CAST(1e15 AS DECIMAL(18,6)) errors
+# outright (probed), and the integer cents family overflows int64 far
+# earlier: the trailing-window z-score computes n*sum(c^2) over 8
+# cents-quantized values, so |v| must stay under ~3.8e6 before c*c
+# wraps. The family bound is the EXACT-ARITHMETIC ENVELOPE of its
+# tightest member: |v| < 1e6 (cents < 1e8, c^2 <= 1e16, 8-window
+# n*q <= 6.4e17 < 2^63; DECIMAL(18,6) headroom 1e12 >> 1e6). A
+# measurement outside the envelope cannot flow through the exact
+# pipeline — excluded like a non-finite one (loudly bounded semantics
+# beat a one-record job kill at 100 TB); validate_constraints REPORTS
+# such rows via its value_in_range rule.
+MEASURE_RANGE = 1e6
+
+
 def FINITE_SQL(col: str = "value") -> str:
-    """DuckDB half of the contract: keep NULLs, drop NaN/±Inf."""
-    return f"({col} IS NULL OR isfinite({col}))"
+    """DuckDB half of the contract: keep NULLs, drop NaN/±Inf and
+    values outside the exactly-representable measure range."""
+    return (
+        f"({col} IS NULL OR (isfinite({col}) AND abs({col}) < {MEASURE_RANGE:.1f}))"
+    )
 
 
 def finite_measures(df: DataFrame, col: str = "value") -> DataFrame:
     """Spark half: same predicate, whole-stage-codegen comparisons only.
 
     NaN needs `isnan` (NaN != NaN comparisons are special-cased by
-    Spark's NaN-ordering rules); ±Inf are ordinary comparisons.
+    Spark's NaN-ordering rules); ±Inf and the range bound are ordinary
+    comparisons (the range check subsumes ±Inf, kept explicit for
+    readability).
     """
     c = F.col(col)
     return df.filter(
@@ -161,5 +181,6 @@ def finite_measures(df: DataFrame, col: str = "value") -> DataFrame:
             ~F.isnan(c)
             & (c != F.lit(float("inf")))
             & (c != F.lit(float("-inf")))
+            & (F.abs(c) < F.lit(MEASURE_RANGE))
         )
     )

@@ -127,6 +127,7 @@ def test_validate_constraints_rule_values(spark):
     assert set(rows) == {
         "event_id_complete", "event_id_unique", "user_id_complete",
         "value_non_negative", "event_type_in_domain", "value_finite",
+        "value_in_range",
     }
     # the non-finite contract's reporting rule (r12): clean fixture = 0
     assert rows["value_finite"].n_violations == 0

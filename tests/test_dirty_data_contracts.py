@@ -144,6 +144,12 @@ def dirty_sf_dir(tmp_path_factory):
       -- through the explicit round(x, 2) rescale contract
       UNION ALL SELECT 99998, TIMESTAMP '2024-02-01 10:08:00', 15,
                  'view', 0.0078125, '{{"k": 9}}'
+      -- outside the exact-arithmetic envelope (|v| >= 1e6): would raise
+      -- at the DECIMAL entry cast / overflow the squared-cents z-score —
+      -- excluded at the family entry on both engines, REPORTED by the
+      -- validator's value_in_range rule
+      UNION ALL SELECT 99999, TIMESTAMP '2024-02-01 10:09:00', 16,
+                 'purchase', 1e13, '{{"k": 10}}'
     ) TO '{tmp}/events.parquet' (FORMAT PARQUET)""")
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "documents"):
@@ -180,7 +186,8 @@ def test_malformed_json_parity(spark, dirty_sf_dir, name):
 
 def test_validator_reports_nonfinite(spark, dirty_sf_dir):
     """The validator must SEE the dirt the rest of the family filters:
-    exactly the 3 injected non-finite rows, counted over non-null values."""
+    exactly the 3 injected non-finite rows and the 1 out-of-envelope
+    row, counted over non-null values."""
     from petfinder_database_distributor_spark.registry import load_all
 
     rows = {
@@ -188,6 +195,7 @@ def test_validator_reports_nonfinite(spark, dirty_sf_dir):
         for r in load_all()["validate_constraints"].fn(spark, dirty_sf_dir).collect()
     }
     assert rows["value_finite"][1] == 3, rows
+    assert rows["value_in_range"][1] == 1, rows
 
 
 def test_zero_vectors_present_and_excluded(spark, dirty_sf_dir):
