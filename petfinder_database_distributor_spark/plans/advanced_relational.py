@@ -72,7 +72,7 @@ def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j3_range_join",
     oracle="""
     WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
-              WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))),
+              WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000000000.0))),
          b AS (SELECT i AS band_id, i * 200 AS lo, i * 200 + 500 AS hi FROM range(0, 20) r(i))
     SELECT b.band_id, count(*) AS n_events, CAST(sum(e.cents) AS BIGINT) AS total_cents
     FROM e JOIN b ON e.cents >= b.lo AND e.cents < b.hi
@@ -307,7 +307,7 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS cents_24h
-    FROM events WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
+    FROM events WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000000000.0))
     """,
     doc="RANGE-frame window: per-user trailing 24h value sum keyed on event "
     "time (value-based frame, not row-count) — exact integer cents",
@@ -333,7 +333,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, count(*) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
-    FROM events WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0)) GROUP BY event_type
+    FROM events WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000000000.0)) GROUP BY event_type
     """,
     doc="Skew-defeating two-phase aggregation: salt the hot grouping key "
     "(cardinality 5 over millions of rows), partial-agg on (key, salt), then "
@@ -365,7 +365,7 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events e JOIN (VALUES ('click'), ('purchase'), ('view')) d(event_type)
       ON e.event_type = d.event_type
-    WHERE (e.value IS NULL OR (isfinite(e.value) AND abs(e.value) < 1000000.0))
+    WHERE (e.value IS NULL OR (isfinite(e.value) AND abs(e.value) < 1000000000000.0))
     GROUP BY e.event_type
     """,
     doc="Skew-defeating salted equi-join: the hot key (event_type, cardinality "
@@ -677,7 +677,7 @@ def w3_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE)
                  AS total_value,
                max(value) AS max_value
-        FROM events WHERE event_type IS NOT NULL AND (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
+        FROM events WHERE event_type IS NOT NULL AND (value IS NULL OR (isfinite(value) AND abs(value) < 1000000000000.0))
         GROUP BY 1
     )
     SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM m
@@ -852,17 +852,21 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(value * 100) AS BIGINT) AS c,
              count(*) OVER w AS n,
              sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
-             sum(CAST(round(value * 100) AS BIGINT)
-                 * CAST(round(value * 100) AS BIGINT)) OVER w AS q
+             -- HUGEINT quadratics (r12 verdict #2): c*c wraps int64 at
+             -- |v| ~ 3.8e6 — the OLD envelope's binding constraint;
+             -- 128-bit keeps every in-envelope term exact to |v| < 1e12
+             -- ((16e14)^2 ~ 2.6e30 << 1.7e38)
+             sum(CAST(round(value * 100) AS HUGEINT)
+                 * CAST(round(value * 100) AS HUGEINT)) OVER w AS q
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-        AND isfinite(value) AND abs(value) < 1000000.0
+        AND isfinite(value) AND abs(value) < 1000000000000.0
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
     SELECT event_id, user_id, c AS value_cents, n::BIGINT AS n_window,
            s::BIGINT AS sum_cents
     FROM ev
-    WHERE n = 8 AND (n*c - s)*(n*c - s) > 4*(n*q - s*s)
+    WHERE n = 8 AND (n*c - s)::HUGEINT * (n*c - s) > 4*(n*q - s::HUGEINT*s)
     """,
     doc="Streaming-style anomaly detection as a batch window: flag events "
     "more than 2 trailing-window standard deviations from the trailing "
@@ -885,6 +889,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = F.round(F.col("value") * 100).cast("long")
+    # decimal(38,0) quadratics — the Spark twin of the oracle's HUGEINT
+    # widening (cents stay long; only squared terms need 128-bit)
+    cq = c.cast("decimal(38,0)")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -896,10 +903,10 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.alias("c"),
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum(c).over(w).alias("s"),
-        F.sum(c * c).over(w).alias("q"),
+        F.sum(cq * cq).over(w).alias("q"),
     )
-    dev = F.col("n") * F.col("c") - F.col("s")
-    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    dev = (F.col("n") * F.col("c") - F.col("s")).cast("decimal(38,0)")
+    var_n2 = F.col("n") * F.col("q") - F.col("s").cast("decimal(38,0)") * F.col("s")
     return stats.filter((F.col("n") == 8) & (dev * dev > 4 * var_n2)).select(
         "event_id",
         "user_id",

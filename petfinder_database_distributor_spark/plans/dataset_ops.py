@@ -291,7 +291,7 @@ def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     UNION ALL
     SELECT 'value_in_range', count(value)::BIGINT,
-           coalesce(sum(CASE WHEN isfinite(value) AND abs(value) >= 1000000.0
+           coalesce(sum(CASE WHEN isfinite(value) AND abs(value) >= 1000000000000.0
                         THEN 1 ELSE 0 END), 0)::BIGINT
     FROM events
     """,
@@ -427,7 +427,7 @@ def kanonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) AS day_value
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-        AND isfinite(value) AND abs(value) < 1000000.0
+        AND isfinite(value) AND abs(value) < 1000000000000.0
       GROUP BY 1, 2),
     mx AS (SELECT max(day) AS dmax FROM daily),
     spine AS (
@@ -512,7 +512,7 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS total_value
     FROM events
     WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
-      AND isfinite(value) AND abs(value) < 1000000.0
+      AND isfinite(value) AND abs(value) < 1000000000000.0
     GROUP BY 1, 2
     """,
     doc="Continuous-aggregate maintenance (the hypertable/lambda shape): "

@@ -1913,7 +1913,7 @@ _HQ_QS = (0.25, 0.5, 0.9, 0.99)
     oracle=f"""
     WITH b AS (
       SELECT least(greatest(floor(value / {_HQ_W}), 0), {_HQ_BINS - 1})::BIGINT AS bin
-      FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1000000.0
+      FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1000000000000.0
     ),
     counts AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
     cum AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,

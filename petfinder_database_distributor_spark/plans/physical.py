@@ -133,7 +133,7 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
            CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2))
                 AS DOUBLE) AS total_value
     FROM events
-    WHERE day(CAST(ts AS DATE)) <= 7 AND (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
+    WHERE day(CAST(ts AS DATE)) <= 7 AND (value IS NULL OR (isfinite(value) AND abs(value) < 1000000000000.0))
     GROUP BY 1
     """,
     doc="Dynamic partition pruning: events staged partitionBy(event_date), "

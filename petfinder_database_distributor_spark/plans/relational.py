@@ -163,7 +163,7 @@ def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-    FROM events WHERE ts IS NOT NULL AND (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
+    FROM events WHERE ts IS NOT NULL AND (value IS NULL OR (isfinite(value) AND abs(value) < 1000000000000.0))
     """,
     doc="Window running aggregate + lag: per-user ordered frame (decimal-exact running sum)",
 )

@@ -367,7 +367,7 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS total_value
     FROM events
     WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-      AND value IS NOT NULL AND ts IS NOT NULL AND isfinite(value) AND abs(value) < 1000000.0
+      AND value IS NOT NULL AND ts IS NOT NULL AND isfinite(value) AND abs(value) < 1000000000000.0
     GROUP BY event_type
     """,
     doc="Raw-log text source: events rendered as classic log lines "
@@ -828,7 +828,7 @@ def snapshot_evolve_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS total_value
     FROM events
     WHERE event_id IS NOT NULL AND event_type IS NOT NULL
-      AND value IS NOT NULL AND isfinite(value) AND abs(value) < 1000000.0
+      AND value IS NOT NULL AND isfinite(value) AND abs(value) < 1000000000000.0
     GROUP BY event_type
     """,
     doc="Incremental view maintenance driven by the snapshot version "
@@ -920,7 +920,7 @@ def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS total_cents
     FROM events
     WHERE event_id IS NOT NULL AND event_type IS NOT NULL
-      AND value IS NOT NULL AND isfinite(value) AND abs(value) < 1000000.0
+      AND value IS NOT NULL AND isfinite(value) AND abs(value) < 1000000000000.0
       -- TRY_CAST: AND conjuncts carry no evaluation-order guarantee, so
       -- the cast may run BEFORE the isfinite conjunct has excluded NaN
       -- (observed in the dirty-data sweep); NULL BETWEEN is never true

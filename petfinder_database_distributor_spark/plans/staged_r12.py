@@ -308,19 +308,26 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_K = 3
 
 
-def _knn_graph_oracle() -> str:
+def _knn_graph_oracle(corpus_pred: str | None = None) -> str:
+    """The recompute ground truth over the index corpus; ``corpus_pred``
+    overrides the trained slice (knn_graph_retrain_recover's trimmed
+    witness corpus — the refusal argument is scale-free, so the witness
+    proves the identical lifecycle on a quarter of the data)."""
     from petfinder_database_distributor_spark.operators.similarity import (
         NONZERO_VEC_SQL,
     )
     from petfinder_database_distributor_spark.plans.corpus_ops import (
-        _ANN_IDX_TRAIN_SQL,
+        _ann_idx_train_sql,
     )
     from petfinder_database_distributor_spark.plans.llm_pipeline import _COS_SQL
 
     cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
     nz_pred = NONZERO_VEC_SQL.format(v="embedding")
+    train = (
+        _ann_idx_train_sql(corpus_pred) if corpus_pred else _ann_idx_train_sql()
+    )
     return f"""
-    WITH {_ANN_IDX_TRAIN_SQL},
+    WITH {train},
     nz AS (SELECT vec_id FROM embeddings WHERE {nz_pred}),
     pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id
               FROM ivf a JOIN ivf b USING (centroid_id)
@@ -649,11 +656,13 @@ for _name, (_fn, _oracle, _doc) in STAGED.items():
 # ground truth as knn_graph_cells — parity proves the recovered index
 # CONVERGES to the well-provisioned answer) is constructible.
 from petfinder_database_distributor_spark.plans.corpus_ops import (  # noqa: E402
+    KNN_RECOVER_PRED_SQL,
     knn_graph_retrain_recover,
 )
 
 register(
     "knn_graph_retrain_recover",
-    oracle=_knn_graph_oracle(),
+    # same recompute ground truth, over the witness's trimmed slice
+    oracle=_knn_graph_oracle(KNN_RECOVER_PRED_SQL),
     doc=knn_graph_retrain_recover.__doc__,
 )(knn_graph_retrain_recover)

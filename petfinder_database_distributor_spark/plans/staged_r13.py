@@ -172,13 +172,17 @@ _TEMP_ORACLE = f"""
     w AS (SELECT source, c, {_TEMP_W_SQL} AS w FROM c),
     tot AS (SELECT sum(c)::BIGINT AS b, sum(w)::HUGEINT AS wsum FROM w),
     base AS (
+      -- wsum = 0 guard (r12 advice): an all-empty-text corpus gives
+      -- every domain weight 0, so the apportionment divisor vanishes —
+      -- there is no budget to apportion and the contract is ZERO ROWS
+      -- (same degenerate-corpus convention as text_vocab_coverage).
       SELECT w.source, w.c, w.w, tot.b,
              ((tot.b::HUGEINT * w.w) // tot.wsum)::BIGINT AS base_tok,
              ((tot.b::HUGEINT * w.w) % tot.wsum)::HUGEINT AS rem,
              row_number() OVER (
                ORDER BY ((tot.b::HUGEINT * w.w) % tot.wsum) DESC, w.source
              ) AS rrank
-      FROM w, tot),
+      FROM w, tot WHERE tot.wsum > 0),
     short AS (SELECT (max(b) - sum(base_tok))::BIGINT AS leftover FROM base)
     SELECT source, c AS n_tok, w AS weight_milli,
            (base_tok + CASE WHEN rrank <= short.leftover THEN 1 ELSE 0 END)::BIGINT
@@ -226,9 +230,14 @@ def domain_budget_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("b"),
         F.sum("w").cast("decimal(38,0)").alias("wsum"),
     )
-    # |domains|-row frame from here on (register-table class)
+    # |domains|-row frame from here on (register-table class).
+    # wsum = 0 guard (r12 advice): an all-empty-text corpus zeroes every
+    # milli-weight, so ANSI `bw div wsum` would raise DIVIDE_BY_ZERO —
+    # with no weight mass there is no apportionment; contract = 0 rows
+    # on BOTH engines (the oracle's base CTE carries the same filter).
     base = (
         w.crossJoin(F.broadcast(tot))
+        .filter(F.col("wsum") > F.lit(0))
         .select(
             "source",
             "c",
@@ -780,3 +789,17 @@ def _staged() -> dict[str, tuple]:
 
 
 STAGED = _staged()
+
+
+# ---------------------------------------------------------------------------
+# Round-13 promotion: the staging bar is met (oracle parity at sf0.001 +
+# sf0.01 on every pytest run since r12, 8x/32x scale probes in PLANS.md,
+# the empty / one-row / dirty degenerate sweeps, and the r12-advice
+# wsum=0 guard) — the six triples register for real; registry.load_all()
+# imports this module as of round 13 and the names head the r13 PRIORITY
+# window for their first external driver rows.
+# ---------------------------------------------------------------------------
+from petfinder_database_distributor_spark.registry import register  # noqa: E402
+
+for _name, (_fn, _oracle, _doc) in STAGED.items():
+    register(_name, oracle=_oracle, doc=_doc)(_fn)

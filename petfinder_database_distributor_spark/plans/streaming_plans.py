@@ -93,7 +93,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(32,2)) AS DOUBLE) AS total_value
     FROM events
-    WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
+    WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000000000.0))
     GROUP BY 1, 2
     """,
     doc="Event-time tumbling windows (1 day × event_type) over the micro-batch "
@@ -138,7 +138,7 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events
-    WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
+    WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000000000.0))
     GROUP BY user_id
     """,
     doc="A2 running counters as a custom stateful operator "
@@ -172,7 +172,7 @@ def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
+      FROM events WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000000000.0))
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -323,7 +323,7 @@ def stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS total_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
-    WHERE e.value IS NOT NULL AND isfinite(e.value) AND abs(e.value) < 1000000.0
+    WHERE e.value IS NOT NULL AND isfinite(e.value) AND abs(e.value) < 1000000000000.0
     GROUP BY 1
     """,
     doc="Stream-static enrichment join (the dimension-lookup pattern every "
@@ -362,15 +362,26 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The oracle models the WATERMARK ITSELF, not a row-count proxy
     # (r12 single-row probe find): a chunk-0 row is dropped iff its
     # day-window had already CLOSED when it arrived — window_end <=
-    # max ts of the earlier-arriving chunks minus the 1-hour delay.
+    # watermark = (max ts of the earlier-arriving chunks) MINUS the
+    # 1-hour delay, i.e. window_end + 1h <= m (r12 advice: the first
+    # cut subtracted the delay — the wrong sign — which over-dropped
+    # any corpus whose day boundary fell within an hour ABOVE the
+    # watermark). late_max applies the SAME finite-measure predicate
+    # as the aggregation because Spark's plan filters finite_measures
+    # BEFORE the EventTimeWatermark node — a non-finite row with the
+    # latest ts never advances the real watermark, so it must not
+    # advance the modeled one either.
     # With nothing arriving earlier (the whole corpus fits in chunk 0)
     # nothing drops, which the old "drop the first ceil(n/4) ids"
     # model got wrong on degenerate sizes; at the fixture scales the
-    # two models agree exactly (quarter boundaries are days apart).
+    # models agree exactly (quarter boundaries are days apart).
     oracle="""
     WITH per AS (SELECT (count(*) + 3) // 4 AS p FROM events),
     late_max AS (SELECT max(epoch_us(ts)) AS m
-                 FROM events, per WHERE event_id >= per.p)
+                 FROM events, per
+                 WHERE event_id >= per.p
+                   AND (value IS NULL
+                        OR (isfinite(value) AND abs(value) < 1000000000000.0)))
     -- FLOOR division (// truncates toward zero): Spark's window('1 day')
     -- floors to the day boundary, so pre-1970 timestamps agree too
     SELECT day_idx,
@@ -382,10 +393,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN 1 ELSE 0 END
                  AS day_idx
           FROM events) e, per, late_max
-    WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000.0))
+    WHERE (value IS NULL OR (isfinite(value) AND abs(value) < 1000000000000.0))
       AND NOT (e.event_id < per.p
                AND late_max.m IS NOT NULL
-               AND (e.day_idx + 1) * 86400000000 - 3600000000 <= late_max.m)
+               AND (e.day_idx + 1) * 86400000000 + 3600000000 <= late_max.m)
     GROUP BY 1
     """,
     doc="Watermark late-data semantics, actually exercised: the staged "
@@ -522,17 +533,19 @@ def stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(value * 100) AS BIGINT) AS c,
              count(*) OVER w AS n,
              sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
-             sum(CAST(round(value * 100) AS BIGINT)
-                 * CAST(round(value * 100) AS BIGINT)) OVER w AS q
+             -- HUGEINT quadratics — same widening as the batch twin
+             -- (the Spark side is arbitrary-precision Python ints)
+             sum(CAST(round(value * 100) AS HUGEINT)
+                 * CAST(round(value * 100) AS HUGEINT)) OVER w AS q
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-        AND isfinite(value) AND abs(value) < 1000000.0
+        AND isfinite(value) AND abs(value) < 1000000000000.0
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
     SELECT event_id, user_id, c AS value_cents, n::BIGINT AS n_window,
            s::BIGINT AS sum_cents
     FROM ev
-    WHERE n = 8 AND (n*c - s)*(n*c - s) > 4*(n*q - s*s)
+    WHERE n = 8 AND (n*c - s)::HUGEINT * (n*c - s) > 4*(n*q - s::HUGEINT*s)
     """,
     doc="The z-score anomaly detector as a LIVE stateful stream "
     "(applyInPandasWithState, streaming/incremental.py::"

@@ -60,102 +60,82 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
-    # R13 ROTATION PLAN (precomputed this round so the promotion is
-    # mechanical): register the SIX staged queries of plans/staged_r13.py
-    # (text_c4_rules, domain_budget_temperature, text_vocab_coverage,
-    # graph_kcore_decomposition, text_gopher_repetition,
-    # snapshot_vacuum_retention — each already at the full oracle bar,
-    # tests/test_staged_r13.py) and set the r13 window = those 6 + the
-    # 32-name r8 leftover cohort (bpe_encode_segments,
-    # corpus_span_excision, dedup_apply_corpus, dedup_levenshtein,
-    # dedup_simhash, dedup_simhash_pairs, dedup_span_overlap,
-    # ingest_frontend, j1_semi_anti_join, j5_bucketed_join,
-    # merge_partitioned_upsert, mm_binary_metadata, mm_resize,
-    # p1_html_project, ref_key_dedup, ref_liveness_filter,
-    # ref_nonblank_key, ref_null_ratio_filter, ref_placeholder_filter,
-    # ref_worklist_urls, sample_priority_topk, sketch_cms_term_counts,
-    # snapshot_clone_cow, snapshot_partitioned_source_scan,
-    # snapshot_point_lookup, snapshot_restore, snapshot_time_travel,
-    # stream_dedup_replay, stream_stream_interval_join,
-    # stream_upsert_merge, tfidf_top_terms, udtf_chunk_documents)
-    # + 12 of the 16 TPC-H queries whose ORACLES gained the explicit
-    # round() rescale this round (results provably unchanged — 16/16
-    # green sf0.01 sims — but the changed-text precedent earns them
-    # refreshed rows; the remainder head r14 with the r9 cohort). At
-    # 207 registrations the cadence bound is ceil(207/50) = 5 rounds,
-    # so the r9 cohort's deadline is r14 — CI-checked every run.
-    #
-    # -- r12 window (exact 50). Head: the FIVE queries registered this
-    # round (4 staged promotions + the knn retrain-recovery lifecycle
-    # witness — new code needs its first external row). Then every query
-    # whose PLAN changed this round under the three dirty-data contracts
-    # (r11 continuation findings, landed r12): the malformed-JSON pair
-    # (try_parse_json/TRY_CAST + json_valid oracle guards), the 16-name
-    # zero-norm vector family (nonzero-norm guard at the embedding
-    # loaders + oracles), and the 21-name non-finite measure family
-    # (isfinite entry filters; validate_constraints REPORTS via its new
-    # value_finite rule). Plan-changed queries owe a fresh external row
-    # (the r10 ANN-fold / r11 tercile precedent) even though clean-
-    # fixture hashes are unchanged by construction. The remaining 6
-    # slots drain the oldest (r8) cohort, oldest-first; the ~33 r8
-    # leftovers head the r13 window (cadence bound is now
-    # ceil(201/50)=5 rounds, so r8 rows stay legal through r13).
-    # --- registered this round:
-    "knn_graph_retrain_recover",
-    "domain_budget_unimax",
-    "sample_kcenter_greedy",
-    "knn_graph_cells",
-    "text_gopher_rules",
-    # --- malformed-JSON contract pair:
-    "json_props_extract",
-    "variant_props_extract",
-    # --- zero-norm vector family (16):
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_exact",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_pq_topk",
-    "embedding_dim_stats",
-    "embedding_quantize_int8",
-    "embedding_gram_matrix",
-    "ann_index_probe_topk",
-    "ann_ivf_topk",
-    "ann_pq_adc_topk",
-    "ann_index_retrain_check",
-    "ann_index_append_probe",
-    "ann_index_group_probe",
-    "dedup_semantic_semdedup",
-    "stream_ann_index_append",
-    # --- non-finite measure family (21):
-    "j3_range_join",
-    "window_range_frame",
-    "agg_salted_twophase",
-    "j4_salted_join",
-    "unpivot_event_metrics",
-    "events_anomaly_zscore",
-    "w2_running_totals",
-    "j6_dpp_join",
-    "sketch_histogram_quantiles",
-    "validate_constraints",
-    "timeseries_gapfill_locf",
-    "rollup_incremental_merge",
-    "text_log_parse",
-    "mv_incremental_maintenance",
-    "snapshot_pruned_scan",
-    "stream_windowed_totals",
-    "stream_stateful_counters",
-    "stream_session_windows",
-    "stream_static_enrich",
-    "stream_late_data_drop",
-    "stream_anomaly_zscore",
-    # --- r8-cohort drain (6 oldest not already above):
-    "topk_orders_global",
-    "events_retention_cohorts",
-    "market_basket_pairs",
-    "graph_triangle_count",
-    "dedup_ngram_jaccard_capped",
-    "dedup_ngram_jaccard_salted",
+    # -- r13 window (exact 50) — the rotation precomputed at r12 close,
+    # executed verbatim. Head: the SIX staged_r13 promotions (new
+    # registrations owe their first external driver row). Then the
+    # 32-name r8 leftover cohort, drained to zero exactly as the cadence
+    # rule requires (ceil(207/50) = 5 rounds; r8 rows expire after r13).
+    # Tail: 12 of the 15 TPC-H queries whose ORACLES gained the explicit
+    # round() rescale in r12 (changed oracle text earns a refreshed row
+    # even though clean-fixture hashes are provably unchanged) — oldest
+    # newest-row first (q1/q3/q5 at r9, then the r10 nine); the
+    # remaining three (q19_disjunctive_predicates, q22_dormant_customers
+    # at r10; q17_sql_correlated at r11) head the R14 WINDOW with the
+    # r9 cohort (40 names by the r12 recount) — see the R14 ROTATION
+    # PLAN note at the end of this list.
+    # --- registered this round (staged_r13 promotions):
+    "text_c4_rules",
+    "domain_budget_temperature",
+    "text_vocab_coverage",
+    "graph_kcore_decomposition",
+    "text_gopher_repetition",
+    "snapshot_vacuum_retention",
+    # --- r8-cohort drain (all 32 remaining r8-newest-row names):
+    "bpe_encode_segments",
+    "corpus_span_excision",
+    "dedup_apply_corpus",
+    "dedup_levenshtein",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_span_overlap",
+    "ingest_frontend",
+    "j1_semi_anti_join",
+    "j5_bucketed_join",
+    "merge_partitioned_upsert",
+    "mm_binary_metadata",
+    "mm_resize",
+    "p1_html_project",
+    "ref_key_dedup",
+    "ref_liveness_filter",
+    "ref_nonblank_key",
+    "ref_null_ratio_filter",
+    "ref_placeholder_filter",
+    "ref_worklist_urls",
+    "sample_priority_topk",
+    "sketch_cms_term_counts",
+    "snapshot_clone_cow",
+    "snapshot_partitioned_source_scan",
+    "snapshot_point_lookup",
+    "snapshot_restore",
+    "snapshot_time_travel",
+    "stream_dedup_replay",
+    "stream_stream_interval_join",
+    "stream_upsert_merge",
+    "tfidf_top_terms",
+    "udtf_chunk_documents",
+    # --- refreshed-oracle TPC-H (12 oldest of the 15 round() rescales):
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    # R14 ROTATION PLAN (precomputed at r13 close so the next promotion
+    # is mechanical): window = any r14 staged promotions (plans/
+    # staged_r14.py) + the remaining refreshed-oracle TPC-H trio
+    # (q19_disjunctive_predicates, q22_dormant_customers,
+    # q17_sql_correlated) + the r9 cohort drained oldest-first up to the
+    # 50-slot budget; whatever r9 names overflow the window head r15 —
+    # still inside the ceil(n/50)-round cadence bound, CI-checked every
+    # run by tests/test_oracle_parity.py::test_driver_row_cadence.
 ]
+
 
 
 def _heap_hygiene(fn: QueryFn) -> QueryFn:
@@ -209,6 +189,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         source_sink_plans,
         staged_r12,
+        staged_r13,
         streaming_plans,
         tpch_extended,
     )

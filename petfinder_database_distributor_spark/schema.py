@@ -143,19 +143,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # clean-fixture and null-sweep hashes are unchanged by construction).
 # ---------------------------------------------------------------------------
 
-# Representable-range bound (r12 probe): one huge measure value RAISES
-# in BOTH engines under ANSI — CAST(1e15 AS DECIMAL(18,6)) errors
-# outright (probed), and the integer cents family overflows int64 far
-# earlier: the trailing-window z-score computes n*sum(c^2) over 8
-# cents-quantized values, so |v| must stay under ~3.8e6 before c*c
-# wraps. The family bound is the EXACT-ARITHMETIC ENVELOPE of its
-# tightest member: |v| < 1e6 (cents < 1e8, c^2 <= 1e16, 8-window
-# n*q <= 6.4e17 < 2^63; DECIMAL(18,6) headroom 1e12 >> 1e6). A
-# measurement outside the envelope cannot flow through the exact
-# pipeline — excluded like a non-finite one (loudly bounded semantics
-# beat a one-record job kill at 100 TB); validate_constraints REPORTS
-# such rows via its value_in_range rule.
-MEASURE_RANGE = 1e6
+# Representable-range bound — WIDENED round 13 (r12 verdict #2: lift
+# the envelope with wider kernels instead of fencing it). The family
+# bound is the EXACT-ARITHMETIC ENVELOPE of its tightest member, and
+# after widening the z-score quadratics the tightest member is the
+# DECIMAL(18,6) entry cast itself:
+#
+#   * DECIMAL(18,6) representability: CAST(v AS DECIMAL(18,6)) RAISES
+#     in DuckDB at |v| >= 1e12 (max 999,999,999,999.999999) — the hard
+#     per-value wall. Double spacing at 1e12 is ~1.2e-4 > 1e-6, so the
+#     6-dp rounding of any in-range double cannot tip over the wall.
+#   * cents exactness: round(v*100) <= 1e14 < 2^53 — exact as a double
+#     and in BIGINT (9.2e18 headroom) for every in-envelope value.
+#   * z-score quadratics (the r12 binding constraint at |v|~3.8e6, now
+#     DECIMAL(38,0)/HUGEINT — the embedding_dim_stats widening
+#     pattern): worst term (n*c - s)^2 <= (16e14)^2 ~ 2.6e30 << 1e38.
+#
+# Aggregate-magnitude headroom (documented, volume- not value-bound):
+# DOUBLE-typed decimal-sum outputs are last-bit parity-exact while
+# |sum| * 10^scale < 2^53 (probed: DuckDB's decimal->double conversion
+# mis-rounds the last bit past 2^53, Spark doesn't) — 9.0e13 at
+# scale 2; int64 cents totals hold to 9.2e18 cents and fail LOUDLY
+# under ANSI beyond. A measurement outside the envelope cannot flow
+# through the exact pipeline — excluded like a non-finite one (loudly
+# bounded semantics beat a one-record job kill at 100 TB);
+# validate_constraints REPORTS such rows via its value_in_range rule.
+MEASURE_RANGE = 1e12
 
 
 def FINITE_SQL(col: str = "value") -> str:

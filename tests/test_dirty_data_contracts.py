@@ -144,12 +144,23 @@ def dirty_sf_dir(tmp_path_factory):
       -- through the explicit round(x, 2) rescale contract
       UNION ALL SELECT 99998, TIMESTAMP '2024-02-01 10:08:00', 15,
                  'view', 0.0078125, '{{"k": 9}}'
-      -- outside the exact-arithmetic envelope (|v| >= 1e6): would raise
-      -- at the DECIMAL entry cast / overflow the squared-cents z-score —
-      -- excluded at the family entry on both engines, REPORTED by the
-      -- validator's value_in_range rule
+      -- outside the exact-arithmetic envelope (|v| >= 1e12, the
+      -- DECIMAL(18,6) representability wall): would raise at the
+      -- DECIMAL entry cast — excluded at the family entry on both
+      -- engines, REPORTED by the validator's value_in_range rule
       UNION ALL SELECT 99999, TIMESTAMP '2024-02-01 10:09:00', 16,
                  'purchase', 1e13, '{{"k": 10}}'
+      -- IN-envelope huge values (r13, the envelope WIDENING's witness
+      -- rows — r12 verdict #2): 1e9 would have been fenced by the old
+      -- |v| < 1e6 exclusion and would overflow the old int64 c*c
+      -- z-score quadratic (1e22 > 2^63); 9.87654321e11 sits just under
+      -- the DECIMAL(18,6) wall. Both must FLOW THROUGH every family
+      -- member with exact cross-engine parity via the HUGEINT /
+      -- decimal(38,0) widened kernels.
+      UNION ALL SELECT 100000, TIMESTAMP '2024-02-01 10:10:00', 17,
+                 'click', 1e9, '{{"k": 11}}'
+      UNION ALL SELECT 100001, TIMESTAMP '2024-02-01 10:11:00', 17,
+                 'view', 9.87654321e11, '{{"k": 12}}'
     ) TO '{tmp}/events.parquet' (FORMAT PARQUET)""")
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "documents"):
@@ -182,6 +193,27 @@ def test_nonfinite_value_parity(spark, dirty_sf_dir, name):
 @pytest.mark.parametrize("name", JSON_FAMILY)
 def test_malformed_json_parity(spark, dirty_sf_dir, name):
     _assert_family_parity(spark, dirty_sf_dir, name)
+
+
+def test_oracle_envelope_literals_match_measure_range():
+    """Anti-drift pin (r13): the finite-measure contract's range bound is
+    embedded as a literal in ~20 oracle strings (they are plain SQL, not
+    f-strings); every such literal must equal schema.MEASURE_RANGE so the
+    envelope can never be widened on one engine only."""
+    import re
+
+    from petfinder_database_distributor_spark.registry import load_all
+    from petfinder_database_distributor_spark.schema import MEASURE_RANGE
+
+    pat = re.compile(r"abs\((?:\w+\.)?value\)\s*(?:<|>=)\s*([0-9]+\.[0-9]+)")
+    seen = 0
+    for name, spec in load_all().items():
+        if not spec.oracle:
+            continue
+        for lit in pat.findall(spec.oracle):
+            assert float(lit) == MEASURE_RANGE, (name, lit, MEASURE_RANGE)
+            seen += 1
+    assert seen >= 20, f"expected >=20 envelope literals, found {seen}"
 
 
 def test_validator_reports_nonfinite(spark, dirty_sf_dir):
