@@ -833,6 +833,9 @@ def test_no_unpartitioned_windows_over_data_scale_frames():
         # <=10k-row TakeOrderedAndProject result (the top-k vocabulary —
         # bounded by construction before the rank window runs):
         ("staged_r13.py", "text_vocab_coverage"),
+        # <=64-row TakeOrderedAndProject result (the top-64 term
+        # frequencies — the rank window runs after the limit):
+        ("staged_r14.py", "text_zipf_fit"),
         # one-off streaming-FIXTURE staging (balanced chunk split for the
         # micro-batch tests; never an operator plan — the r10 verdict's
         # adjudication, now pinned by the repo-wide scan):
