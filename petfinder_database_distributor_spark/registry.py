@@ -127,13 +127,36 @@ PRIORITY: list[str] = [
     "q15_top_supplier",
     "q18_large_orders",
     # R14 ROTATION PLAN (precomputed at r13 close so the next promotion
-    # is mechanical): window = any r14 staged promotions (plans/
-    # staged_r14.py) + the remaining refreshed-oracle TPC-H trio
-    # (q19_disjunctive_predicates, q22_dormant_customers,
-    # q17_sql_correlated) + the r9 cohort drained oldest-first up to the
-    # 50-slot budget; whatever r9 names overflow the window head r15 —
-    # still inside the ceil(n/50)-round cadence bound, CI-checked every
-    # run by tests/test_oracle_parity.py::test_driver_row_cadence.
+    # is mechanical; newest-row recount assumes this r13 window goes
+    # green). Window = EXACTLY 50:
+    #   (a) the SIX staged_r14 promotions (sample_kcenter_bucketed,
+    #       sketch_kmv_distinct, text_paragraph_dedup, graph_bfs_layers,
+    #       json_kv_profile, text_zipf_fit — all already at the full
+    #       bar incl. the promotion gate, tests/test_staged_r14.py);
+    #   (b) the ENTIRE r9-newest-row cohort, 37 names by recount:
+    #       agg_distinct_users, cdc_snapshot_diff, compaction_bin_pack,
+    #       decontamination_check, dedup_canonical_quality,
+    #       dedup_cluster_components, dedup_exact, dedup_minhash_lsh,
+    #       dedup_ngram_containment, export_roundtrip_csv,
+    #       g1_datasource_ingest, g1_rollup_revenue, mm_decode_features,
+    #       mm_frame_sample, p2_src_attr_project, ref_anti_join,
+    #       ref_compaction, ref_upsert_merge, s1_fetch_extract,
+    #       s8_json_rows, sample_stratified, scd2_user_history,
+    #       search_bm25_topk, sketch_hll_distinct_users,
+    #       snapshot_concurrent_append, split_train_test,
+    #       stream_retention_cohorts, stream_sketch_hll, text_bigram_tf,
+    #       text_chunking, text_fingerprint, text_lang_id,
+    #       text_quality_score, text_redact_pii, text_repetition_ratio,
+    #       text_token_stats, w1_topk_per_group;
+    #   (c) SEVEN r10 names starting the next drain — the two remaining
+    #       refreshed-oracle TPC-H (q19_disjunctive_predicates,
+    #       q22_dormant_customers) first, then alphabetical head
+    #       (bpe_first_merges, cluster_kmeans_int8,
+    #       corpus_boilerplate_strip, dedup_incremental_batch,
+    #       dedup_ngram_jaccard). q17_sql_correlated (r11) rides r15.
+    # At 213 registrations the cadence bound is ceil(213/50) = 5 rounds,
+    # so the remaining r10 cohort (23 names) is legal through r15 —
+    # CI-checked every run by test_driver_row_cadence.
 ]
 
 

@@ -243,3 +243,28 @@ def test_semdedup_guard_retrain_recovery(spark):
     assert replicas and all(not r["keep"] for r in replicas)
     assert all(r["dup_of"] is not None for r in replicas)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_recover_witness_predicate_twins_agree():
+    """The recovery witness's corpus slice exists twice — the Spark
+    filter inside knn_graph_retrain_recover and KNN_RECOVER_PRED_SQL in
+    its oracle — with a MUST-stay-in-sync comment. Pin it executably:
+    both predicates select the same vec_ids over an exhaustive id range."""
+    import duckdb
+
+    from petfinder_database_distributor_spark.plans.corpus_ops import (
+        KNN_RECOVER_PRED_SQL,
+    )
+
+    sql_ids = {
+        r[0]
+        for r in duckdb.sql(
+            "SELECT vec_id FROM (SELECT unnest(range(0, 200)) AS vec_id)"
+            f" WHERE {KNN_RECOVER_PRED_SQL}"
+        ).fetchall()
+    }
+    # the Spark-side filter, restated in python semantics
+    py_ids = {
+        v for v in range(200) if v % 5 != 0 and (v < 16 or v % 4 == 1)
+    }
+    assert sql_ids == py_ids

@@ -25,15 +25,16 @@ sys.path.insert(0, REPO_ROOT)
 from petfinder_database_distributor_spark.session import get_spark  # noqa: E402
 from tools.scaling_probe import BASE_SF, _time_once, build_scaled  # noqa: E402
 
-if "--r12" in sys.argv:
-    sys.argv.remove("--r12")
-    from petfinder_database_distributor_spark.plans.staged_r12 import (  # noqa: E402
-        STAGED,
-    )
-else:
-    from petfinder_database_distributor_spark.plans.staged_r13 import (  # noqa: E402
-        STAGED,
-    )
+_mod = "staged_r14"  # default: the tranche currently being staged
+for _a in list(sys.argv[1:]):
+    if _a.startswith("--r") and _a[3:].isdigit():
+        _mod = f"staged_r{_a[3:]}"
+        sys.argv.remove(_a)
+import importlib  # noqa: E402
+
+STAGED = importlib.import_module(
+    f"petfinder_database_distributor_spark.plans.{_mod}"
+).STAGED
 
 
 def main() -> None:
