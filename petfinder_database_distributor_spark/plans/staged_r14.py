@@ -511,13 +511,27 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # json_kv_profile
 # ---------------------------------------------------------------------------
 
+# MAP-cast form (r13 self-probe find, pre-registration): the first cut
+# re-extracted each key via a '$."<key>"' path string, which (a) breaks
+# on keys containing a double quote, and (b) reads only the FIRST value
+# of a duplicate key while Spark's from_json map carries BOTH entries
+# (MapData does not enforce key uniqueness; explode emits each entry —
+# the collect-to-dict display hides this) — two latent hash divergences
+# on dirty JSON. TRY_CAST(props::JSON AS MAP(VARCHAR, VARCHAR)) yields
+# the IDENTICAL value canonicalization as Spark's map<string,string>
+# (probed: 'abc' / '7' / '1.5' / 'true' / NULL / compact '{"x":1}' /
+# '[1,2]'), handles any key bytes, NULLs on every non-object shape
+# exactly like from_json, and keeps duplicate entries just like
+# MapData — so the contract is simply DUPLICATES PRESERVED.
 _JSON_KV_ORACLE = """
-    WITH kv AS (
-      SELECT u.k AS key,
-             json_extract_string(e.props, '$."' || u.k || '"') AS v
-      FROM events e,
-           unnest(json_keys(CASE WHEN json_valid(e.props) THEN e.props END)) u(k)
-    )
+    WITH m AS (
+      SELECT TRY_CAST(CASE WHEN json_valid(props) THEN props END::JSON
+                      AS MAP(VARCHAR, VARCHAR)) AS mp
+      FROM events),
+    kv AS (
+      SELECT map_keys(mp)[u.i] AS key, map_values(mp)[u.i] AS v
+      FROM m, unnest(range(1, cardinality(mp)::BIGINT + 1)) u(i)
+      WHERE mp IS NOT NULL)
     SELECT key,
            count(*)::BIGINT AS n_present,
            sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_vals,
@@ -537,8 +551,10 @@ def json_kv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     they span'): every VALID props object is flattened into (key, value)
     pairs (Spark: from_json to map<string,string> + explode — scalars
     coerce to their canonical text, malformed/array/scalar JSON to a
-    NULL map, i.e. zero rows, exactly matching the oracle's json_valid +
-    json_keys guard; JSON nulls survive as NULL values), then profiled
+    NULL map, i.e. zero rows, duplicate keys carried as SEPARATE entries
+    — MapData does not dedupe and explode emits each — exactly matching
+    the oracle's TRY_CAST-to-MAP form probed value-by-value; JSON nulls
+    survive as NULL values), then profiled
     per key: presence count, JSON-null count, numeric-parse count
     (TRY_CAST to double on BOTH engines — the malformed-JSON contract's
     try-everything discipline), distinct-value count, and the

@@ -212,8 +212,15 @@ def test_bfs_synthetic_chain(spark, tmp_path):
 
 def test_json_kv_profile_semantics(spark, tmp_path):
     """Constructed props pin the contract: malformed JSON contributes
-    nothing, JSON null counts as present-but-null, numerics parse."""
+    nothing, JSON null counts as present-but-null, numerics parse — and
+    the two r13 self-probe divergence classes hold cross-engine parity:
+    DUPLICATE keys (from_json's MapData carries both entries and explode
+    emits each; the first-cut oracle read only the first value) and a
+    key containing a double quote (the first-cut oracle's '$."<key>"'
+    path broke on it)."""
     import duckdb
+
+    from tests.oracle_compare import assert_parity, run_oracle
 
     tmp = str(tmp_path)
     duckdb.connect().execute(f"""COPY (
@@ -222,17 +229,30 @@ def test_json_kv_profile_semantics(spark, tmp_path):
         (2, TIMESTAMP '2024-01-01', 1, 'click', 1.0, '{{"a": 7.5, "b": null}}'),
         (3, TIMESTAMP '2024-01-01', 1, 'click', 1.0, '{{bad'),
         (4, TIMESTAMP '2024-01-01', 1, 'click', 1.0, NULL),
-        (5, TIMESTAMP '2024-01-01', 1, 'click', 1.0, '{{"a": "n/a"}}')
+        (5, TIMESTAMP '2024-01-01', 1, 'click', 1.0, '{{"a": "n/a"}}'),
+        (6, TIMESTAMP '2024-01-01', 1, 'click', 1.0, '{{"a": 1, "a": 2}}'),
+        (7, TIMESTAMP '2024-01-01', 1, 'click', 1.0, '{{"q\\"k": 9}}'),
+        (8, TIMESTAMP '2024-01-01', 1, 'click', 1.0, '{{"n": {{"x": 1}}}}')
       ) t(event_id, ts, user_id, event_type, value, props)
     ) TO '{tmp}/events.parquet' (FORMAT PARQUET)""")
-    fn, _oracle, _ = STAGED["json_kv_profile"]
+    import shutil
+
+    from tests.conftest import SF_SMALL
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{tmp}/{t}.parquet")
+    fn, oracle, _ = STAGED["json_kv_profile"]
+    assert_parity(fn(spark, tmp), run_oracle(oracle, tmp), "json_kv_edge")
     rows = {r["key"]: r for r in fn(spark, tmp).collect()}
-    assert set(rows) == {"a", "b"}
+    assert set(rows) == {"a", "b", 'q"k', "n"}
     a, b = rows["a"], rows["b"]
-    assert a["n_present"] == 3 and a["n_numeric"] == 2 and a["n_null_vals"] == 0
-    assert a["n_distinct_vals"] == 3
+    assert a["n_present"] == 5 and a["n_numeric"] == 4 and a["n_null_vals"] == 0
+    assert a["n_distinct_vals"] == 5  # '5', '7.5', 'n/a', '1', '2' (dups kept)
     assert b["n_present"] == 2 and b["n_null_vals"] == 1 and b["n_numeric"] == 0
     assert b["min_val"] == "x" and b["max_val"] == "x"
+    assert rows['q"k']["n_numeric"] == 1
+    assert rows["n"]["min_val"] == '{"x":1}' and rows["n"]["n_numeric"] == 0
 
 
 # ---------------------------------------------------------------------------
