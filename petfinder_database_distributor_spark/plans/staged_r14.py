@@ -2,14 +2,14 @@
 registered next round (the stage-then-promote discipline of
 plans/staged_r12.py / staged_r13.py: the r13 driver window is an exact
 50-slot fit of the six r13 promotions + the r8 cohort drain + the
-refreshed-oracle TPC-H names, so these six carry the full registration
+refreshed-oracle TPC-H names, so these EIGHT carry the full registration
 bar — (fn, oracle, doc) triple, sf0.001+sf0.01 hash parity on every
 pytest run via tests/test_staged_r14.py, AND the four degenerate-shape
 sweeps of tests/test_staged_gate.py (empty / one-row / dirty /
 all-empty-text), which as of r13 are a hard precondition of promotion —
 without displacing window names).
 
-The six queries extend the pillars where coverage is thinnest after
+The eight queries extend the pillars where coverage is thinnest after
 round 13:
 
 * ``sample_kcenter_bucketed`` — the SCALE TWIN of sample_kcenter_greedy
@@ -38,11 +38,17 @@ round 13:
   exact integer least squares — the vocabulary-health diagnostic
   (natural corpora fit slope ~ -1; synthetic or boilerplate-heavy
   corpora deviate hard).
+* ``sample_stratified_neyman`` — Neyman-optimal stratified-sample
+  allocation with an integer-exact L1 dispersion proxy and
+  largest-remainder apportionment (sums to budget exactly).
+* ``stream_sketch_kmv`` — the KMV register maintained over an unbounded
+  stream via per-batch reduce + driver-side monoid merge (O(k) state
+  forever); the batch oracle hash-checks the streaming path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -51,7 +57,7 @@ from petfinder_database_distributor_spark.operators.text import (
     md5int,
     tokens,
 )
-from petfinder_database_distributor_spark.schema import load_table
+from petfinder_database_distributor_spark.schema import finite_measures, load_table
 
 # ---------------------------------------------------------------------------
 # sample_kcenter_bucketed
@@ -723,6 +729,237 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sample_stratified_neyman
+# ---------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000  # total sample size to allocate across strata
+
+
+_NEYMAN_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND isfinite(value) AND abs(value) < 1000000000000.0),
+    st AS (
+      SELECT event_type, count(*)::HUGEINT AS n, sum(c)::HUGEINT AS s
+      FROM ev GROUP BY 1),
+    disp AS (
+      SELECT e.event_type, st.n,
+             sum(abs(st.n * e.c - st.s))::HUGEINT AS adev
+      FROM ev e JOIN st USING (event_type)
+      GROUP BY e.event_type, st.n),
+    wts AS (
+      SELECT event_type, n::BIGINT AS n_rows,
+             (adev // (n * n))::BIGINT AS mad_cents,
+             (n * (adev // (n * n)))::HUGEINT AS w
+      FROM disp),
+    tot AS (SELECT sum(w)::HUGEINT AS wsum FROM wts),
+    base AS (
+      SELECT w.event_type, w.n_rows, w.mad_cents,
+             (({_NEY_BUDGET}::HUGEINT * w.w) // tot.wsum)::BIGINT AS base_n,
+             (({_NEY_BUDGET}::HUGEINT * w.w) % tot.wsum)::HUGEINT AS rem,
+             row_number() OVER (
+               ORDER BY (({_NEY_BUDGET}::HUGEINT * w.w) % tot.wsum) DESC,
+                        w.event_type) AS rrank
+      FROM wts w, tot WHERE tot.wsum > 0),
+    short AS (SELECT ({_NEY_BUDGET} - sum(base_n))::BIGINT AS leftover FROM base)
+    SELECT event_type, n_rows, mad_cents,
+           (base_n + CASE WHEN rrank <= short.leftover THEN 1 ELSE 0 END)::BIGINT
+             AS alloc_n,
+           (rrank <= short.leftover) AS got_bonus
+    FROM base, short
+    """
+
+
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-style OPTIMAL stratified-sample allocation (Neyman 1934:
+    sample stratum h proportionally to N_h * sigma_h — high-variance
+    strata get more budget than proportional allocation gives them),
+    made integer-exact end to end by an L1 dispersion proxy: sigma_h is
+    replaced with the mean absolute deviation in cents, computed as
+    sum(|n*c - S|) div n^2 — all integer (no sqrt, whose operand here
+    would exceed 2^53 and hit the probed DuckDB decimal->double
+    last-bit mis-rounding; MAD is proportional to sigma for a fixed
+    distribution shape, so the allocation ORDER matches Neyman's). The
+    1000-row budget is apportioned over w_h = n_h * mad_h by LARGEST
+    REMAINDER (Hamilton — the domain_budget_temperature pattern), so
+    sum(alloc_n) == 1000 exactly; an all-constant corpus (every
+    stratum's dispersion zero => wsum = 0) yields ZERO rows on both
+    engines — the r13 wsum-guard contract. HUGEINT/decimal(38,0)
+    products throughout (n*c and budget*w overflow int64 inside the
+    widened measure envelope). Plan shape: TWO corpus-sized hash aggs
+    (moments, then deviations against the broadcast stratum moments) —
+    map-side partials both; every window after runs over the
+    |event_type|-row register frame. At 100 TB this is the survey-
+    sampling design pass every labeling/eval pipeline budgets with."""
+    ev = (
+        finite_measures(
+            load_table(spark, sf_dir, "events").filter(
+                F.col("event_type").isNotNull() & F.col("value").isNotNull()
+            )
+        )
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+    )
+    disp = (
+        ev.join(F.broadcast(st), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.abs(F.col("n") * F.col("c") - F.col("s")).alias("ad"),
+        )
+        .groupBy("event_type", "n")
+        .agg(F.sum("ad").cast("decimal(38,0)").alias("adev"))
+    )
+    wts = disp.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr("CAST(adev div (n * n) AS BIGINT)").alias("mad_cents"),
+        F.expr("CAST(n * (adev div (n * n)) AS DECIMAL(38,0))").alias("w"),
+    )
+    tot = wts.agg(F.sum("w").cast("decimal(38,0)").alias("wsum"))
+    base = (
+        wts.crossJoin(F.broadcast(tot))
+        .filter(F.col("wsum") > F.lit(0))
+        .select(
+            "event_type",
+            "n_rows",
+            "mad_cents",
+            F.expr(
+                f"CAST((CAST({_NEY_BUDGET} AS DECIMAL(38,0)) * w) div wsum"
+                " AS BIGINT)"
+            ).alias("base_n"),
+            F.expr(
+                f"CAST((CAST({_NEY_BUDGET} AS DECIMAL(38,0)) * w) % wsum"
+                " AS DECIMAL(38,0))"
+            ).alias("rem"),
+        )
+    )
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "event_type"))
+        .alias("rrank"),
+    )
+    short = ranked.agg(
+        (F.lit(_NEY_BUDGET) - F.sum("base_n")).cast("long").alias("leftover")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(short))
+        .select(
+            "event_type",
+            "n_rows",
+            "mad_cents",
+            (
+                F.col("base_n")
+                + F.when(F.col("rrank") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_n"),
+            (F.col("rrank") <= F.col("leftover")).alias("got_bonus"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_sketch_kmv
+# ---------------------------------------------------------------------------
+
+_KMV_STREAM_ORACLE = f"""
+    WITH hx AS (SELECT DISTINCT {{h}} AS h
+                FROM events WHERE user_id IS NOT NULL),
+    allr AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM hx),
+    allg AS (SELECT count(*) AS cnt,
+                    max(h) FILTER (WHERE rk <= {_KMV_K}) AS kth
+             FROM allr HAVING count(*) > 0)
+    SELECT 'ALL' AS scope,
+           CASE WHEN cnt < {_KMV_K} THEN cnt
+                ELSE (({_KMV_K} - 1)::HUGEINT * {_KMV_M} // kth)::BIGINT
+           END AS est_distinct,
+           CASE WHEN cnt >= {_KMV_K} THEN kth ELSE NULL END AS kth_hash
+    FROM allg
+    """.format(h=MD5INT_SQL.format(x="user_id::VARCHAR"))
+
+
+def stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV distinct sketch maintained over an UNBOUNDED stream with
+    O(k) state — the DataSketches-theta production shape that
+    dropDuplicates-style streaming distinct (state grows with the key
+    universe) cannot give: each micro-batch reduces to its own 64-hash
+    register (distinct + TakeOrderedAndProject inside foreachBatch),
+    which merges into the running register driver-side — the union's
+    k-minima, 64 longs FOREVER, the sketch-merge monoid
+    sketch_kmv_distinct's test proves equal to direct construction. The
+    final register's estimate therefore equals the batch sketch
+    bit-for-bit, so a batch oracle hash-checks a STREAMING query (the
+    stream_sketch_hll discipline; mergeability is exactly why these
+    sketches exist at 100 TB — per-executor partial registers merge the
+    same way). Below k the register IS the exact distinct set, so
+    est_distinct is exact there by construction; an empty stream yields
+    the typed zero-row frame."""
+    import uuid as _uuid
+
+    from petfinder_database_distributor_spark.streaming.incremental import (
+        STREAM_SHUFFLE_PARTITIONS,
+        read_event_stream,
+        scoped_conf,
+        stage_event_chunks,
+    )
+
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    stream = read_event_stream(spark, stage, max_files=2).filter(
+        F.col("user_id").isNotNull()
+    )
+    register: list[int] = []
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        local = (
+            batch_df.select(
+                md5int(F.col("user_id").cast("string")).alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)
+            .collect()
+        )
+        merged = sorted(set(register) | {int(r["h"]) for r in local})
+        register[:] = merged[:_KMV_K]
+
+    with scoped_conf(
+        spark, spark__sql__shuffle__partitions=STREAM_SHUFFLE_PARTITIONS
+    ):
+        # temporary checkpoint (auto-created, auto-deleted): the register
+        # rebuilds from scratch per call, so there is no resume state
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .queryName(f"kmv_{_uuid.uuid4().hex[:10]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not register:
+        return spark.createDataFrame(
+            [], "scope string, est_distinct bigint, kth_hash bigint"
+        )
+    cnt = len(register)
+    if cnt < _KMV_K:
+        est, kth = cnt, None
+    else:
+        kth = register[-1]
+        est = (_KMV_K - 1) * _KMV_M // kth
+    return spark.createDataFrame(
+        [("ALL", est, kth)], "scope string, est_distinct bigint, kth_hash bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
 # STAGED manifest — tests/test_staged_r14.py verifies every triple at
 # sf0.001 AND sf0.01 on every pytest run; tests/test_staged_gate.py adds
 # the four degenerate-shape sweeps; round 14 promotes them.
@@ -760,6 +997,16 @@ def _staged() -> dict[str, tuple]:
             text_zipf_fit,
             _zipf_oracle(),
             text_zipf_fit.__doc__,
+        ),
+        "sample_stratified_neyman": (
+            sample_stratified_neyman,
+            _NEYMAN_ORACLE,
+            sample_stratified_neyman.__doc__,
+        ),
+        "stream_sketch_kmv": (
+            stream_sketch_kmv,
+            _KMV_STREAM_ORACLE,
+            stream_sketch_kmv.__doc__,
         ),
     }
 

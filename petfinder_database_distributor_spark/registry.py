@@ -129,10 +129,11 @@ PRIORITY: list[str] = [
     # R14 ROTATION PLAN (precomputed at r13 close so the next promotion
     # is mechanical; newest-row recount assumes this r13 window goes
     # green). Window = EXACTLY 50:
-    #   (a) the SIX staged_r14 promotions (sample_kcenter_bucketed,
+    #   (a) the EIGHT staged_r14 promotions (sample_kcenter_bucketed,
     #       sketch_kmv_distinct, text_paragraph_dedup, graph_bfs_layers,
-    #       json_kv_profile, text_zipf_fit — all already at the full
-    #       bar incl. the promotion gate, tests/test_staged_r14.py);
+    #       json_kv_profile, text_zipf_fit, sample_stratified_neyman,
+    #       stream_sketch_kmv — all already at the full bar incl. the
+    #       promotion gate, tests/test_staged_r14.py);
     #   (b) the ENTIRE r9-newest-row cohort, 37 names by recount:
     #       agg_distinct_users, cdc_snapshot_diff, compaction_bin_pack,
     #       decontamination_check, dedup_canonical_quality,
@@ -148,14 +149,14 @@ PRIORITY: list[str] = [
     #       text_chunking, text_fingerprint, text_lang_id,
     #       text_quality_score, text_redact_pii, text_repetition_ratio,
     #       text_token_stats, w1_topk_per_group;
-    #   (c) SEVEN r10 names starting the next drain — the two remaining
+    #   (c) FIVE r10 names starting the next drain — the two remaining
     #       refreshed-oracle TPC-H (q19_disjunctive_predicates,
     #       q22_dormant_customers) first, then alphabetical head
     #       (bpe_first_merges, cluster_kmeans_int8,
-    #       corpus_boilerplate_strip, dedup_incremental_batch,
-    #       dedup_ngram_jaccard). q17_sql_correlated (r11) rides r15.
-    # At 213 registrations the cadence bound is ceil(213/50) = 5 rounds,
-    # so the remaining r10 cohort (23 names) is legal through r15 —
+    #       corpus_boilerplate_strip). q17_sql_correlated (r11) rides
+    #       r15.
+    # At 215 registrations the cadence bound is ceil(215/50) = 5 rounds,
+    # so the remaining r10 cohort (25 names) is legal through r15 —
     # CI-checked every run by test_driver_row_cadence.
 ]
 

@@ -836,6 +836,10 @@ def test_no_unpartitioned_windows_over_data_scale_frames():
         # <=64-row TakeOrderedAndProject result (the top-64 term
         # frequencies — the rank window runs after the limit):
         ("staged_r14.py", "text_zipf_fit"),
+        # |event_type|-row remainder-rank frame (largest-remainder
+        # apportionment — same register class as the domain budgets;
+        # the corpus-sized work is the two hash aggs before it):
+        ("staged_r14.py", "sample_stratified_neyman"),
         # one-off streaming-FIXTURE staging (balanced chunk split for the
         # micro-batch tests; never an operator plan — the r10 verdict's
         # adjudication, now pinned by the repo-wide scan):

@@ -293,3 +293,75 @@ def test_zipf_fit_fixture_shape(spark):
     rows = fn(spark, SF_SMALL).collect()
     assert len(rows) == 1
     assert -500 <= rows[0]["slope_milli"] <= 0, rows[0]["slope_milli"]
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified_neyman
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    """Largest-remainder exactness + the Neyman ORDER property: the
+    allocation sums to the budget exactly, and a stratum with both more
+    rows and more dispersion never receives less than its dominated
+    peer."""
+    fn, _oracle, _ = STAGED["sample_stratified_neyman"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert rows
+    assert sum(r["alloc_n"] for r in rows) == 1000
+    for a in rows:
+        for b in rows:
+            if (
+                a["n_rows"] >= b["n_rows"]
+                and a["mad_cents"] >= b["mad_cents"]
+                and a["n_rows"] * a["mad_cents"] > b["n_rows"] * b["mad_cents"]
+            ):
+                assert a["alloc_n"] >= b["alloc_n"], (a, b)
+
+
+def test_neyman_constant_corpus_yields_zero_rows(spark, tmp_path):
+    """All-constant measures => every stratum's dispersion is 0 => the
+    weight mass vanishes => ZERO rows on both engines (the r13 wsum
+    contract), never a divide-by-zero."""
+    import duckdb
+
+    from tests.oracle_compare import assert_parity, run_oracle
+
+    tmp = str(tmp_path)
+    duckdb.connect().execute(f"""COPY (
+      SELECT ROW_NUMBER() OVER () AS event_id, TIMESTAMP '2024-01-01' AS ts,
+             1 AS user_id, t.et AS event_type, 5.0 AS value, '{{}}' AS props
+      FROM (VALUES ('click'), ('view'), ('click')) t(et)
+    ) TO '{tmp}/events.parquet' (FORMAT PARQUET)""")
+    import shutil
+
+    from tests.conftest import SF_SMALL as _S
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{_S}/{t}.parquet", f"{tmp}/{t}.parquet")
+    fn, oracle, _ = STAGED["sample_stratified_neyman"]
+    out = fn(spark, tmp)
+    assert out.count() == 0
+    assert_parity(out, run_oracle(oracle, tmp), "neyman_constant")
+
+
+# ---------------------------------------------------------------------------
+# stream_sketch_kmv
+# ---------------------------------------------------------------------------
+
+
+def test_stream_kmv_equals_batch_register(spark):
+    """The streaming register (per-batch reduce + monoid merge) must
+    equal the batch sketch's ALL row — mergeability is the property that
+    makes the sketch distributable at all."""
+    fn_stream, _o1, _ = STAGED["stream_sketch_kmv"]
+    fn_batch, _o2, _ = STAGED["sketch_kmv_distinct"]
+    stream_rows = fn_stream(spark, SF_SMALL).collect()
+    batch_all = [
+        r for r in fn_batch(spark, SF_SMALL).collect() if r["scope"] == "ALL"
+    ]
+    assert len(stream_rows) == 1 and len(batch_all) == 1
+    s, b = stream_rows[0], batch_all[0]
+    assert s["est_distinct"] == b["est_distinct"]
+    assert s["kth_hash"] == b["kth_hash"]
