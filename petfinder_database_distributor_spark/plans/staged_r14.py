@@ -1012,3 +1012,17 @@ def _staged() -> dict[str, tuple]:
 
 
 STAGED = _staged()
+
+
+# ---------------------------------------------------------------------------
+# Round-14 promotion: the staging bar is met (oracle parity at sf0.001 +
+# sf0.01 on every pytest run since r13, 8x/32x scale probes in PLANS.md,
+# and the four degenerate-shape sweeps in tests/test_staged_gate.py) —
+# the eight triples register for real; registry.load_all() imports this
+# module as of round 14 and the names head the r14 PRIORITY window for
+# their first external driver rows.
+# ---------------------------------------------------------------------------
+from petfinder_database_distributor_spark.registry import register  # noqa: E402
+
+for _name, (_fn, _oracle, _doc) in STAGED.items():
+    register(_name, oracle=_oracle, doc=_doc)(_fn)

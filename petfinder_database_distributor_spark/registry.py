@@ -60,103 +60,77 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (The round-6 window drained 47 never-sampled names; its composition is
 # recorded in the git history of this list.)
 PRIORITY: list[str] = [
-    # -- r13 window (exact 50) — the rotation precomputed at r12 close,
-    # executed verbatim. Head: the SIX staged_r13 promotions (new
+    # -- r14 window (exact 50) — the rotation precomputed at r13 close,
+    # executed verbatim. Head: the EIGHT staged_r14 promotions (new
     # registrations owe their first external driver row). Then the
-    # 32-name r8 leftover cohort, drained to zero exactly as the cadence
-    # rule requires (ceil(207/50) = 5 rounds; r8 rows expire after r13).
-    # Tail: 12 of the 15 TPC-H queries whose ORACLES gained the explicit
-    # round() rescale in r12 (changed oracle text earns a refreshed row
-    # even though clean-fixture hashes are provably unchanged) — oldest
-    # newest-row first (q1/q3/q5 at r9, then the r10 nine); the
-    # remaining three (q19_disjunctive_predicates, q22_dormant_customers
-    # at r10; q17_sql_correlated at r11) head the R14 WINDOW with the
-    # r9 cohort (40 names by the r12 recount) — see the R14 ROTATION
-    # PLAN note at the end of this list.
-    # --- registered this round (staged_r13 promotions):
-    "text_c4_rules",
-    "domain_budget_temperature",
-    "text_vocab_coverage",
-    "graph_kcore_decomposition",
-    "text_gopher_repetition",
-    "snapshot_vacuum_retention",
-    # --- r8-cohort drain (all 32 remaining r8-newest-row names):
-    "bpe_encode_segments",
-    "corpus_span_excision",
-    "dedup_apply_corpus",
-    "dedup_levenshtein",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_span_overlap",
-    "ingest_frontend",
-    "j1_semi_anti_join",
-    "j5_bucketed_join",
-    "merge_partitioned_upsert",
-    "mm_binary_metadata",
-    "mm_resize",
-    "p1_html_project",
-    "ref_key_dedup",
-    "ref_liveness_filter",
-    "ref_nonblank_key",
-    "ref_null_ratio_filter",
-    "ref_placeholder_filter",
-    "ref_worklist_urls",
-    "sample_priority_topk",
-    "sketch_cms_term_counts",
-    "snapshot_clone_cow",
-    "snapshot_partitioned_source_scan",
-    "snapshot_point_lookup",
-    "snapshot_restore",
-    "snapshot_time_travel",
-    "stream_dedup_replay",
-    "stream_stream_interval_join",
-    "stream_upsert_merge",
-    "tfidf_top_terms",
-    "udtf_chunk_documents",
-    # --- refreshed-oracle TPC-H (12 oldest of the 15 round() rescales):
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_orders",
-    # R14 ROTATION PLAN (precomputed at r13 close so the next promotion
-    # is mechanical; newest-row recount assumes this r13 window goes
-    # green). Window = EXACTLY 50:
-    #   (a) the EIGHT staged_r14 promotions (sample_kcenter_bucketed,
-    #       sketch_kmv_distinct, text_paragraph_dedup, graph_bfs_layers,
-    #       json_kv_profile, text_zipf_fit, sample_stratified_neyman,
-    #       stream_sketch_kmv — all already at the full bar incl. the
-    #       promotion gate, tests/test_staged_r14.py);
-    #   (b) the ENTIRE r9-newest-row cohort, 37 names by recount:
-    #       agg_distinct_users, cdc_snapshot_diff, compaction_bin_pack,
-    #       decontamination_check, dedup_canonical_quality,
-    #       dedup_cluster_components, dedup_exact, dedup_minhash_lsh,
-    #       dedup_ngram_containment, export_roundtrip_csv,
-    #       g1_datasource_ingest, g1_rollup_revenue, mm_decode_features,
-    #       mm_frame_sample, p2_src_attr_project, ref_anti_join,
-    #       ref_compaction, ref_upsert_merge, s1_fetch_extract,
-    #       s8_json_rows, sample_stratified, scd2_user_history,
-    #       search_bm25_topk, sketch_hll_distinct_users,
-    #       snapshot_concurrent_append, split_train_test,
-    #       stream_retention_cohorts, stream_sketch_hll, text_bigram_tf,
-    #       text_chunking, text_fingerprint, text_lang_id,
-    #       text_quality_score, text_redact_pii, text_repetition_ratio,
-    #       text_token_stats, w1_topk_per_group;
-    #   (c) FIVE r10 names starting the next drain — the two remaining
-    #       refreshed-oracle TPC-H (q19_disjunctive_predicates,
-    #       q22_dormant_customers) first, then alphabetical head
-    #       (bpe_first_merges, cluster_kmeans_int8,
-    #       corpus_boilerplate_strip). q17_sql_correlated (r11) rides
-    #       r15.
-    # At 215 registrations the cadence bound is ceil(215/50) = 5 rounds,
-    # so the remaining r10 cohort (25 names) is legal through r15 —
+    # ENTIRE 37-name r9-newest-row cohort, drained to zero exactly as
+    # the cadence rule requires (ceil(215/50) = 5 rounds; r9 rows expire
+    # after r14). Tail: FIVE r10 names starting the next drain — the
+    # two remaining refreshed-oracle TPC-H first, then alphabetical
+    # head. See the R15 ROTATION PLAN note at the end of this list.
+    # --- registered this round (staged_r14 promotions):
+    "sample_kcenter_bucketed",
+    "sketch_kmv_distinct",
+    "text_paragraph_dedup",
+    "graph_bfs_layers",
+    "json_kv_profile",
+    "text_zipf_fit",
+    "sample_stratified_neyman",
+    "stream_sketch_kmv",
+    # --- r9-cohort drain (all 37 remaining r9-newest-row names):
+    "agg_distinct_users",
+    "cdc_snapshot_diff",
+    "compaction_bin_pack",
+    "decontamination_check",
+    "dedup_canonical_quality",
+    "dedup_cluster_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_containment",
+    "export_roundtrip_csv",
+    "g1_datasource_ingest",
+    "g1_rollup_revenue",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "p2_src_attr_project",
+    "ref_anti_join",
+    "ref_compaction",
+    "ref_upsert_merge",
+    "s1_fetch_extract",
+    "s8_json_rows",
+    "sample_stratified",
+    "scd2_user_history",
+    "search_bm25_topk",
+    "sketch_hll_distinct_users",
+    "snapshot_concurrent_append",
+    "split_train_test",
+    "stream_retention_cohorts",
+    "stream_sketch_hll",
+    "text_bigram_tf",
+    "text_chunking",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_redact_pii",
+    "text_repetition_ratio",
+    "text_token_stats",
+    "w1_topk_per_group",
+    # --- r10-cohort drain head (5 names; TPC-H refreshed oracles first):
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "bpe_first_merges",
+    "cluster_kmeans_int8",
+    "corpus_boilerplate_strip",
+    # R15 ROTATION PLAN (precomputed at r14 close so the next promotion
+    # is mechanical; newest-row recount assumes this r14 window goes
+    # green). Window = up to 50:
+    #   (a) any staged_r15 promotions (Kneser-Ney perplexity et al.);
+    #   (b) the REMAINING r10-newest-row cohort (25 names after this
+    #       window's five-name head drain) — drained oldest-first;
+    #   (c) q17_sql_correlated (r11) plus the oldest r11 names to fill
+    #       the window.
+    # At ~215-220 registrations the cadence bound is ceil(n/50) = 5
+    # rounds, so the r11 cohort (40 names) is legal through r16 —
     # CI-checked every run by test_driver_row_cadence.
 ]
 
@@ -214,6 +188,7 @@ def load_all() -> dict[str, QuerySpec]:
         source_sink_plans,
         staged_r12,
         staged_r13,
+        staged_r14,
         streaming_plans,
         tpch_extended,
     )
