@@ -21,6 +21,8 @@ from petfinder_database_distributor_spark.registry import register
 from petfinder_database_distributor_spark.schema import (
     MEASURE_RANGE,
     finite_measures,
+    first_occurrence,
+    first_occurrence_sql,
     load_table,
 )
 from petfinder_database_distributor_spark.util import int_div
@@ -294,6 +296,21 @@ def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(sum(CASE WHEN isfinite(value) AND abs(value) >= 1000000000000.0
                         THEN 1 ELSE 0 END), 0)::BIGINT
     FROM events
+    UNION ALL
+    SELECT 'value_mass_parity',
+           coalesce(sum(CASE WHEN isfinite(value) AND abs(value) < 1000000000000.0
+                        THEN 1 ELSE 0 END), 0)::BIGINT,
+           (CASE WHEN coalesce(sum(CASE WHEN isfinite(value)
+                                         AND abs(value) < 1000000000000.0
+                                    THEN CAST(abs(value) AS DECIMAL(38,6))
+                                    ELSE CAST(0 AS DECIMAL(38,6)) END),
+                          CAST(0 AS DECIMAL(38,6))) * 100
+                      >= 9007199254740992 THEN 1 ELSE 0 END)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'vec_id_unique', count(vec_id)::BIGINT,
+           (count(vec_id) - count(DISTINCT vec_id))::BIGINT
+    FROM embeddings
     """,
     doc="Declarative data-validation audit (the Deequ/expectations shape a "
     "pipeline runs BEFORE shipping a snapshot to training): completeness, "
@@ -335,6 +352,24 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ~F.col("event_type").isin("view", "click", "purchase", "signup"), 1
             ).otherwise(0)
         ).alias("bad_type"),
+        F.count(
+            F.when(
+                ~F.isnan(F.col("value"))
+                & (F.abs(F.col("value")) != F.lit(float("inf")))
+                & (F.abs(F.col("value")) < F.lit(MEASURE_RANGE)),
+                1,
+            )
+        ).alias("n_env_value"),
+        F.sum(
+            F.when(
+                ~F.isnan(F.col("value"))
+                & (F.abs(F.col("value")) != F.lit(float("inf")))
+                & (F.abs(F.col("value")) < F.lit(MEASURE_RANGE)),
+                F.abs(F.col("value")),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(38,6)")
+        ).alias("env_mass"),
     )
     rules = F.array(
         F.struct(
@@ -377,10 +412,50 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_value").alias("n_checked"),
             F.coalesce(F.col("outofrange_value"), F.lit(0)).alias("n_violations"),
         ),
+        # aggregate-parity envelope rule (r14, the r13-advice guard): the
+        # per-VALUE envelope above cannot bound a SUM. DOUBLE-typed
+        # decimal-sum outputs (output scale <= 2 by the rescale contract)
+        # are last-bit parity-exact only while |sum|*10^2 < 2^53 (DuckDB's
+        # decimal->double cast mis-rounds past the mantissa; Spark's is
+        # correctly rounded). Since groups partition rows, the decimal-
+        # exact TOTAL mass sum(|v|) bounds every group/window sum any
+        # registered query can form — one violation flag covers the whole
+        # registry. tests/test_dirty_data_contracts.py pins the fixture
+        # mass inside the envelope and witnesses the flag flipping on a
+        # beyond-mass fixture with cross-engine parity.
+        F.struct(
+            F.lit("value_mass_parity").alias("rule"),
+            F.col("n_env_value").alias("n_checked"),
+            F.when(
+                F.coalesce(
+                    F.col("env_mass"), F.lit(0).cast("decimal(38,6)")
+                )
+                * 100
+                >= F.lit(2**53),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("n_violations"),
+        ),
     )
-    return agg.select(F.explode(rules).alias("r")).select(
+    ev_rules = agg.select(F.explode(rules).alias("r")).select(
         "r.rule", "r.n_checked", "r.n_violations"
     )
+    # duplicate-primary-key rule (r14 dirt contract): a duplicate vec_id
+    # silently doubles rows through every index join downstream — the
+    # validator REPORTS it; first_occurrence() is the canonicalization
+    emb_rules = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(
+            F.count("vec_id").alias("n_checked"),
+            (F.count("vec_id") - F.count_distinct("vec_id")).alias("n_violations"),
+        )
+        .select(
+            F.lit("vec_id_unique").alias("rule"), "n_checked", "n_violations"
+        )
+    )
+    return ev_rules.unionByName(emb_rules)
 
 
 @register(
@@ -637,4 +712,56 @@ def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "n_chars", pri.alias("priority"))
         .orderBy(F.desc("priority"), F.asc("doc_id"))
         .limit(200)
+    )
+
+
+_KEYDEDUP_TIEBREAK = ["ts", "user_id", "event_type", "value", "props"]
+
+
+@register(
+    "keydedup_first_occurrence",
+    oracle=f"""
+    WITH canon AS (
+      SELECT * FROM {first_occurrence_sql("events", "event_id", ["ts", "user_id", "event_type", "value", "props"])}
+    )
+    SELECT coalesce(event_type, '') AS event_type,
+           count(*)::BIGINT AS n_rows,
+           sum(user_id)::BIGINT AS sum_user,
+           sum(epoch_us(ts))::VARCHAR AS sum_ts_us,
+           sum(length(props))::BIGINT AS sum_props_len
+    FROM canon
+    GROUP BY 1
+    """,
+    doc="Duplicate-primary-key canonicalization (the r14 dirt contract's "
+    "registered witness): events is reduced to ONE row per event_id via "
+    "the deterministic first-occurrence rule — the row that sorts first "
+    "by the content tiebreak (ts, user_id, event_type, value, props), "
+    "ASC NULLS LAST, never file/scan order (schema.first_occurrence; "
+    "SQL twin schema.first_occurrence_sql keeps the tiebreak from "
+    "drifting between engines). NULL-key rows pass through (the "
+    "completeness rule reports them). The audit output is one row per "
+    "event_type with integer-exact winner checksums (sum of user_id, "
+    "epoch-µs, props length over canonical rows) — compact, and any "
+    "cross-engine disagreement about WHICH duplicate won flips a "
+    "checksum. One key-partitioned shuffle + per-key sort (AQE skew "
+    "split applies), then a partial-aggregated rollup to |event types| "
+    "rows — the 100 TB shape of an idempotent re-ingest compaction.",
+)
+def keydedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    canon = first_occurrence(ev, "event_id", _KEYDEDUP_TIEBREAK)
+    return canon.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("")).alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").alias("sum_user"),
+        # epoch-µs mass overflows BIGINT past ~5k rows/group (1.7e15 each;
+        # caught by the r14 sf0.1 bench, NOT the sf0.01 gate — 9.2e18/µs
+        # epoch ≈ 5.3k rows): DECIMAL(38,0)-exact sum emitted as digit
+        # STRING on both engines (the ref_scalar_suite checksum pattern;
+        # DuckDB's HUGEINT sum would otherwise silently diverge in repr)
+        F.sum(F.unix_micros("ts").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("sum_ts_us"),
+        F.sum(F.length("props")).alias("sum_props_len"),
     )

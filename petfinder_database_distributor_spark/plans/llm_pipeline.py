@@ -93,6 +93,30 @@ _SHINGLES_SQL = f"""
   FROM ({_TOKS_SQL}) WHERE len(t) >= 3
 """
 
+# Candidate-bounded EXACT-Jaccard oracle (r14, r13 verdict #3): the
+# exact-Jaccard oracles previously verified with an all-pairs
+# list_intersect join — O(n²·|s|), 502 s at sf0.1, dwarfing the engine's
+# entire 207-query bench. Because shingle lists are list_distinct SETS,
+# counting shared postings per pair is EXACTLY |intersection|, and a
+# pair at jaccard >= 0.5 > 0 must share at least one shingle — so the
+# postings-join form enumerates precisely the same pairs with
+# bit-identical jaccard values (same integer operands, same DOUBLE
+# division), at candidate-bounded cost that tracks the engine's own
+# inverted-index plan instead of the corpus squared.
+_EXACT_JACCARD_ORACLE = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    inv AS (SELECT doc_id, len(s) AS sz, u.x AS shingle FROM sh, unnest(sh.s) u(x)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           inter::DOUBLE / (sz_a + sz_b - inter) AS jaccard
+    FROM inter WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.5
+"""
+
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -274,16 +298,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     # Posture-independent oracle: direct and salted are both EXACT, so the
-    # chooser never changes results — only the shuffle layout.
-    oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(a.s, b.s))::DOUBLE
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s))::DOUBLE
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-    """,
+    # chooser never changes results — only the shuffle layout. The oracle
+    # is the candidate-bounded postings-join form (identical hash to the
+    # retired all-pairs form; see _EXACT_JACCARD_ORACLE).
+    oracle=_EXACT_JACCARD_ORACLE,
     doc="EXACT near-dup pairs by 3-gram Jaccard; the unqualified name is the "
     "deployable chooser (round-5 verdict #3): it measures Σdf² and picks the "
     "direct postings join when small, the salted two-phase join when "
@@ -296,15 +314,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard_baseline",
-    oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(a.s, b.s))::DOUBLE
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s))::DOUBLE
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-    """,
+    oracle=_EXACT_JACCARD_ORACLE,
     doc="The raw direct-join exact form, Σdf²-guarded (refuses above "
     "max_join_rows instead of launching a skewed shuffle) — kept as the "
     "mutual-witness parity baseline; deploy dedup_ngram_jaccard instead",
@@ -355,16 +365,8 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_salted",
     # Salting only changes execution layout, never results — the oracle is
-    # the SAME plain exact-Jaccard SQL as dedup_ngram_jaccard.
-    oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(a.s, b.s))::DOUBLE
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s))::DOUBLE
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-    """,
+    # the SAME candidate-bounded exact-Jaccard SQL as dedup_ngram_jaccard.
+    oracle=_EXACT_JACCARD_ORACLE,
     doc="EXACT n-gram Jaccard with the salted two-phase postings join "
     "(hot_cap=64): shingles hotter than the cap are bucketed into "
     "ceil(df/cap) id-hash salts and joined on (shingle, i, j), so every "

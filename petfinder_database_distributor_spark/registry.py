@@ -68,7 +68,10 @@ PRIORITY: list[str] = [
     # after r14). Tail: FIVE r10 names starting the next drain — the
     # two remaining refreshed-oracle TPC-H first, then alphabetical
     # head. See the R15 ROTATION PLAN note at the end of this list.
-    # --- registered this round (staged_r14 promotions):
+    # --- registered this round (staged_r14 promotions + the dup-key
+    # contract's witness query; validate_constraints rides in the tail
+    # because its oracle/plan gained the vec_id_unique rule this round):
+    "keydedup_first_occurrence",
     "sample_kcenter_bucketed",
     "sketch_kmv_distinct",
     "text_paragraph_dedup",
@@ -115,23 +118,39 @@ PRIORITY: list[str] = [
     "text_repetition_ratio",
     "text_token_stats",
     "w1_topk_per_group",
-    # --- r10-cohort drain head (5 names; TPC-H refreshed oracles first):
+    # --- changed-this-round refreshes: validate_constraints gained the
+    # vec_id_unique + value_mass_parity rules; dedup_ngram_jaccard's
+    # oracle was rewritten to the candidate-bounded postings-join form
+    # (502 s -> 0.7 s at sf0.1; result-identical, proven executable in
+    # tests/test_plan_quality.py::test_exact_jaccard_oracle_identity).
+    # The _baseline/_salted twins share the SAME rewritten oracle string
+    # and newer rows (r11/r12) — they ride the r15 window:
+    "validate_constraints",
+    "dedup_ngram_jaccard",
+    # --- r10-cohort drain head (2 names; the TPC-H refreshed oracles —
+    # cluster_kmeans_int8 / corpus_boilerplate_strip / bpe_first_merges
+    # ceded their slots to the dup-key contract and oracle-rewrite
+    # refreshes above; their r10 rows stay legal through r15 under the
+    # cadence bound):
     "q19_disjunctive_predicates",
     "q22_dormant_customers",
-    "bpe_first_merges",
-    "cluster_kmeans_int8",
-    "corpus_boilerplate_strip",
     # R15 ROTATION PLAN (precomputed at r14 close so the next promotion
     # is mechanical; newest-row recount assumes this r14 window goes
     # green). Window = up to 50:
     #   (a) any staged_r15 promotions (Kneser-Ney perplexity et al.);
-    #   (b) the REMAINING r10-newest-row cohort (25 names after this
-    #       window's five-name head drain) — drained oldest-first;
-    #   (c) q17_sql_correlated (r11) plus the oldest r11 names to fill
+    #   (b) the two remaining changed-oracle refreshes that shared the
+    #       rewritten exact-Jaccard oracle string this round:
+    #       dedup_ngram_jaccard_baseline (r11 row),
+    #       dedup_ngram_jaccard_salted (r12 row);
+    #   (c) the REMAINING r10-newest-row cohort, 26 names after this
+    #       window's two-name drain (incl. the three that ceded slots:
+    #       bpe_first_merges, cluster_kmeans_int8,
+    #       corpus_boilerplate_strip) — drained oldest-first;
+    #   (d) q17_sql_correlated (r11) plus the oldest r11 names to fill
     #       the window.
-    # At ~215-220 registrations the cadence bound is ceil(n/50) = 5
-    # rounds, so the r11 cohort (40 names) is legal through r16 —
-    # CI-checked every run by test_driver_row_cadence.
+    # At 216+ registrations the cadence bound is ceil(n/50) = 5 rounds,
+    # so the r11 cohort (40 names) is legal through r16 — CI-checked
+    # every run by test_driver_row_cadence.
 ]
 
 

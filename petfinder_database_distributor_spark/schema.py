@@ -159,15 +159,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #     DECIMAL(38,0)/HUGEINT — the embedding_dim_stats widening
 #     pattern): worst term (n*c - s)^2 <= (16e14)^2 ~ 2.6e30 << 1e38.
 #
-# Aggregate-magnitude headroom (documented, volume- not value-bound):
-# DOUBLE-typed decimal-sum outputs are last-bit parity-exact while
-# |sum| * 10^scale < 2^53 (probed: DuckDB's decimal->double conversion
-# mis-rounds the last bit past 2^53, Spark doesn't) — 9.0e13 at
-# scale 2; int64 cents totals hold to 9.2e18 cents and fail LOUDLY
-# under ANSI beyond. A measurement outside the envelope cannot flow
-# through the exact pipeline — excluded like a non-finite one (loudly
-# bounded semantics beat a one-record job kill at 100 TB);
-# validate_constraints REPORTS such rows via its value_in_range rule.
+# Aggregate-magnitude headroom (volume- not value-bound — GUARDED as of
+# r14, the r13-advice fix): DOUBLE-typed decimal-sum outputs are
+# last-bit parity-exact while |sum| * 10^scale < 2^53 (probed: DuckDB's
+# decimal->double conversion mis-rounds the last bit past 2^53, Spark's
+# is correctly rounded) — 9.0e13 at the contract's output scale 2;
+# int64 cents totals hold to 9.2e18 cents and fail LOUDLY under ANSI
+# beyond. Because groups partition rows, the decimal-exact total mass
+# sum(|v|) bounds every group/window sum any registered query can form,
+# so ONE flag covers the registry: validate_constraints' r14
+# value_mass_parity rule reports when sum(|v|)*10^2 >= 2^53, and
+# tests/test_dirty_data_contracts.py both pins every fixture's mass
+# inside the envelope and witnesses the flag flipping (with cross-
+# engine parity) on a beyond-mass fixture. A measurement outside the
+# per-value envelope cannot flow through the exact pipeline — excluded
+# like a non-finite one (loudly bounded semantics beat a one-record job
+# kill at 100 TB); validate_constraints REPORTS such rows via its
+# value_in_range rule.
 MEASURE_RANGE = 1e12
 
 
@@ -196,4 +204,64 @@ def finite_measures(df: DataFrame, col: str = "value") -> DataFrame:
             & (c != F.lit(float("-inf")))
             & (F.abs(c) < F.lit(MEASURE_RANGE))
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-primary-key contract (round 14 — the fourth dirt class, same
+# family as r12's zero-norm / non-finite / malformed-JSON three). The
+# clean fixtures are generator-perfect: event_id and vec_id are unique.
+# Real 100 TB corpora are not — a retried ingest batch or a re-shipped
+# shard lands the same key twice, and a duplicate vec_id silently DOUBLES
+# rows through every index join while a duplicate event_id breaks the
+# dedup-replay and monotonicity assumptions. Contract: canonicalization
+# keeps the FIRST occurrence per key, where "first" is defined by a
+# CONTENT tiebreak — a total order over the row's other columns with
+# ASC NULLS LAST pinned on both engines — NOT by file/scan order, which
+# is neither deterministic under Spark's split planning nor portable to
+# the oracle. Rows with a NULL key pass through untouched (they cannot
+# collide; completeness rules report them). Full-content ties collapse
+# to one row regardless of which copy wins — identical bytes, identical
+# answer. Probed cross-engine before landing: lexicographic array
+# compare (shorter-prefix-first), NaN > +Inf > finite, and NULLS LAST
+# agree between Spark orderBy and DuckDB ORDER BY ... NULLS LAST.
+# ---------------------------------------------------------------------------
+
+
+def first_occurrence(df: DataFrame, key: str, tiebreak: list[str]) -> DataFrame:
+    """Keep one row per non-null ``key``: the row that sorts first by
+    ``tiebreak`` (ASC NULLS LAST per column — the deterministic,
+    engine-portable definition of "first occurrence"). NULL-key rows are
+    preserved as-is.
+
+    One hash-partitioned shuffle on the key plus a within-partition sort
+    (`row_number` over `Window.partitionBy(key)`); AQE's skew-join
+    splitting applies to the shuffle, and map-side the scan stays a
+    plain columnar read — no driver collect, no global sort. DuckDB
+    twin: ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY ...
+    ASC NULLS LAST) = 1`` plus a UNION ALL of the NULL-key slice.
+    """
+    from pyspark.sql.window import Window
+
+    cols = df.columns
+    keyed = df.filter(F.col(key).isNotNull())
+    order = [F.col(c).asc_nulls_last() for c in tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
+    canon = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*cols)
+    )
+    return canon.unionByName(df.filter(F.col(key).isNull()))
+
+
+def first_occurrence_sql(table: str, key: str, tiebreak: list[str]) -> str:
+    """The DuckDB twin of :func:`first_occurrence`, as a subquery string
+    (kept next to the Spark side so the tiebreak order can never drift
+    between engines)."""
+    order = ", ".join(f"{c} ASC NULLS LAST" for c in tiebreak)
+    return (
+        f"(SELECT * FROM {table} WHERE {key} IS NOT NULL "
+        f"QUALIFY row_number() OVER (PARTITION BY {key} ORDER BY {order}) = 1 "
+        f"UNION ALL SELECT * FROM {table} WHERE {key} IS NULL)"
     )

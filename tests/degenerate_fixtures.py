@@ -138,3 +138,54 @@ def build_dirty_fixture(tmp: str) -> str:
               "lineitem", "documents"):
         shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{tmp}/{t}.parquet")
     return tmp
+
+
+def build_dupkey_fixture(tmp: str) -> str:
+    """The r14 duplicate-primary-key fixture: re-ingested rows sharing an
+    event_id / vec_id, each duplicate pair exercising one branch of the
+    first-occurrence content tiebreak (earlier ts wins; same-ts value
+    tiebreak; NULLS LAST so a NULL props loses to a real one; a
+    full-content tie collapses to one identical row), plus one NULL-key
+    row that must pass through untouched. See tests/
+    test_dupkey_contract.py for the per-branch contracts."""
+    con = duckdb.connect()
+    con.execute(f"""COPY (
+      SELECT * FROM read_parquet('{SF_SMALL}/events.parquet')
+      -- earlier ts wins (tiebreak col 1)
+      UNION ALL SELECT 77700, TIMESTAMP '2024-02-02 10:00:00', 21,
+                 'click', 1.5, '{{"k": 1}}'
+      UNION ALL SELECT 77700, TIMESTAMP '2024-02-02 10:01:00', 22,
+                 'view', 2.5, '{{"k": 2}}'
+      -- same ts: smaller user_id wins (tiebreak col 2)
+      UNION ALL SELECT 77701, TIMESTAMP '2024-02-02 10:02:00', 31,
+                 'purchase', 3.5, '{{"k": 3}}'
+      UNION ALL SELECT 77701, TIMESTAMP '2024-02-02 10:02:00', 30,
+                 'signup', 4.5, '{{"k": 4}}'
+      -- NULLS LAST: the row WITH props wins over the NULL-props copy
+      UNION ALL SELECT 77702, TIMESTAMP '2024-02-02 10:03:00', 41,
+                 'click', 5.5, NULL
+      UNION ALL SELECT 77702, TIMESTAMP '2024-02-02 10:03:00', 41,
+                 'click', 5.5, '{{"k": 5}}'
+      -- full-content tie: collapses to one byte-identical row
+      UNION ALL SELECT 77703, TIMESTAMP '2024-02-02 10:04:00', 51,
+                 'view', 6.5, '{{"k": 6}}'
+      UNION ALL SELECT 77703, TIMESTAMP '2024-02-02 10:04:00', 51,
+                 'view', 6.5, '{{"k": 6}}'
+      -- NULL key: passes through (completeness reports it, dedup must not
+      -- collapse unrelated keyless rows into one)
+      UNION ALL SELECT NULL, TIMESTAMP '2024-02-02 10:05:00', 61,
+                 'click', 7.5, '{{"k": 7}}'
+    ) TO '{tmp}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (
+      SELECT * FROM read_parquet('{SF_SMALL}/embeddings.parquet')
+      -- duplicate vec_id, different label: smaller label wins
+      UNION ALL SELECT 88800, [0.25 for i in range(64)]::FLOAT[], 1
+      UNION ALL SELECT 88800, [0.75 for i in range(64)]::FLOAT[], 0
+      -- duplicate vec_id, same label: lexicographically smaller vector wins
+      UNION ALL SELECT 88801, [0.5 for i in range(64)]::FLOAT[], 2
+      UNION ALL SELECT 88801, [0.125 for i in range(64)]::FLOAT[], 2
+    ) TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)""")
+    for t in TABLES:
+        if t not in ("events", "embeddings"):
+            shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{tmp}/{t}.parquet")
+    return tmp

@@ -129,22 +129,50 @@ def test_malformed_json_parity(spark, dirty_sf_dir, name):
     _assert_family_parity(spark, dirty_sf_dir, name)
 
 
+def _all_oracles() -> dict[str, str]:
+    """Registered oracles PLUS every staged_r* manifest's oracle (r13
+    advice: staged-but-unregistered SQL must not escape the anti-drift
+    scan until promotion)."""
+    import importlib
+    import pkgutil
+
+    from petfinder_database_distributor_spark import plans
+    from petfinder_database_distributor_spark.registry import load_all
+
+    oracles = {
+        name: spec.oracle for name, spec in load_all().items() if spec.oracle
+    }
+    for mod in pkgutil.iter_modules(plans.__path__):
+        if not mod.name.startswith("staged_r"):
+            continue
+        m = importlib.import_module(
+            f"petfinder_database_distributor_spark.plans.{mod.name}"
+        )
+        for name, (_fn, oracle, _doc) in getattr(m, "STAGED", {}).items():
+            if oracle:
+                oracles.setdefault(f"{mod.name}:{name}", oracle)
+    return oracles
+
+
 def test_oracle_envelope_literals_match_measure_range():
-    """Anti-drift pin (r13): the finite-measure contract's range bound is
-    embedded as a literal in ~20 oracle strings (they are plain SQL, not
-    f-strings); every such literal must equal schema.MEASURE_RANGE so the
-    envelope can never be widened on one engine only."""
+    """Anti-drift pin (r13, regex widened r14 per advice): the finite-
+    measure contract's range bound is embedded as a literal in ~20
+    oracle strings (they are plain SQL, not f-strings); every such
+    literal — decimal, integer, OR scientific form — must equal
+    schema.MEASURE_RANGE so the envelope can never be widened on one
+    engine only. Staged manifests are scanned alongside registered
+    oracles."""
     import re
 
-    from petfinder_database_distributor_spark.registry import load_all
     from petfinder_database_distributor_spark.schema import MEASURE_RANGE
 
-    pat = re.compile(r"abs\((?:\w+\.)?value\)\s*(?:<|>=)\s*([0-9]+\.[0-9]+)")
+    pat = re.compile(
+        r"abs\((?:\w+\.)?value\)\s*(?:<|>=)\s*"
+        r"([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
+    )
     seen = 0
-    for name, spec in load_all().items():
-        if not spec.oracle:
-            continue
-        for lit in pat.findall(spec.oracle):
+    for name, oracle in _all_oracles().items():
+        for lit in pat.findall(oracle):
             assert float(lit) == MEASURE_RANGE, (name, lit, MEASURE_RANGE)
             seen += 1
     assert seen >= 20, f"expected >=20 envelope literals, found {seen}"
@@ -175,3 +203,64 @@ def test_zero_vectors_present_and_excluded(spark, dirty_sf_dir):
     raw = load_table(spark, dirty_sf_dir, "embeddings").count()
     kept = _load_embeddings(spark, dirty_sf_dir).count()
     assert raw - kept == 4, (raw, kept)
+
+
+def test_fixture_mass_inside_parity_envelope(dirty_sf_dir):
+    """The r14 aggregate-parity guard's precondition, pinned: every
+    fixture's decimal-exact value mass sum(|v|) over finite in-envelope
+    rows satisfies mass * 10^2 < 2^53 — the bound under which every
+    DOUBLE-typed decimal-sum output (rescale contract: output scale
+    <= 2) is last-bit identical across engines. If a future fixture or
+    generator change crosses this, value_mass_parity flips and this
+    test names the fixture."""
+    import duckdb
+
+    from tests.conftest import SF_SMALL, TESTDATA
+
+    for sf_dir in (SF_SMALL, f"{TESTDATA}/sf0.01", f"{TESTDATA}/sf0.1", dirty_sf_dir):
+        mass = duckdb.sql(
+            f"""SELECT coalesce(sum(CASE WHEN isfinite(value)
+                          AND abs(value) < 1000000000000.0
+                     THEN CAST(abs(value) AS DECIMAL(38,6))
+                     ELSE CAST(0 AS DECIMAL(38,6)) END),
+                     CAST(0 AS DECIMAL(38,6)))
+               FROM read_parquet('{sf_dir}/events.parquet')"""
+        ).fetchone()[0]
+        assert int(mass * 100) < 2**53, (sf_dir, mass)
+
+
+def test_value_mass_parity_flag_flips(spark, tmp_path):
+    """Beyond-mass witness: ~100 in-envelope rows just under the 1e12
+    per-value wall push sum(|v|)*100 past 2^53 — the validator's
+    value_mass_parity rule must flip to 1 with FULL cross-engine parity
+    (the rule itself is decimal-exact, so it is immune to the very
+    mis-rounding it reports)."""
+    import duckdb
+
+    from petfinder_database_distributor_spark.registry import load_all
+    from tests.conftest import SF_SMALL
+    from tests.degenerate_fixtures import TABLES
+    from tests.oracle_compare import assert_parity, run_oracle
+
+    import shutil
+
+    tmp = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT * FROM read_parquet('{SF_SMALL}/events.parquet')
+          UNION ALL
+          SELECT 200000 + i, TIMESTAMP '2024-02-03 10:00:00' + INTERVAL (i) SECOND,
+                 18, 'click', 999999999999.0, '{{"k": 99}}'
+          FROM range(100) t(i)
+        ) TO '{tmp}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{tmp}/{t}.parquet")
+    spec = load_all()["validate_constraints"]
+    assert_parity(
+        spec.fn(spark, tmp), run_oracle(spec.oracle, tmp), "validate_constraints"
+    )
+    rows = {r["rule"]: r["n_violations"] for r in spec.fn(spark, tmp).collect()}
+    assert rows["value_mass_parity"] == 1, rows
