@@ -264,8 +264,12 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal centers — 64 ints each, no join, no shuffle) closed by a
     TakeOrderedAndProject(1); the only driver pulls are k single-row
     collects (the same bounded-metadata discipline as the k-means seed
-    pulls). At 100 TB: k scans with pushed-down column pruning, zero
-    shuffles, zero corpus-sized state on the driver."""
+    pulls). DEPLOYMENT POSTURE (r14, per the r13 verdict): this is the
+    EXACTNESS WITNESS, not the default-scale path — its k sequential
+    corpus scans are the last serial-scan shape in the engine's top-15.
+    Deploy sample_kcenter_bucketed (plans/staged_r14.py, registered
+    r14): two corpus passes total at any k, with this query as the
+    quality reference its covering radius is audited against."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     )

@@ -836,6 +836,10 @@ def test_no_unpartitioned_windows_over_data_scale_frames():
         # <=64-row TakeOrderedAndProject result (the top-64 term
         # frequencies — the rank window runs after the limit):
         ("staged_r14.py", "text_zipf_fit"),
+        # <=50-row TakeOrderedAndProject result (the BM25 fusion head —
+        # the rank window runs after the depth-50 limit, same shape as
+        # text_zipf_fit):
+        ("staged_r15.py", "search_hybrid_rrf"),
         # |event_type|-row remainder-rank frame (largest-remainder
         # apportionment — same register class as the domain budgets;
         # the corpus-sized work is the two hash aggs before it):
