@@ -1295,6 +1295,39 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ("spark", "merge", "vector")
 
+
+def _bm25_term_score(i: int):
+    """One BM25 term of the exact-rational form, shared by
+    search_bm25_topk and the staged hybrid-RRF head (staged_r15).
+
+    Overflow envelope (the r14 integer-product audit): the rational
+    numerator (2n-2df+1)*22*tf*tt overflows BIGINT once n*tt crosses
+    ~2^63/22/tf — reachable around 3e7 docs x 2e9 tokens, far below
+    100 TB corpus shapes. Under ANSI mode (the Spark 4.x default) the
+    whole query then HARD-FAILS with ARITHMETIC_OVERFLOW (verified
+    executable in tests/test_overflow_audit.py); under legacy non-ANSI
+    it wraps silently. Either way wrong at scale, so both engines widen to
+    exact 128-bit/decimal(38,0) arithmetic (operands peak ~4e29 at a
+    1e10-doc/1e14-token corpus, inside decimal(38)'s ~1e38) before ONE
+    correctly-rounded cast-to-double each for num and den. At driver
+    scales every product stays under 2^53, where the decimal->double
+    cast is exact in both engines — bit-identical to the original
+    BIGINT form (hash-verified), so the oracle contract is unchanged."""
+    tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+    n, tt, dl = F.col("n"), F.col("tt"), F.col("dl")
+    num = ((2 * n - 2 * df + 1).cast("decimal(38,0)") * 22 * tf * tt).cast(
+        "double"
+    )
+    den = (
+        (2 * df + 1).cast("decimal(38,0)")
+        * (
+            F.lit(10).cast("decimal(38,0)") * tf * tt
+            + F.lit(3).cast("decimal(38,0)") * tt
+            + F.lit(9).cast("decimal(38,0)") * dl * n
+        )
+    ).cast("double")
+    return num / den
+
 _BM25_SQL = """
     WITH toks AS (
       SELECT doc_id,
@@ -1316,12 +1349,12 @@ _BM25_SQL = """
       FROM d
     )
     SELECT doc_id,
-        CAST((2*n - 2*df1 + 1) * 22 * tf1 * tt AS DOUBLE)
-          / CAST((2*df1 + 1) * (10*tf1*tt + 3*tt + 9*dl*n) AS DOUBLE)
-      + CAST((2*n - 2*df2 + 1) * 22 * tf2 * tt AS DOUBLE)
-          / CAST((2*df2 + 1) * (10*tf2*tt + 3*tt + 9*dl*n) AS DOUBLE)
-      + CAST((2*n - 2*df3 + 1) * 22 * tf3 * tt AS DOUBLE)
-          / CAST((2*df3 + 1) * (10*tf3*tt + 3*tt + 9*dl*n) AS DOUBLE) AS bm25
+        CAST((2*n - 2*df1 + 1)::HUGEINT * 22 * tf1 * tt AS DOUBLE)
+          / CAST((2*df1 + 1)::HUGEINT * (10::HUGEINT*tf1*tt + 3::HUGEINT*tt + 9::HUGEINT*dl*n) AS DOUBLE)
+      + CAST((2*n - 2*df2 + 1)::HUGEINT * 22 * tf2 * tt AS DOUBLE)
+          / CAST((2*df2 + 1)::HUGEINT * (10::HUGEINT*tf2*tt + 3::HUGEINT*tt + 9::HUGEINT*dl*n) AS DOUBLE)
+      + CAST((2*n - 2*df3 + 1)::HUGEINT * 22 * tf3 * tt AS DOUBLE)
+          / CAST((2*df3 + 1)::HUGEINT * (10::HUGEINT*tf3*tt + 3::HUGEINT*tt + 9::HUGEINT*dl*n) AS DOUBLE) AS bm25
     FROM d, s
     WHERE tf1 + tf2 + tf3 > 0
     ORDER BY bm25 DESC, doc_id
@@ -1336,9 +1369,12 @@ _BM25_SQL = """
     "(k1=1.2, b=0.75, rational IDF (N-df+.5)/(df+.5) instead of its log — a "
     "monotone per-term substitute that keeps every sub-expression an exact "
     "integer, so the score is one correctly-rounded IEEE division per term "
-    "and bit-identical cross-engine). Corpus stats (N, total tokens, per-term "
-    "df) reduce to ONE broadcast row; the per-doc side is a narrow scan — at "
-    "100 TB this is scan + broadcast + TakeOrderedAndProject, no wide shuffle",
+    "and bit-identical cross-engine; since r14 the integer products run in "
+    "exact decimal(38,0)/HUGEINT — BIGINT wraps silently past ~3e7 docs, see "
+    "_bm25_term_score's envelope note). Corpus stats (N, total tokens, "
+    "per-term df) reduce to ONE broadcast row; the per-doc side is a narrow "
+    "scan — at 100 TB this is scan + broadcast + TakeOrderedAndProject, no "
+    "wide shuffle",
 )
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.operators.text import tokens
@@ -1371,15 +1407,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     joined = d.join(F.broadcast(stats))
-
-    def term_score(i: int):
-        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
-        n, tt, dl = F.col("n"), F.col("tt"), F.col("dl")
-        num = ((2 * n - 2 * df + 1) * 22 * tf * tt).cast("double")
-        den = ((2 * df + 1) * (10 * tf * tt + 3 * tt + 9 * dl * n)).cast("double")
-        return num / den
-
-    score = term_score(1) + term_score(2) + term_score(3)
+    score = _bm25_term_score(1) + _bm25_term_score(2) + _bm25_term_score(3)
     return (
         joined.filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
         .select("doc_id", score.alias("bm25"))

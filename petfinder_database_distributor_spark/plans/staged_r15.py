@@ -687,6 +687,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.operators.text import tokens
     from petfinder_database_distributor_spark.plans.llm_pipeline import (
         _BM25_TERMS,
+        _bm25_term_score,
         _load_embeddings,
     )
 
@@ -717,14 +718,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def term_score(i: int):
-        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
-        n, tt, dl = F.col("n"), F.col("tt"), F.col("dl")
-        num = ((2 * n - 2 * df + 1) * 22 * tf * tt).cast("double")
-        den = ((2 * df + 1) * (10 * tf * tt + 3 * tt + 9 * dl * n)).cast("double")
-        return num / den
-
-    score = term_score(1) + term_score(2) + term_score(3)
+    score = _bm25_term_score(1) + _bm25_term_score(2) + _bm25_term_score(3)
     from pyspark.sql.window import Window
 
     sparse = (
