@@ -41,6 +41,20 @@ kernel (plans/mining.py) or pure integer arithmetic:
   the span duplicated; per-doc duplicated-window share in milli. The
   cross-doc primitive that exact line dedup (text_paragraph_dedup)
   and doc-level MinHash both miss.
+* ``search_hybrid_rrf`` — Reciprocal Rank Fusion (Cormack et al. 2009)
+  over the engine's two registered retrieval heads (exact-rational
+  BM25 + dense cosine), quantized to integer nano-units; ranks — not
+  scores — cross the modality boundary, so no calibration is needed
+  and the fusion is a 50∪50-row join at any corpus scale.
+* ``sketch_kmv_set_ops`` — theta-sketch union / intersection / A-not-B
+  between event-type user populations computed from the 64-value KMV
+  registers alone (DataSketches semantics, trimmed union), with the
+  union-from-registers == direct-built-sketch theorem pinned
+  executable in the tests.
+* ``quality_rater_kappa`` — Cohen's kappa between two integer-exact
+  document-quality raters per lang + rollup: the chance-corrected
+  agreement measure a multi-filter curation pipeline uses to detect
+  redundant or contradictory quality gates.
 """
 
 from __future__ import annotations
@@ -758,6 +772,340 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sketch_kmv_set_ops
+# ---------------------------------------------------------------------------
+
+
+def _kmv_setops_oracle() -> str:
+    from petfinder_database_distributor_spark.plans.staged_r14 import (
+        _KMV_K,
+        _KMV_M,
+    )
+
+    h = MD5INT_SQL.format(x="user_id::VARCHAR")
+
+    def est(sz: str) -> str:
+        return f"(({sz})::HUGEINT * {_KMV_M} // theta)::BIGINT"
+
+    return f"""
+    WITH hx AS (SELECT DISTINCT event_type AS scope, {h} AS h
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    ranked AS (SELECT scope, h,
+                      row_number() OVER (PARTITION BY scope ORDER BY h) AS rk
+               FROM hx),
+    regs AS (SELECT scope, count(*) AS cnt,
+                    list_sort(list(h) FILTER (WHERE rk <= {_KMV_K})) AS reg
+             FROM ranked GROUP BY scope),
+    r2 AS (SELECT scope, reg,
+                  CASE WHEN cnt >= {_KMV_K} THEN reg[{_KMV_K}]
+                       ELSE {_KMV_M} END AS th
+           FROM regs),
+    p AS (SELECT a.scope AS scope_a, b.scope AS scope_b,
+                 least(a.th, b.th) AS theta,
+                 list_filter(a.reg, x -> x < least(a.th, b.th)) AS fa,
+                 list_filter(b.reg, x -> x < least(a.th, b.th)) AS fb
+          FROM r2 a JOIN r2 b ON a.scope < b.scope),
+    sets AS (SELECT scope_a, scope_b, theta,
+                    list_sort(list_distinct(list_concat(fa, fb))) AS mg,
+                    len(list_filter(fa, x -> list_contains(fb, x))) AS k_inter,
+                    len(list_filter(fa, x -> NOT list_contains(fb, x))) AS k_ab,
+                    len(list_filter(fb, x -> NOT list_contains(fa, x))) AS k_ba
+             FROM p),
+    u AS (SELECT scope_a, scope_b, theta, k_inter, k_ab, k_ba,
+                 len(mg) AS k_merged,
+                 CASE WHEN len(mg) >= {_KMV_K} THEN {_KMV_K} - 1
+                      ELSE len(mg) END AS k_union,
+                 CASE WHEN len(mg) >= {_KMV_K} THEN mg[{_KMV_K}]
+                      ELSE theta END AS theta_u
+          FROM sets)
+    SELECT scope_a, scope_b, theta, theta_u,
+           k_merged::BIGINT AS k_merged, k_union::BIGINT AS k_union,
+           k_inter::BIGINT AS k_inter,
+           k_ab::BIGINT AS k_only_a, k_ba::BIGINT AS k_only_b,
+           ((k_union)::HUGEINT * {_KMV_M} // theta_u)::BIGINT AS est_union,
+           {est("k_inter")} AS est_intersect,
+           {est("k_ab")} AS est_only_a,
+           {est("k_ba")} AS est_only_b
+    FROM u
+    ORDER BY scope_a, scope_b
+    """
+
+
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations over KMV registers (Dasgupta et al.,
+    the Apache DataSketches theta union/intersection/A-not-B): for every
+    pair of event types, estimate |A∪B|, |A∩B|, |A∖B|, |B∖A| of their
+    user populations FROM THE 64-VALUE REGISTERS ALONE — the sketch
+    contract that makes cross-corpus overlap auditing free at 100 TB
+    (registers are 512 bytes per scope; the corpus is scanned once, by
+    the same distinct hash-agg sketch_kmv_distinct runs). Semantics:
+    each register is the theta pair (th, S) with th = k-th smallest
+    60-bit hash when full else M = 2^60 and S = register values BELOW
+    th (|S| = k-1 when full — matching the registered (k-1)·M/h_k
+    estimator); a pairwise op restricts both registers to
+    theta = min(th_a, th_b) and estimates |set| = |S|·M/theta, which
+    degrades to EXACT counts when both scopes hold fewer than k users
+    (theta = M). The union additionally TRIMS like the DataSketches
+    theta union — when the merged register holds >= k values, keep the
+    k smallest and lower theta to the k-th — which makes
+    union-from-registers IDENTICAL to the sketch built directly over
+    the combined scopes (provable: every element of A∪B below
+    min(th_a, th_b) is in the merged register, so its k-th smallest IS
+    h_k(A∪B); pinned as an executable theorem in the tests). Every
+    estimate is one HUGEINT/decimal(38,0) product and one integer
+    division (|S|·2^60 crosses the BIGINT wall — the r14 overflow
+    audit's widening discipline), so both engines agree bit-for-bit;
+    the register set identity k_merged = k_inter + k_onlyA + k_onlyB
+    is pinned in tests. Plan shape: ONE distinct hash-agg
+    over events + a PARTITIONED top-k window builds all registers; the
+    pairwise stage is a |scopes|²-row broadcast self-join over
+    64-element arrays — driver-sized regardless of corpus scale."""
+    from pyspark.sql.window import Window
+
+    from petfinder_database_distributor_spark.plans.staged_r14 import (
+        _KMV_K,
+        _KMV_M,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hx = ev.select(
+        F.col("event_type").alias("scope"),
+        md5int(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("scope").orderBy("h")
+    regs = (
+        hx.withColumn("rk", F.row_number().over(w))
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rk") <= _KMV_K, F.col("h")))
+            ).alias("reg"),
+        )
+        .select(
+            "scope",
+            "reg",
+            F.when(
+                F.col("cnt") >= _KMV_K, F.element_at("reg", _KMV_K)
+            )
+            .otherwise(F.lit(_KMV_M))
+            .alias("th"),
+        )
+    )
+    a = regs.select(
+        F.col("scope").alias("scope_a"),
+        F.col("reg").alias("reg_a"),
+        F.col("th").alias("th_a"),
+    )
+    b = regs.select(
+        F.col("scope").alias("scope_b"),
+        F.col("reg").alias("reg_b"),
+        F.col("th").alias("th_b"),
+    )
+    theta = F.least(F.col("th_a"), F.col("th_b"))
+
+    def below(reg: str):
+        # closure over theta; single-parameter lambda (the 2-arg form
+        # would bind F.filter's (element, index) signature)
+        return F.filter(F.col(reg), lambda x: x < theta)
+
+    pairs = (
+        a.join(F.broadcast(b), F.col("scope_a") < F.col("scope_b"))
+        .select(
+            "scope_a",
+            "scope_b",
+            theta.alias("theta"),
+            below("reg_a").alias("fa"),
+            below("reg_b").alias("fb"),
+        )
+        .select(
+            "scope_a",
+            "scope_b",
+            "theta",
+            F.array_sort(F.array_distinct(F.concat("fa", "fb"))).alias("mg"),
+            F.size(F.array_intersect("fa", "fb")).alias("k_inter"),
+            F.size(F.array_except("fa", "fb")).alias("k_ab"),
+            F.size(F.array_except("fb", "fa")).alias("k_ba"),
+        )
+        .select(
+            "scope_a",
+            "scope_b",
+            "theta",
+            "k_inter",
+            "k_ab",
+            "k_ba",
+            F.size("mg").alias("k_merged"),
+            F.when(F.size("mg") >= _KMV_K, F.lit(_KMV_K - 1))
+            .otherwise(F.size("mg"))
+            .alias("k_union"),
+            F.when(F.size("mg") >= _KMV_K, F.element_at("mg", _KMV_K))
+            .otherwise(F.col("theta"))
+            .alias("theta_u"),
+        )
+    )
+
+    def est(sz: str, th: str) -> F.Column:
+        return F.expr(
+            f"CAST(CAST({sz} AS DECIMAL(38,0)) * {_KMV_M} div {th} AS BIGINT)"
+        )
+
+    return pairs.select(
+        "scope_a",
+        "scope_b",
+        "theta",
+        "theta_u",
+        F.col("k_merged").cast("long").alias("k_merged"),
+        F.col("k_union").cast("long").alias("k_union"),
+        F.col("k_inter").cast("long").alias("k_inter"),
+        F.col("k_ab").cast("long").alias("k_only_a"),
+        F.col("k_ba").cast("long").alias("k_only_b"),
+        est("k_union", "theta_u").alias("est_union"),
+        est("k_inter", "theta").alias("est_intersect"),
+        est("k_ab", "theta").alias("est_only_a"),
+        est("k_ba", "theta").alias("est_only_b"),
+    ).orderBy("scope_a", "scope_b")
+
+
+# ---------------------------------------------------------------------------
+# quality_rater_kappa
+# ---------------------------------------------------------------------------
+
+_KAPPA_STOPWORDS = ("the", "a", "of", "and", "is")  # the engine's shared set
+
+
+def _kappa_oracle() -> str:
+    from petfinder_database_distributor_spark.plans.llm_pipeline import _TOKS_SQL
+
+    sw = ", ".join(f"'{w}'" for w in _KAPPA_STOPWORDS)
+    return f"""
+    WITH tk AS ({_TOKS_SQL}),
+    d AS (SELECT doc_id, lang,
+                 len(t) AS n_tok,
+                 coalesce(list_sum(list_transform(t, w -> length(w))), 0) AS sumlen,
+                 len(list_filter(t, x -> x IN ({sw}))) AS n_sw
+          FROM tk),
+    r AS (SELECT lang,
+                 CASE WHEN n_tok >= 10 AND n_sw >= 1 THEN 1 ELSE 0 END AS ra,
+                 CASE WHEN n_tok BETWEEN 10 AND 2000
+                       AND 3 * n_tok <= sumlen AND sumlen <= 10 * n_tok
+                      THEN 1 ELSE 0 END AS rb
+          FROM d),
+    g AS (SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL'
+                      ELSE coalesce(lang, 'NULL') END AS scope,
+                 count(*)::BIGINT AS n_docs,
+                 sum(ra * rb)::BIGINT AS n11,
+                 sum(ra * (1 - rb))::BIGINT AS n10,
+                 sum((1 - ra) * rb)::BIGINT AS n01,
+                 sum((1 - ra) * (1 - rb))::BIGINT AS n00
+          FROM r GROUP BY ROLLUP(lang)
+          -- empty-corpus alignment: DuckDB's ROLLUP () set emits a
+          -- grand-total row over ZERO input rows; Spark's rollup emits
+          -- none. Only that row can have count 0 (real groups imply
+          -- rows), so this clause binds exactly on the empty corpus.
+          HAVING count(*) > 0)
+    SELECT scope, n_docs, n11, n10, n01, n00,
+           CASE WHEN n_docs::HUGEINT * n_docs
+                     - ((n11 + n10)::HUGEINT * (n11 + n01)
+                        + (n01 + n00)::HUGEINT * (n10 + n00)) > 0
+                THEN (n_docs::HUGEINT * (n11 + n00)
+                      - ((n11 + n10)::HUGEINT * (n11 + n01)
+                         + (n01 + n00)::HUGEINT * (n10 + n00)))::DOUBLE
+                     / (n_docs::HUGEINT * n_docs
+                        - ((n11 + n10)::HUGEINT * (n11 + n01)
+                           + (n01 + n00)::HUGEINT * (n10 + n00)))::DOUBLE
+           END AS kappa
+    FROM g
+    ORDER BY scope
+    """
+
+
+def quality_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement for quality classifiers: Cohen's kappa
+    (Cohen 1960) between two cheap document-quality raters — rater A =
+    fluency (>=10 tokens and at least one stopword), rater B = shape
+    (10..2000 tokens and mean word length in [3,10], tested as the
+    integer inequality 3n <= sumlen <= 10n — no division) — per lang
+    plus the 'ALL' rollup row. The measurement every multi-filter
+    curation pipeline owes itself: raw percent agreement rewards
+    trivial always-keep raters, kappa subtracts chance agreement.
+    Contingency cells are exact integer aggregates; kappa =
+    (n*(n11+n00) - (r1*c1 + r0*c0)) / (n^2 - (r1*c1 + r0*c0)) runs the
+    products in decimal(38,0)/HUGEINT (n^2 crosses the BIGINT wall at
+    ~3e9 docs — the r14 overflow audit discipline) and finishes with
+    ONE correctly-rounded double division per engine — bit-identical
+    below 2^53, the BM25-widening pattern. NULL kappa when a rater is
+    constant (denominator 0: chance agreement is total — kappa is
+    undefined, not 0). Plan shape: one corpus scan -> per-doc integer
+    token stats -> ROLLUP hash-agg (map-side partial); output is
+    |langs|+1 rows at any corpus scale."""
+    from petfinder_database_distributor_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    d = docs.select(
+        "lang",
+        F.size(t).alias("n_tok"),
+        F.aggregate(
+            F.transform(t, lambda w: F.length(w)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sumlen"),
+        F.size(F.filter(t, lambda x: x.isin(*_KAPPA_STOPWORDS))).alias("n_sw"),
+    )
+    r = d.select(
+        "lang",
+        F.when((F.col("n_tok") >= 10) & (F.col("n_sw") >= 1), 1)
+        .otherwise(0)
+        .alias("ra"),
+        F.when(
+            F.col("n_tok").between(10, 2000)
+            & (3 * F.col("n_tok") <= F.col("sumlen"))
+            & (F.col("sumlen") <= 10 * F.col("n_tok")),
+            1,
+        )
+        .otherwise(0)
+        .alias("rb"),
+    )
+    g = r.rollup("lang").agg(
+        F.grouping("lang").alias("g_lang"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("long").alias("n01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).cast("long").alias("n00"),
+    )
+    g = g.select(
+        F.when(F.col("g_lang") == 1, F.lit("ALL"))
+        .otherwise(F.coalesce(F.col("lang"), F.lit("NULL")))
+        .alias("scope"),
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+    )
+    dec = "decimal(38,0)"
+    n = F.col("n_docs").cast(dec)
+    pe = (F.col("n11") + F.col("n10")).cast(dec) * (
+        F.col("n11") + F.col("n01")
+    ) + (F.col("n01") + F.col("n00")).cast(dec) * (F.col("n10") + F.col("n00"))
+    num = n * (F.col("n11") + F.col("n00")) - pe
+    den = n * F.col("n_docs") - pe
+    return g.select(
+        "scope",
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias("kappa"),
+    ).orderBy("scope")
+
+
+# ---------------------------------------------------------------------------
 # STAGED manifest — tests/test_staged_r15.py verifies every triple at
 # sf0.001 AND sf0.01 on every pytest run; tests/test_staged_gate.py adds
 # the four degenerate-shape sweeps; round 15 promotes them.
@@ -790,6 +1138,16 @@ def _staged() -> dict[str, tuple]:
             search_hybrid_rrf,
             _rrf_oracle(),
             search_hybrid_rrf.__doc__,
+        ),
+        "sketch_kmv_set_ops": (
+            sketch_kmv_set_ops,
+            _kmv_setops_oracle(),
+            sketch_kmv_set_ops.__doc__,
+        ),
+        "quality_rater_kappa": (
+            quality_rater_kappa,
+            _kappa_oracle(),
+            quality_rater_kappa.__doc__,
         ),
     }
 

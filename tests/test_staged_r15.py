@@ -286,3 +286,130 @@ def test_rrf_agreement_outranks_single_head(spark):
     if both and single:
         # the best both-ranked doc always beats the worst single-ranked one
         assert max(r["rrf_nano"] for r in both) > min(r["rrf_nano"] for r in single)
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_set_ops
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_setops_register_identities(spark):
+    """Exact structural pins: the merged register partitions into
+    intersection + two differences; the trimmed union threshold never
+    exceeds the pairwise theta; estimates degrade to exact counts when
+    theta stayed at M (registers not full)."""
+    from petfinder_database_distributor_spark.plans.staged_r14 import (
+        _KMV_K,
+        _KMV_M,
+    )
+
+    rows = STAGED["sketch_kmv_set_ops"][0](spark, SF_SMALL).collect()
+    assert rows, "fixture must yield event-type pairs"
+    for r in rows:
+        assert r["k_merged"] == r["k_inter"] + r["k_only_a"] + r["k_only_b"], r
+        assert r["theta_u"] <= r["theta"], r
+        assert r["k_union"] == (
+            _KMV_K - 1 if r["k_merged"] >= _KMV_K else r["k_merged"]
+        ), r
+        if r["theta"] == _KMV_M:
+            assert r["est_intersect"] == r["k_inter"], r
+            assert r["est_only_a"] == r["k_only_a"], r
+        if r["theta_u"] == _KMV_M:
+            assert r["est_union"] == r["k_merged"], r
+
+
+def test_kmv_union_from_registers_equals_direct_sketch(spark):
+    """The theta-union mergeability THEOREM, executable: for every event
+    type pair, the union estimate computed from the two 64-value
+    registers must equal the KMV estimate built DIRECTLY over the
+    combined scopes' distinct user hashes — the property that lets a
+    100 TB deployment keep only registers."""
+    import duckdb
+
+    from petfinder_database_distributor_spark.operators.text import MD5INT_SQL
+    from petfinder_database_distributor_spark.plans.staged_r14 import (
+        _KMV_K,
+        _KMV_M,
+    )
+
+    h = MD5INT_SQL.format(x="user_id::VARCHAR")
+    direct = {}
+    con = duckdb.connect()
+    pairs_sql = f"""
+    WITH hx AS (SELECT DISTINCT event_type AS scope, {h} AS h
+                FROM read_parquet('{SF_SMALL}/events.parquet')
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    sc AS (SELECT DISTINCT scope FROM hx),
+    pr AS (SELECT a.scope AS sa, b.scope AS sb FROM sc a JOIN sc b
+           ON a.scope < b.scope),
+    uh AS (SELECT pr.sa, pr.sb, hx.h FROM pr JOIN hx
+           ON hx.scope IN (pr.sa, pr.sb) GROUP BY 1, 2, 3),
+    rk AS (SELECT sa, sb, h,
+                  row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+           FROM uh),
+    g AS (SELECT sa, sb, count(*) AS cnt,
+                 max(h) FILTER (WHERE rk <= {_KMV_K}) AS kth
+          FROM rk GROUP BY 1, 2)
+    SELECT sa, sb,
+           CASE WHEN cnt < {_KMV_K} THEN cnt
+                ELSE (({_KMV_K} - 1)::HUGEINT * {_KMV_M} // kth)::BIGINT
+           END AS est
+    FROM g
+    """
+    for sa, sb, est in con.execute(pairs_sql).fetchall():
+        direct[(sa, sb)] = est
+    rows = STAGED["sketch_kmv_set_ops"][0](spark, SF_SMALL).collect()
+    assert rows and len(rows) == len(direct)
+    for r in rows:
+        assert r["est_union"] == direct[(r["scope_a"], r["scope_b"])], r
+
+
+# ---------------------------------------------------------------------------
+# quality_rater_kappa
+# ---------------------------------------------------------------------------
+
+
+def test_kappa_cells_partition_and_bound(spark):
+    """Contingency cells must partition n_docs; kappa lies in [-1, 1]
+    when defined; the ALL row aggregates the per-lang rows exactly."""
+    rows = STAGED["quality_rater_kappa"][0](spark, SF_SMALL).collect()
+    by = {r["scope"]: r for r in rows}
+    assert "ALL" in by and len(by) > 1
+    for r in rows:
+        assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == r["n_docs"], r
+        if r["kappa"] is not None:
+            assert -1.0 <= r["kappa"] <= 1.0, r
+    per = [r for r in rows if r["scope"] != "ALL"]
+    for cell in ("n_docs", "n11", "n10", "n01", "n00"):
+        assert sum(r[cell] for r in per) == by["ALL"][cell], cell
+
+
+def test_kappa_perfect_agreement_is_one(spark, tmp_path):
+    """Ground truth: a corpus where the raters agree on every document
+    with both verdicts represented — kappa must be exactly 1.0."""
+    import shutil
+
+    import duckdb
+
+    from tests.degenerate_fixtures import TABLES
+
+    tmp = str(tmp_path)
+    good = " ".join(["the quick brown fox and one dog runs far away now"] * 3)
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT * REPLACE (CASE WHEN doc_id % 2 = 0 THEN '{good}'
+                                 ELSE '' END AS text)
+          FROM read_parquet('{SF_SMALL}/documents.parquet')
+        ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{tmp}/{t}.parquet")
+    fn, oracle, _d = STAGED["quality_rater_kappa"]
+    rows = {r["scope"]: r for r in fn(spark, tmp).collect()}
+    allr = rows["ALL"]
+    assert allr["n10"] == 0 and allr["n01"] == 0, allr
+    assert allr["n11"] > 0 and allr["n00"] > 0, allr
+    assert allr["kappa"] == 1.0, allr
+    assert_parity(fn(spark, tmp), run_oracle(oracle, tmp), "kappa_perfect")
