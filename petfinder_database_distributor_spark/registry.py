@@ -134,20 +134,43 @@ PRIORITY: list[str] = [
     # cadence bound):
     "q19_disjunctive_predicates",
     "q22_dormant_customers",
-    # R15 ROTATION PLAN (precomputed at r14 close so the next promotion
-    # is mechanical; newest-row recount assumes this r14 window goes
-    # green). Window = up to 50:
-    #   (a) any staged_r15 promotions (Kneser-Ney perplexity et al.);
-    #   (b) the two remaining changed-oracle refreshes that shared the
-    #       rewritten exact-Jaccard oracle string this round:
-    #       dedup_ngram_jaccard_baseline (r11 row),
+    # R15 ROTATION PLAN — EXACT (precomputed at r14 close so the next
+    # promotion is mechanical; newest-row recount assumes this r14
+    # window goes green, after which the cohorts are r10 x 27 /
+    # r11 x 40 / r12 x 50 / r13 x 50 / r14 x 50). Window = exactly 50:
+    #   (a) the SEVEN staged_r15 promotions:
+    #       text_perplexity_kneser_ney, text_pmi_collocations,
+    #       text_js_divergence_domains, dedup_window_substring,
+    #       search_hybrid_rrf, sketch_kmv_set_ops, quality_rater_kappa;
+    #   (b) the two refreshes sharing the rewritten exact-Jaccard
+    #       oracle string: dedup_ngram_jaccard_baseline (r11 row),
     #       dedup_ngram_jaccard_salted (r12 row);
-    #   (c) the REMAINING r10-newest-row cohort, 26 names after this
-    #       window's two-name drain (incl. the three that ceded slots:
-    #       bpe_first_merges, cluster_kmeans_int8,
-    #       corpus_boilerplate_strip) — drained oldest-first;
-    #   (d) q17_sql_correlated (r11) plus the oldest r11 names to fill
-    #       the window.
+    #   (c) the ENTIRE remaining r10 cohort, 27 names (the 30 listed in
+    #       the r14 recount minus dedup_ngram_jaccard /
+    #       q19_disjunctive_predicates / q22_dormant_customers, which
+    #       take r14 rows in this window): bpe_first_merges,
+    #       cluster_kmeans_int8, corpus_boilerplate_strip,
+    #       dedup_incremental_batch, domain_mix_weights,
+    #       flagship_distributor_pipeline, global_shuffle_index,
+    #       j8_aqe_skew_join, kanonymity_check, p3_link_fanout,
+    #       pack_sequences_greedy, pagerank_partsupp, profile_documents,
+    #       q12_late_shipment_priority, q16_supplier_part_counts,
+    #       q20_excess_share_suppliers, q21_sole_returner,
+    #       q2_min_cost_supplier, ref_scalar_suite, sample_weighted,
+    #       sketch_bloom_membership, sketch_hll_mergeable,
+    #       snapshot_concurrent_merge, stream_incremental_dedup,
+    #       stream_snapshot_pipe, text_commonness_score,
+    #       zorder_layout_stats;
+    #   (d) 14 oldest-r11 fill slots: q17_sql_correlated,
+    #       agg_percentiles, dedup_cluster_components_labelprop,
+    #       dedup_multimodal_phash, domain_budget_sample, events_funnel,
+    #       export_roundtrip_jsonl, export_roundtrip_orc, g2_cube_marks,
+    #       j2_asof_join, j7_runtime_bloom_join, p1_xpath_project,
+    #       p3_link_fanout_xpath, parquet_schema_evolution.
+    # CEDE RULE (the dup-key precedent): the r15 work queue's
+    # non-finite-embedding contract touches the vector-family loader —
+    # if it lands first (it should), its touched queries take (d)-slots
+    # from the END of that list, name for name.
     # At 216+ registrations the cadence bound is ceil(n/50) = 5 rounds,
     # so the r11 cohort (40 names) is legal through r16 — CI-checked
     # every run by test_driver_row_cadence.
