@@ -894,6 +894,11 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(_KMV_M))
             .alias("th"),
         )
+        # |scopes| rows of 64 longs each — materialize so the pairwise
+        # self-join below reads the ONE corpus scan's result twice
+        # instead of re-scanning events per join side (the
+        # domain_budget_temperature register-frame pattern)
+        .localCheckpoint(eager=True)
     )
     a = regs.select(
         F.col("scope").alias("scope_a"),

@@ -413,3 +413,30 @@ def test_kappa_perfect_agreement_is_one(spark, tmp_path):
     assert allr["n11"] > 0 and allr["n00"] > 0, allr
     assert allr["kappa"] == 1.0, allr
     assert_parity(fn(spark, tmp), run_oracle(oracle, tmp), "kappa_perfect")
+
+
+def test_kmv_setops_single_corpus_scan_and_kappa_plan_shape(spark):
+    """Physical-plan pins (the r14 explain audit): the set-ops query
+    must read events ONCE (register frame localCheckpoint-materialized
+    before the pairwise self-join — without it each join side re-scans
+    the corpus); kappa must be one pruned documents scan into a rollup
+    aggregate — no join, no window."""
+    import io
+    from contextlib import redirect_stdout
+
+    def plan(name):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            STAGED[name][0](spark, SF_SMALL).explain("formatted")
+        return buf.getvalue()
+
+    # the checkpoint materializes the register frame EAGERLY, so the
+    # pairwise plan contains ZERO corpus scans (both join sides read the
+    # checkpointed |scopes|-row RDD) — the strongest form of the pin
+    sp = plan("sketch_kmv_set_ops")
+    assert sp.count("events.parquet") == 0
+    assert "ExistingRDD" in sp or "LocalTableScan" in sp
+    kp = plan("quality_rater_kappa")
+    assert kp.count("documents.parquet") == 1
+    assert "Expand" in kp and "Join" not in kp and "Window" not in kp
+    assert "text:string" not in kp.split("ReadSchema")[0], "projection only"
