@@ -15,9 +15,11 @@ qs = load_all()
 SF = '/root/testdata/sf0.1'
 # skip quadratic / recursive / all-pairs oracles and the staged-stream queries
 SKIP = {
-    'dedup_ngram_jaccard', 'dedup_ngram_jaccard_capped',
-    'dedup_ngram_jaccard_salted',  # oracle is the all-pairs list_intersect SQL
-    'dedup_ngram_jaccard_baseline',
+    # r14: the ENTIRE dedup_ngram_jaccard family LEFT the skip set — the
+    # flagship/baseline/salted oracle was rewritten to the
+    # candidate-bounded postings-join form (502s -> 0.7s at sf0.1, r13
+    # verdict #3) and all four (incl. _capped) verified green at sf0.1
+    # on 2026-08-17 (10.6s / 3.3s / 3.8s / 3.2s wall each, Spark+oracle).
     'dedup_minhash_lsh',
     'dedup_simhash_pairs', 'dedup_cluster_components',
     'dedup_cluster_components_labelprop', 'dedup_apply_corpus',
