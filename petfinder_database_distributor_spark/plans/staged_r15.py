@@ -55,6 +55,10 @@ kernel (plans/mining.py) or pure integer arithmetic:
   document-quality raters per lang + rollup: the chance-corrected
   agreement measure a multi-filter curation pipeline uses to detect
   redundant or contradictory quality gates.
+* ``sample_bottomk_quantiles`` — Cohen & Kaplan bottom-k sampling as a
+  deterministic mergeable reservoir: per-group p50/p90/p99 read off
+  the 256-row smallest-hash sample, exact below k, 256 doubles of
+  state per group at any corpus scale.
 """
 
 from __future__ import annotations
@@ -975,6 +979,109 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sample_bottomk_quantiles
+# ---------------------------------------------------------------------------
+
+_BK_K = 256  # bottom-k sample size per group
+_BK_QS = (50, 90, 99)  # reported percentiles
+
+
+def _bottomk_oracle() -> str:
+    from petfinder_database_distributor_spark.schema import FINITE_SQL
+
+    h = MD5INT_SQL.format(x="event_id::VARCHAR")
+    qcols = ",\n           ".join(
+        f"vals[greatest(1, ({q} * n_sample + 99) // 100)] AS q{q}"
+        for q in _BK_QS
+    )
+    return f"""
+    WITH src AS (SELECT event_type, event_id, value + 0.0 AS value
+                 FROM events
+                 WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+                   AND value IS NOT NULL AND {FINITE_SQL("value")}),
+    rk AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY {h}, event_id) AS rk
+           FROM src),
+    g AS (SELECT event_type,
+                 count(*)::BIGINT AS n_total,
+                 least(count(*), {_BK_K})::BIGINT AS n_sample,
+                 list_sort(list(value) FILTER (WHERE rk <= {_BK_K})) AS vals
+          FROM rk GROUP BY event_type)
+    SELECT event_type, n_total, n_sample,
+           {qcols}
+    FROM g
+    ORDER BY event_type
+    """
+
+
+def sample_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sampling quantiles (Cohen & Kaplan 2007's bottom-k
+    sketch, the deterministic reservoir): per event type, the sample is
+    the k=256 rows with the SMALLEST md5int(event_id) — a uniform
+    without-replacement sample that is REPRODUCIBLE (hash order, not
+    RNG state or scan order) and MERGEABLE (the k smallest hashes of a
+    union are the k smallest of the parts' registers — the same theorem
+    the KMV family pins). Reported p50/p90/p99 are ELEMENTS of the
+    sorted sample at ceil(q·m/100) — actual data values, no
+    interpolation arithmetic, so cross-engine parity is structural; the
+    one normalization is value+0.0 (collapses -0.0 to 0.0 — two equal
+    sort keys whose string forms differ would otherwise make the
+    element choice ambiguous between engines). When a group holds <= k
+    rows the sample IS the group and every reported quantile is EXACT
+    (at sf0.001 all five event types sit under k — the two test scales
+    exercise both regimes). Measures pass the finite-envelope entry
+    contract; ties in the hash order break on event_id (unique per the
+    r14 dup-key contract). Plan shape: one pruned scan -> partitioned
+    top-k window -> per-group agg; state per group is 256 doubles —
+    quantile monitoring at 100 TB for the cost of a sketch. Unlike
+    sketch_histogram_quantiles' fixed bins, the sample adapts to any
+    value distribution without configuration."""
+    from pyspark.sql.window import Window
+
+    from petfinder_database_distributor_spark.schema import finite_measures
+
+    ev = finite_measures(load_table(spark, sf_dir, "events")).filter(
+        F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    src = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("value") + F.lit(0.0)).alias("value"),
+        md5int(F.col("event_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    g = (
+        src.withColumn("rk", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.least(F.count(F.lit(1)), F.lit(_BK_K))
+            .cast("long")
+            .alias("n_sample"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rk") <= _BK_K, F.col("value")))
+            ).alias("vals"),
+        )
+    )
+    qcols = [
+        F.element_at(
+            "vals",
+            F.greatest(
+                F.lit(1),
+                F.expr(f"cast(({q} * n_sample + 99) div 100 as int)"),
+            ),
+        ).alias(f"q{q}")
+        for q in _BK_QS
+    ]
+    return g.select("event_type", "n_total", "n_sample", *qcols).orderBy(
+        "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
 # quality_rater_kappa
 # ---------------------------------------------------------------------------
 
@@ -1148,6 +1255,11 @@ def _staged() -> dict[str, tuple]:
             sketch_kmv_set_ops,
             _kmv_setops_oracle(),
             sketch_kmv_set_ops.__doc__,
+        ),
+        "sample_bottomk_quantiles": (
+            sample_bottomk_quantiles,
+            _bottomk_oracle(),
+            sample_bottomk_quantiles.__doc__,
         ),
         "quality_rater_kappa": (
             quality_rater_kappa,

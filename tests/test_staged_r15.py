@@ -440,3 +440,46 @@ def test_kmv_setops_single_corpus_scan_and_kappa_plan_shape(spark):
     assert kp.count("documents.parquet") == 1
     assert "Expand" in kp and "Join" not in kp and "Window" not in kp
     assert "text:string" not in kp.split("ReadSchema")[0], "projection only"
+
+
+# ---------------------------------------------------------------------------
+# sample_bottomk_quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_exact_when_group_fits(spark):
+    """At sf0.001 every event type holds <= k rows, so the sample IS
+    the group: n_sample == n_total and each reported percentile equals
+    the true order statistic at ceil(q*n/100), recomputed independently
+    in Python from the raw parquet."""
+    import duckdb
+
+    rows = STAGED["sample_bottomk_quantiles"][0](spark, SF_SMALL).collect()
+    assert rows
+    con = duckdb.connect()
+    for r in rows:
+        assert r["n_sample"] == r["n_total"] <= 256, r
+        vals = sorted(
+            v[0]
+            for v in con.execute(
+                f"""SELECT value + 0.0 FROM
+                    read_parquet('{SF_SMALL}/events.parquet')
+                    WHERE event_type = ? AND event_id IS NOT NULL
+                      AND value IS NOT NULL AND isfinite(value)
+                      AND abs(value) < 1e12""",
+                [r["event_type"]],
+            ).fetchall()
+        )
+        for q in (50, 90, 99):
+            idx = max(1, (q * len(vals) + 99) // 100)
+            assert r[f"q{q}"] == vals[idx - 1], (r["event_type"], q)
+
+
+@pytest.mark.sf001
+def test_bottomk_sampling_regime_at_driver_scale(spark):
+    """At sf0.01 groups exceed k — the query must actually SAMPLE
+    (n_sample == 256 < n_total) and quantiles must still be members of
+    the group's value set."""
+    rows = STAGED["sample_bottomk_quantiles"][0](spark, SF_ORACLE).collect()
+    assert rows
+    assert all(r["n_sample"] == 256 < r["n_total"] for r in rows), rows
