@@ -138,10 +138,11 @@ PRIORITY: list[str] = [
     # promotion is mechanical; newest-row recount assumes this r14
     # window goes green, after which the cohorts are r10 x 27 /
     # r11 x 40 / r12 x 50 / r13 x 50 / r14 x 50). Window = exactly 50:
-    #   (a) the SEVEN staged_r15 promotions:
+    #   (a) the EIGHT staged_r15 promotions:
     #       text_perplexity_kneser_ney, text_pmi_collocations,
     #       text_js_divergence_domains, dedup_window_substring,
-    #       search_hybrid_rrf, sketch_kmv_set_ops, quality_rater_kappa;
+    #       search_hybrid_rrf, sketch_kmv_set_ops, quality_rater_kappa,
+    #       sample_bottomk_quantiles;
     #   (b) the two refreshes sharing the rewritten exact-Jaccard
     #       oracle string: dedup_ngram_jaccard_baseline (r11 row),
     #       dedup_ngram_jaccard_salted (r12 row);
@@ -161,12 +162,13 @@ PRIORITY: list[str] = [
     #       snapshot_concurrent_merge, stream_incremental_dedup,
     #       stream_snapshot_pipe, text_commonness_score,
     #       zorder_layout_stats;
-    #   (d) 14 oldest-r11 fill slots: q17_sql_correlated,
+    #   (d) 13 oldest-r11 fill slots: q17_sql_correlated,
     #       agg_percentiles, dedup_cluster_components_labelprop,
     #       dedup_multimodal_phash, domain_budget_sample, events_funnel,
     #       export_roundtrip_jsonl, export_roundtrip_orc, g2_cube_marks,
     #       j2_asof_join, j7_runtime_bloom_join, p1_xpath_project,
-    #       p3_link_fanout_xpath, parquet_schema_evolution.
+    #       p3_link_fanout_xpath (parquet_schema_evolution ceded its
+    #       slot to the eighth promotion; rides r16, legal by cadence).
     # CEDE RULE (the dup-key precedent): the r15 work queue's
     # non-finite-embedding contract touches the vector-family loader —
     # if it lands first (it should), its touched queries take (d)-slots
