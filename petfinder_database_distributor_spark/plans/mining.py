@@ -969,35 +969,42 @@ def _log2fp_sql_ctes(src: str, prefix: str = "ppl") -> str:
     return ",\n    ".join(steps)
 
 
+def _log2fp_expr(in_col: str):
+    """The fixed-point log2 kernel as ONE ``aggregate()`` higher-order
+    expression: the identical square-and-shift digit recurrence the 20
+    chained projections used to spell out, executed per row by a single
+    codegen'd loop over ``sequence(1, 20)``. Same integer ops in the same
+    order → bit-identical cost_fp; but the plan carries ONE expression
+    instead of 20 stacked Project nodes, so Catalyst analysis, codegen
+    and the py4j plan-construction chatter all collapse (r14 optimization
+    round, guide §1.2 "per-task work" + §7.2 plan size: measured ~1.5-2 s
+    of pure plan overhead per kernel application at sf0.1, ×2 in the
+    Gumbel draw). cost_fp = -log2(in_col / 2^30) in 20.20 fixed point;
+    domain [1, 2^30]."""
+    b31 = 2147483648  # 2^31: mantissa renormalization threshold
+    return F.expr(
+        f"""aggregate(
+          sequence(1, {_PPL_FRAC_BITS}),
+          named_struct(
+            'm', shiftleft(cast({in_col} as bigint),
+                           31 - length(bin({in_col}))),
+            'frac', cast(0 as bigint)),
+          (acc, i) -> if(shiftright(acc.m * acc.m, 30) >= {b31}L,
+            named_struct('m', shiftright(shiftright(acc.m * acc.m, 30), 1),
+                         'frac', acc.frac * 2 + 1),
+            named_struct('m', shiftright(acc.m * acc.m, 30),
+                         'frac', acc.frac * 2)),
+          acc -> ({_PPL_P_BITS + 1} - length(bin({in_col})))
+                 * {1 << _PPL_FRAC_BITS}L - acc.frac
+        )"""
+    )
+
+
 def _log2fp_cost(tvals: DataFrame) -> DataFrame:
-    """The Spark twin of :func:`_log2fp_sql_ctes`: same square-and-shift
-    digit recurrence as column expressions over the (tiny) distinct-t
-    frame. cost_fp = -log2(tq / 2^30) in 20.20 fixed point."""
-    two31 = F.lit(2147483648).cast("long")
-    cur = tvals.select(
-        "tq",
-        F.length(F.bin(F.col("tq"))).cast("long").alias("bl"),
-        F.expr("shiftleft(tq, 31 - length(bin(tq)))").cast("long").alias("m"),
-        F.lit(0).cast("long").alias("frac"),
-    )
-    for _ in range(_PPL_FRAC_BITS):
-        m2 = F.shiftright(F.col("m") * F.col("m"), 30)
-        cur = cur.select(
-            "tq",
-            "bl",
-            F.when(m2 >= two31, F.shiftright(m2, 1)).otherwise(m2).alias("m"),
-            (
-                F.col("frac") * 2
-                + F.when(m2 >= two31, F.lit(1)).otherwise(F.lit(0))
-            ).alias("frac"),
-        )
-    return cur.select(
-        "tq",
-        (
-            (F.lit(_PPL_P_BITS + 1) - F.col("bl")) * (1 << _PPL_FRAC_BITS)
-            - F.col("frac")
-        ).alias("cost_fp"),
-    )
+    """The Spark twin of :func:`_log2fp_sql_ctes` over a distinct-t frame:
+    cost_fp = -log2(tq / 2^30) in 20.20 fixed point (see
+    :func:`_log2fp_expr` for the single-expression kernel form)."""
+    return tvals.select("tq", _log2fp_expr("tq").alias("cost_fp"))
 
 
 def _log2fp_cost_cols(df: DataFrame, in_col: str, out_col: str) -> DataFrame:
@@ -1007,38 +1014,12 @@ def _log2fp_cost_cols(df: DataFrame, in_col: str, out_col: str) -> DataFrame:
     narrow projections — no join, no shuffle — so it is the right form
     when the kernel input is PER-ROW (the DSIR draw's hashed uniform
     coin) rather than a bounded distinct-t frame: at 10^10 documents a
-    distinct+join-back would shuffle ~|docs| keys for no reuse."""
-    two31 = F.lit(2147483648).cast("long")
+    distinct+join-back would shuffle ~|docs| keys for no reuse. Since the
+    r14 optimization round the recurrence is ONE ``aggregate()``
+    expression (:func:`_log2fp_expr`) instead of 20 stacked projections —
+    identical bits, a fraction of the plan."""
     keep = [c for c in df.columns if c != in_col]
-    cur = df.select(
-        *keep,
-        F.col(in_col),
-        F.length(F.bin(F.col(in_col))).cast("long").alias("_l2bl"),
-        F.expr(f"shiftleft({in_col}, 31 - length(bin({in_col})))")
-        .cast("long")
-        .alias("_l2m"),
-        F.lit(0).cast("long").alias("_l2frac"),
-    )
-    for _ in range(_PPL_FRAC_BITS):
-        m2 = F.shiftright(F.col("_l2m") * F.col("_l2m"), 30)
-        cur = cur.select(
-            *keep,
-            in_col,
-            "_l2bl",
-            F.when(m2 >= two31, F.shiftright(m2, 1)).otherwise(m2).alias("_l2m"),
-            (
-                F.col("_l2frac") * 2
-                + F.when(m2 >= two31, F.lit(1)).otherwise(F.lit(0))
-            ).alias("_l2frac"),
-        )
-    return cur.select(
-        *keep,
-        in_col,
-        (
-            (F.lit(_PPL_P_BITS + 1) - F.col("_l2bl")) * (1 << _PPL_FRAC_BITS)
-            - F.col("_l2frac")
-        ).alias(out_col),
-    )
+    return df.select(*keep, in_col, _log2fp_expr(in_col).alias(out_col))
 
 
 def _global_ntile(per: DataFrame, order_cols: list, out_name: str, n: int = 3) -> DataFrame:
@@ -1223,11 +1204,15 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tq"),
         )
     )
-    cost = _log2fp_cost(tmap.select("tq").distinct())
+    # r14 optimization: the kernel is one aggregate() expression now, so
+    # apply it INLINE on the (already corpus-bounded) tmap rows — 20
+    # integer ops per distinct bigram — instead of the old
+    # distinct-t + broadcast-join-back, which cost a distinct shuffle and
+    # a broadcast build per query for the same bits (guide §2.4).
+    tmap = _log2fp_cost_cols(tmap, "tq", "cost_fp")
     bstat = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
     per = (
         bstat.join(tmap, "bg")
-        .join(F.broadcast(cost), "tq")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_bigrams"),
@@ -1372,11 +1357,13 @@ def text_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tq"),
         )
     )
-    cost = _log2fp_cost(tmap.select("tq").distinct())
+    # r14 optimization: inline single-expression kernel on tmap — same
+    # bits, no distinct shuffle, no broadcast join-back (see
+    # text_perplexity_bucket).
+    tmap = _log2fp_cost_cols(tmap, "tq", "cost_fp")
     bstat = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
     per = (
         bstat.join(tmap, "bg")
-        .join(F.broadcast(cost), "tq")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_bigrams"),
@@ -1543,26 +1530,14 @@ def _dsir_per_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tq_t"),
         )
     )
-    tv = (
-        stats.select(F.col("tq_r").alias("tq"))
-        .union(stats.select(F.col("tq_t").alias("tq")))
-        .distinct()
-    )
-    cost = _log2fp_cost(tv)
-    delta = (
-        stats.join(
-            F.broadcast(cost.withColumnRenamed("cost_fp", "cost_r")),
-            stats.tq_r == cost.tq,
-        )
-        .drop("tq")
-        .join(
-            F.broadcast(
-                _log2fp_cost(tv).withColumnRenamed("cost_fp", "cost_t")
-            ).withColumnRenamed("tq", "tq2"),
-            F.col("tq_t") == F.col("tq2"),
-        )
-        .select("b", (F.col("cost_r") - F.col("cost_t")).alias("delta_fp"))
-    )
+    # r14 optimization: the stats frame is bounded at 4096 rows (the
+    # hashed-bucket space), so run the single-expression kernel INLINE on
+    # tq_r and tq_t — the old union+distinct shuffle and TWO broadcast
+    # join-backs bought nothing but plan weight for the same bits
+    # (guide §2.4: remove shuffles outright).
+    delta = _log2fp_cost_cols(
+        _log2fp_cost_cols(stats, "tq_r", "cost_r"), "tq_t", "cost_t"
+    ).select("b", (F.col("cost_r") - F.col("cost_t")).alias("delta_fp"))
     return (
         feats.join(F.broadcast(delta), "b")
         .groupBy("doc_id")
