@@ -206,8 +206,8 @@ def sample_kcenter_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = [(r, v, d) for r, v, d, _ in selected]
     center_vecs = [vec for _, _, _, vec in selected]
     radius_col = F.least(
-        *[_kc_dist(F.col("qe"), c) for c in center_vecs]
-    ) if len(center_vecs) > 1 else _kc_dist(F.col("qe"), center_vecs[0])
+        *[_kc_dist("qe", c) for c in center_vecs]
+    ) if len(center_vecs) > 1 else _kc_dist("qe", center_vecs[0])
     rad = q.agg(
         F.coalesce(F.max(radius_col), F.lit(0)).cast("long").alias("r")
     )
