@@ -915,16 +915,22 @@ def levenshtein_neardup_counts(
     b = inv.select(
         F.col(id_col).alias("id_b"), F.col(name_col).alias("nb"), "variant"
     )
-    cand = (
-        a.join(b, on="variant")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "na", "nb")
-        .distinct()
-    )
+    # r14 optimization (guide §2.3 — shuffle fewer bytes): verify BEFORE
+    # the pair-dedup. The old order shuffled every duplicated candidate
+    # row (a d<=1 pair shares MANY deletion variants) carrying BOTH name
+    # strings through the distinct; running the threshold-early-exit
+    # levenshtein map-side first lets the distinct shuffle only the
+    # qualifying (id_a, id_b, distance) triples — distance is a function
+    # of the pair, so distinct over the triple is exactly distinct over
+    # the pair, and the re-evaluations on duplicated candidates are cheap
+    # (threshold-1 early exit). Result-identical by construction.
     dist = F.levenshtein(F.col("na"), F.col("nb"), 1)
     return (
-        cand.select(dist.alias("distance"))
+        a.join(b, on="variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("distance"))
         .filter(F.col("distance") >= 0)
+        .distinct()
         .groupBy("distance")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )

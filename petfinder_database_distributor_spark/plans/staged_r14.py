@@ -485,9 +485,13 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, _BFS_ROUNDS + 1):
         side = "S" if i % 2 == 1 else "P"
         join_key, nxt = ("p", "s") if side == "S" else ("s", "p")
+        # r14 optimization: the frontier is distinct BY CONSTRUCTION (f0
+        # is a distinct; every later frontier is an anti-join of a
+        # distinct expansion) and single-typed, so the join-key
+        # projection needs no second distinct shuffle (guide §2.4).
         nxt_nodes = (
             e.join(
-                frontier.select(F.col("node_id").alias(join_key)).distinct(),
+                frontier.select(F.col("node_id").alias(join_key)),
                 join_key,
             )
             .select(
