@@ -354,26 +354,34 @@ def minhash_band_buckets(
             % MERSENNE_P
         ).alias("h"),
     )
+    # Expressions rendered as SQL strings (r14 optimization): the
+    # per-element Column-builder form issued ~300 py4j round-trips per
+    # invocation (k min-aggregates x 6 calls + bands x r concat chains);
+    # one F.expr per aggregate / per band hash builds the IDENTICAL
+    # expression tree with ~50. This helper runs once per dedup query AND
+    # once per streaming trigger, so the driver chatter was paid
+    # repeatedly.
     sig = hx.groupBy(id_col).agg(
         *[
-            F.min(
-                (F.lit(2 * i + 1) * F.col("h") + F.lit(17 * i + 3)) % MERSENNE_P
+            F.expr(
+                f"min(({2 * i + 1} * h + {17 * i + 3}) % {MERSENNE_P})"
             ).alias(f"m{i}")
             for i in range(k)
         ]
     )
-    band_hashes = F.array(
-        *[
-            md5int(
-                F.concat_ws(
-                    ",", *[F.col(f"m{j * r + i}").cast("string") for i in range(r)]
-                )
+    bh_sql = ", ".join(
+        "conv(substring(md5(concat_ws(',', {cols})), 1, 15), 16, 10)".format(
+            cols=", ".join(
+                f"cast(m{j * r + i} as string)" for i in range(r)
             )
-            for j in range(bands)
-        ]
+        )
+        for j in range(bands)
     )
     return sig.select(
-        F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
+        F.col(id_col),
+        F.posexplode(F.expr(f"array({bh_sql})").cast("array<long>")).alias(
+            "band", "bh"
+        ),
     )
 
 
