@@ -53,10 +53,20 @@ def exact_dedup_groups(
 
 
 def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    # No size(sh) > 0 filter (r14 optimization, guide §4.4's duplication
+    # trap in native-expression form): Catalyst pushes such a filter
+    # BELOW this projection, inlining the whole tokenize+shingle tree
+    # into the Filter condition — every row then tokenizes TWICE (seen
+    # as duplicated split/translate chains in Filter and Project of every
+    # dedup plan). The filter was also semantically free to drop: every
+    # consumer either explodes `sh` (empty arrays emit nothing) or joins
+    # it against candidate ids that an empty-shingle doc can never
+    # produce, so keeping empty-sh rows changes no registered result
+    # (oracle-verified across the minhash/jaccard/incremental family).
     toks = tokens(F.col(text_col))
     return ensure_parallelism(df).select(
         F.col(id_col), shingles(toks, n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
