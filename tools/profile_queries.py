@@ -29,6 +29,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--names", default="")
     ap.add_argument("--plans-dir", default="")
+    ap.add_argument(
+        "--plan-suffix",
+        default="before",
+        help="plan filename suffix: <name>_<suffix>.txt (before/after)",
+    )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--passes", type=int, default=1)
     args = ap.parse_args()
@@ -94,8 +99,10 @@ def main() -> None:
                             "fromString",
                         )("formatted")
                     )
-                out = os.path.join(REPO_ROOT, args.plans_dir, f"{name}_before.txt")
-                if not os.path.exists(out):
+                out = os.path.join(
+                    REPO_ROOT, args.plans_dir, f"{name}_{args.plan_suffix}.txt"
+                )
+                if args.plan_suffix != "before" or not os.path.exists(out):
                     with open(out, "w") as fh:
                         fh.write(plan)
         rec = {"name": name, "sec": None if best is None else round(best, 2), "jobs": jobs}
