@@ -34,6 +34,7 @@ from petfinder_database_distributor_spark.operators.text import (
 from petfinder_database_distributor_spark.util import (
     ensure_parallelism,
     execution_guard,
+    pushdown_barrier,
 )
 
 
@@ -53,19 +54,34 @@ def exact_dedup_groups(
 
 
 def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    # No size(sh) > 0 filter (r14 optimization, guide §4.4's duplication
-    # trap in native-expression form): Catalyst pushes such a filter
-    # BELOW this projection, inlining the whole tokenize+shingle tree
-    # into the Filter condition — every row then tokenizes TWICE (seen
-    # as duplicated split/translate chains in Filter and Project of every
-    # dedup plan). The filter was also semantically free to drop: every
-    # consumer either explodes `sh` (empty arrays emit nothing) or joins
-    # it against candidate ids that an empty-shingle doc can never
-    # produce, so keeping empty-sh rows changes no registered result
-    # (oracle-verified across the minhash/jaccard/incremental family).
-    toks = tokens(F.col(text_col))
-    return ensure_parallelism(df).select(
-        F.col(id_col), shingles(toks, n).alias("sh")
+    # ONE tokenize per document (r15; guide §4.4 + §1.2). Two separate
+    # multipliers previously re-ran the tokenize chain per row:
+    #
+    # 1. Filter duplication: dropping the explicit size(sh) > 0 filter in
+    #    r14 was a no-op — InferFiltersFromGenerate re-infers
+    #    `size(sh) > 0 AND isnotnull(sh)` from every downstream explode
+    #    and pushes it below this projection, inlining the whole
+    #    tokenize+shingle tree into the Filter (the r14 after-plans still
+    #    carried the duplicated split/translate chains; r14 verdict #1).
+    #    pushdown_barrier makes the sh field non-deterministic so no
+    #    filter can cross the projection: inferred filters stay above and
+    #    read the computed attribute.
+    # 2. HOF fan-out: shingles() references its token-array argument 5×
+    #    (the zip_with chain + two slice/size pairs), higher-order
+    #    functions evaluate interpreted (no codegen CSE), so an inline
+    #    tokens(text) ran ~5× per row. Materializing the token array in
+    #    its OWN projection (referenced 5×, so CollapseProject keeps it —
+    #    the text_lang_id two-stage pattern) makes the shingle pass read
+    #    a computed attribute.
+    #
+    # Semantics unchanged: the barrier is value-identical, and empty-sh
+    # rows still emit nothing from every consumer's explode/join.
+    toked = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    return toked.select(
+        F.col(id_col),
+        pushdown_barrier(shingles(F.col("__toks"), n)).alias("sh"),
     )
 
 

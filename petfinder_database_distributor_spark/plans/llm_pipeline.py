@@ -2646,10 +2646,17 @@ def _span_overlap_frame(docs: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     from petfinder_database_distributor_spark.operators.text import md5int, tokens
+    from petfinder_database_distributor_spark.util import pushdown_barrier
 
+    # pushdown_barrier (r15; guide §4.4): without it the size(t) >= 8
+    # filter is pushed below this projection with the WHOLE tokenize tree
+    # substituted into the Filter condition, so every document tokenizes
+    # twice (Filter + Project — the r14 span plans carried the duplicated
+    # split/translate chains). The barrier keeps the filter above the
+    # projection, reading the computed `t` attribute: one tokenize/row.
     toks = tokens(F.col("text"))
     chunks = (
-        docs.select("doc_id", toks.alias("t"))
+        docs.select("doc_id", pushdown_barrier(toks).alias("t"))
         .filter(F.size("t") >= 8)
         .select(
             "doc_id",

@@ -38,6 +38,44 @@ def execution_guard(df: DataFrame, ok: Column, msg: Column) -> DataFrame:
     return df.filter(F.assert_true(ok, msg).isNull())
 
 
+def pushdown_barrier(col: Column) -> Column:
+    """Value-identical wrapper that stops Catalyst from pushing filters
+    below the projection computing ``col`` (the guide §4.4 duplication
+    trap, native-expression form): a filter on a computed column is
+    pushed below its Project with the column's WHOLE expression tree
+    substituted into the Filter condition, so every row evaluates the
+    expression twice — once in the Filter, once again in the Project.
+    Harmless for cheap columns; for the tokenize+shingle trees it doubles
+    the dominant map-side CPU of the dedup family at corpus scale, and
+    the r14 attempt to fix it by dropping the explicit ``size(sh) > 0``
+    filter was a no-op because InferFiltersFromGenerate re-infers exactly
+    that filter from any downstream ``explode`` (r14 verdict: the
+    duplicated tree survived in every jaccard/containment/span plan).
+
+    Mechanism: ``rand() + 1.0 >= 0.0`` is always true (rand ∈ [0,1)), so
+    the CASE evaluates to ``col`` on every row (the NULL else-branch is
+    unreachable) — but rand makes the projection field NON-DETERMINISTIC,
+    and PushPredicateThroughNonJoin refuses to push any filter through a
+    Project unless every field is deterministic. Inferred and explicit
+    filters on the column therefore stay ABOVE the projection, reading
+    the already-computed attribute. Cost: one rand + add + compare per
+    row — noise next to any expression worth wrapping. The ``+ 1.0``
+    indirection is load-bearing: Spark 4.1 constant-folds DIRECT
+    rand-vs-literal boundary comparisons (``rand() >= -1`` optimizes to
+    the bare column and the barrier vanishes — probed), but does no
+    interval arithmetic through the addition. tests/test_plan_quality.py
+    pins that the barrier survives optimization, so a future Spark
+    upgrade that learns to fold this form fails loudly instead of
+    silently re-duplicating the trees.
+
+    Trade-off (why this is not blanket policy): ALL pushdown through the
+    wrapped projection stops, including sibling predicates that could
+    have reached the parquet scan (e.g. an inferred ``isnotnull(id)``
+    no longer lands in PushedFilters). Wrap only projections whose
+    recomputation dominates that loss — here, the tokenize chains."""
+    return F.when(F.rand() + F.lit(1.0) >= F.lit(0.0), col)
+
+
 def parquet_num_rows(sf_dir: str, table: str) -> int:
     """Exact row count of a driver parquet table from file-footer metadata —
     microseconds, zero Spark jobs. The cheap path for guards whose bound is

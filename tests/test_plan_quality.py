@@ -621,6 +621,52 @@ def test_classifier_is_expression_only(spark):
     assert "codegen id" in p  # formatted-mode spelling of WholeStageCodegen spans
 
 
+def test_pushdown_barrier_survives_optimizer(spark):
+    """r15: pushdown_barrier keeps filters ABOVE the projection it wraps
+    (the guide §4.4 duplication trap — a filter pushed below a Project
+    re-inlines the column's whole expression tree into the Filter). The
+    wrapper's non-determinism relies on Spark NOT constant-folding
+    `rand() + 1.0 >= 0.0`; Spark 4.1 already folds the direct form
+    `rand() >= -1.0` (probed during r15), so this pin fails loudly if an
+    upgrade learns interval arithmetic and silently re-duplicates the
+    tokenize trees."""
+    from pyspark.sql import functions as F
+
+    from petfinder_database_distributor_spark.util import pushdown_barrier
+
+    df = (
+        spark.range(10)
+        .select(F.col("id"), pushdown_barrier(F.col("id") * 2).alias("c"))
+        .filter(F.col("c") > 3)
+    )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" in opt, "barrier folded away — filter was pushed below"
+    assert opt.index("Filter") < opt.index("Project"), (
+        "filter must stay ABOVE the barrier projection"
+    )
+
+
+def test_shingle_family_tokenizes_once_per_branch(spark):
+    """r15 (r14 verdict #1): the tokenize chain must appear exactly ONCE
+    per document-scan branch — not twice (InferFiltersFromGenerate's
+    re-inferred size(sh)>0 filter pushed below the shingle projection)
+    and not 5x (the shingle zip_with chain referencing an INLINE
+    tokens(text) from interpreted HOF slots). One chain per branch =
+    every `split(lower(translate` occurrence sits in its own projection
+    over a distinct scan of the documents table."""
+    for name, branches in [
+        ("dedup_ngram_jaccard_baseline", 4),
+        ("dedup_ngram_containment", 4),
+        ("dedup_span_overlap", 4),
+    ]:
+        p = plan_of(spark, name)
+        chains = p.count("split(lower(translate")
+        assert chains <= branches, (
+            f"{name}: {chains} tokenize chains for <= {branches} scan"
+            " branches — the duplication trap is back"
+        )
+
+
 def test_span_overlap_bucketed_join_only(spark):
     """Substring-span dedup joins postings on the chunk hash — never an
     all-pairs operator — and its run-detection window keys on the doc
