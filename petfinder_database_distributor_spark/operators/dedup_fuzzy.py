@@ -159,9 +159,21 @@ def ngram_jaccard_pairs(
     # Measured NOT worth checkpointing (unlike minhash's shingle frame):
     # materializing the exploded postings costs more than recomputing the
     # codegen explode per consumer (+0.4-0.5 s at sf0.1 when tried).
+    #
+    # Postings carry the 60-bit md5int fold of the shingle, not the
+    # string (r15, guide §2.3 — the round-7 minhash bucket-key trick
+    # applied to the postings join): every downstream stage — the Σdf²
+    # estimate, the df_cap/hot_cap directories, and above all the
+    # self-join exchange — shuffles and probes an 8-byte long instead of
+    # a ~20-char string. Result-identical by the established
+    # collision-parity argument: the DuckDB oracles hash with the SAME
+    # shared md5int fragment, so even a (2^-60) collision merges the same
+    # shingle pair in both engines; tests/test_plan_quality.py's
+    # oracle-identity pin re-proves the hashed postings form against the
+    # retired all-pairs STRING form on sf0.001.
     inv = sh.select(
-        F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
-    )
+        F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("__s")
+    ).select(F.col(id_col), "sz", md5int(F.col("__s")).alias("shingle"))
     if df_cap is None and hot_cap is None and max_join_rows is not None:
         # Join-size estimate, exact by construction: the postings self-join
         # on `shingle` produces exactly Σ df(s)² rows. One count-aggregate
@@ -313,8 +325,12 @@ def ngram_jaccard_pairs_auto(
     that is the whole game. Results are posture-independent (both exact),
     so the unqualified oracle is the plain pairwise-Jaccard SQL."""
     sh = with_shingles(df, id_col, text_col, n)
+    # df counts over the hashed shingle (same md5int fold as the postings
+    # join below): identical counts modulo 60-bit collisions, long keys
+    # through the aggregate exchange.
     est = (
-        sh.select(F.explode("sh").alias("shingle"))
+        sh.select(F.explode("sh").alias("__s"))
+        .select(md5int(F.col("__s")).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .agg(F.sum(F.col("df") * F.col("df")).alias("sq"))

@@ -105,7 +105,8 @@ _SHINGLES_SQL = f"""
 # inverted-index plan instead of the corpus squared.
 _EXACT_JACCARD_ORACLE = f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    inv AS (SELECT doc_id, len(s) AS sz, u.x AS shingle FROM sh, unnest(sh.s) u(x)),
+    inv AS (SELECT doc_id, len(s) AS sz, {_MD5INT.format(x="u.x")} AS shingle
+            FROM sh, unnest(sh.s) u(x)),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
              count(*) AS inter
@@ -329,7 +330,8 @@ def dedup_ngram_jaccard_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # posting/cap/join block must live in one place per engine.
 _CAPPED_INTER_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    inv AS (SELECT doc_id, len(s) AS sz, u.x AS shingle FROM sh, unnest(sh.s) u(x)),
+    inv AS (SELECT doc_id, len(s) AS sz, {_MD5INT.format(x="u.x")} AS shingle
+            FROM sh, unnest(sh.s) u(x)),
     keep AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 64),
     capped AS (SELECT i.* FROM inv i JOIN keep k ON i.shingle = k.shingle),
     inter AS (
