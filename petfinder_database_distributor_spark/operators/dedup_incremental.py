@@ -114,11 +114,86 @@ def decisions_from_buckets(
         on=["band", "bh"],
     ).filter(F.col("cid") < F.col("bid")).select("bid", "cid")
     cand = from_corpus.unionByName(from_batch).dropDuplicates(["bid", "cid"])
+    return _verified_decisions(
+        cand, corpus_docs, batch_docs, batch_sh, id_col, text_col, n, threshold
+    )
 
-    # Exact verify against only the candidate ids: corpus text is fetched
-    # by a semi-join (bounded candidate set), batch shingles are already
-    # checkpointed. A candidate id can be a batch id (self-join leg) —
-    # the union covers both sides with one frame.
+
+def decisions_from_committed_index(
+    index_incl: DataFrame,
+    seen_docs: DataFrame,
+    batch_docs: DataFrame,
+    batch_sh: DataFrame,
+    buckets: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Decision core for the APPEND-FIRST ingest loop (r15 trigger
+    fusion): the batch's signatures are committed to the index BEFORE
+    decisions run, so ``index_incl`` already CONTAINS the batch, and one
+    probe join with a single ``cid < bid`` predicate replaces the two
+    probe legs (corpus index + batch-internal self-join) plus union of
+    :func:`decisions_from_buckets`. The caller passes the batch's own
+    committed bucket rows as ``buckets`` (the appended-files delta — the
+    data write that committed them IS the materialization, so the
+    separate per-trigger bucket localCheckpoint job disappears).
+
+    REQUIRES arrival order == id order (every id committed by an earlier
+    trigger is smaller than every id of this batch) — the contract the
+    ascending-id document staging provides. Equivalence to the two-leg
+    form under that contract: index_incl = index_before ∪ own_buckets;
+    probe ⋈ own_buckets [cid < bid] is exactly the old batch-internal
+    leg, and probe ⋈ index_before [cid < bid] equals the old unfiltered
+    corpus leg because every corpus cid is smaller than every bid.
+
+    Replay safety (the cut walk, re-proven for append-first): a replayed
+    trigger — any crash between the signature append and the offset
+    commit — re-runs against an index that already holds its OWN
+    signatures (possibly twice). ``cid < bid`` makes them inert: self
+    pairs (cid = bid) are excluded, duplicate committed rows collapse in
+    the candidate ``dropDuplicates``, and ids from later triggers cannot
+    exist yet (triggers are sequential; replay restarts at the failed
+    one). Decision VALUES are therefore a deterministic function of
+    (batch, signatures committed for smaller ids) at EVERY crash point.
+    This is strictly stronger than the pre-r15 decisions-before-append
+    ordering, which was only self-match-free when the trigger ran
+    exactly once: a replay after a committed append re-probed its own
+    signatures through the unfiltered corpus leg (cid = bid, Jaccard 1)
+    and could flip its own rows to dup_of = bid.
+    tests/test_corpus_ops.py::test_incdedup_trigger_replay_idempotent
+    pins the replayed-trigger decision values."""
+    probe = buckets.select(F.col(id_col).alias("bid"), "band", "bh")
+    cand = (
+        probe.join(
+            index_incl.select(F.col(id_col).alias("cid"), "band", "bh"),
+            on=["band", "bh"],
+        )
+        .filter(F.col("cid") < F.col("bid"))
+        .select("bid", "cid")
+        .dropDuplicates(["bid", "cid"])
+    )
+    return _verified_decisions(
+        cand, seen_docs, batch_docs, batch_sh, id_col, text_col, n, threshold
+    )
+
+
+def _verified_decisions(
+    cand: DataFrame,
+    corpus_docs: DataFrame,
+    batch_docs: DataFrame,
+    batch_sh: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared exact-verify tail: candidate pairs → per-doc decisions.
+    Corpus text is fetched by a semi-join (bounded candidate set), batch
+    shingles are already checkpointed. A candidate id can be a batch id
+    (the batch-internal leg) — the union covers both sides with one
+    frame."""
     cand_corpus_docs = corpus_docs.join(
         cand.select(F.col("cid").alias(id_col)).dropDuplicates([id_col]),
         on=id_col,

@@ -169,6 +169,63 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _incdedup_trigger(
+    table_dir: str, dec_dir: str, all_docs: DataFrame, batch_df: DataFrame
+) -> None:
+    """One ingest trigger, APPEND-FIRST (r15 trigger fusion): commit the
+    batch's band signatures to the index, then probe the committed index
+    with ``cid < bid`` for the decisions. The append's data write IS the
+    bucket materialization — the pre-r15 shape paid a separate
+    localCheckpoint job for the buckets AND ran two probe legs (corpus
+    index + batch self-join) whose union the single filtered probe
+    replaces; see decisions_from_committed_index for the equivalence and
+    the re-proven replay-cut walk (append-first is also strictly SAFER:
+    a replayed trigger's own committed signatures are inert under
+    cid < bid, where the old unfiltered corpus leg would self-match
+    them at Jaccard 1). Module-level so the replay test can invoke one
+    trigger directly."""
+    from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
+        minhash_band_buckets,
+        with_shingles,
+    )
+    from petfinder_database_distributor_spark.operators.dedup_incremental import (
+        decisions_from_committed_index,
+    )
+    from petfinder_database_distributor_spark.sources.snapshot import (
+        snapshot_read_since,
+    )
+
+    sess = batch_df.sparkSession
+    base = latest_version(table_dir)
+    # seen-but-not-in-this-batch docs serve candidate text lookups
+    lookup = all_docs.join(batch_df.select("doc_id"), "doc_id", "left_anti")
+    # ONE signature computation per trigger: the checkpointed shingles
+    # feed the band aggregate and both exact-verify legs; the band rows
+    # themselves materialize through the index append below.
+    batch_sh = with_shingles(batch_df, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    # Append-only index commit (a doc's signature never changes):
+    # O(batch) file-append + pointer swap, never an index rewrite.
+    # Duplicate rows from a replayed trigger are harmless — the candidate
+    # probe dedups pairs and cid < bid keeps own signatures inert.
+    v = snapshot_append(
+        sess, table_dir, minhash_band_buckets(batch_sh, "doc_id")
+    )
+    buckets = (
+        snapshot_read_since(sess, table_dir, base, version=v)
+        if base is not None
+        else snapshot_read(sess, table_dir, version=v)
+    )
+    dec = decisions_from_committed_index(
+        snapshot_read(sess, table_dir, version=v),
+        lookup, batch_df, batch_sh, buckets, "doc_id", "text",
+        threshold=0.5,
+    )
+    dec.write.mode("append").parquet(dec_dir)
+
+
+
 @register(
     "stream_incremental_dedup",
     oracle=f"""
@@ -200,18 +257,23 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle: documents arrive in 4 ascending-id micro-batches; each "
     "trigger computes signatures for ITS batch only, probes the "
     "snapshot-committed band index of everything seen so far, "
-    "exact-verifies band collisions, appends per-doc decisions, and "
-    "commits the batch's signatures as the next index version via "
-    "snapshot_append — an O(batch) manifest-level file append, never an "
-    "index rewrite (one atomic pointer swap per trigger; the version "
-    "chain IS the micro-batch audit log). Because arrival order is id order, "
+    "exact-verifies band collisions, and appends per-doc decisions. "
+    "APPEND-FIRST (r15): the batch's signatures commit as the next index "
+    "version BEFORE decisions run — an O(batch) manifest-level file "
+    "append, never an index rewrite (one atomic pointer swap per "
+    "trigger; the version chain IS the micro-batch audit log) — and the "
+    "probe joins the committed index with cid < bid, which fuses the "
+    "corpus and batch-internal probe legs AND reuses the append's data "
+    "write as the bucket materialization (one fewer job per trigger). "
+    "Because arrival order is id order, "
     "first-occurrence-wins per trigger composes to the GLOBAL rule "
     "'dup iff a smaller-id near-dup exists' — which is exactly what the "
     "oracle computes as one corpus-wide batch dedup, so parity proves "
     "the stream's incremental state machine equals the batch semantics. "
-    "Replay-safe: decisions are a deterministic function of (batch, "
-    "index-before-batch), the signature merge is an idempotent winner "
-    "rule on (doc_id, band), and the read-back dedups decision rows.",
+    "Replay-safe: cid < bid makes a replayed trigger's own committed "
+    "signatures inert, so decision values are a deterministic function "
+    "of (batch, signatures committed for smaller ids) at every crash "
+    "point, and the read-back dedups decision rows.",
 )
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.streaming.incremental import (
@@ -232,48 +294,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from petfinder_database_distributor_spark.operators.dedup_fuzzy import (
-            minhash_band_buckets,
-            with_shingles,
-        )
-        from petfinder_database_distributor_spark.operators.dedup_incremental import (
-            decisions_from_buckets,
-        )
-        from petfinder_database_distributor_spark.sources.snapshot import (
-            snapshot_append,
-        )
-
-        sess = batch_df.sparkSession
-        base = latest_version(table_dir)
-        index = (
-            snapshot_read(sess, table_dir, version=base)
-            if base is not None
-            else sess.createDataFrame([], "doc_id long, band int, bh long")
-        )
-        # seen-but-not-in-this-batch docs serve candidate text lookups;
-        # decisions must run BEFORE this batch's signatures land in the
-        # index (a batch must not self-match through it)
-        lookup = all_docs.join(
-            batch_df.select("doc_id"), "doc_id", "left_anti"
-        )
-        # ONE signature computation per trigger, consumed by both the
-        # decision probe and the index commit
-        batch_sh = with_shingles(batch_df, "doc_id", "text").localCheckpoint(
-            eager=True
-        )
-        buckets = minhash_band_buckets(batch_sh, "doc_id").localCheckpoint(
-            eager=True
-        )
-        dec = decisions_from_buckets(
-            index, lookup, batch_df, batch_sh, buckets, "doc_id", "text",
-            threshold=0.5,
-        )
-        dec.write.mode("append").parquet(dec_dir)
-        # the index is append-only (a doc's signature never changes):
-        # O(batch) file-append commit, never an index rewrite — duplicate
-        # rows from a replayed trigger are harmless (the candidate probe
-        # dedups pairs) and availableNow checkpointing prevents them
-        snapshot_append(sess, table_dir, buckets)
+        _incdedup_trigger(table_dir, dec_dir, all_docs, batch_df)
 
     with scoped_conf(
         spark, spark__sql__shuffle__partitions=STREAM_SHUFFLE_PARTITIONS

@@ -74,6 +74,57 @@ def test_incremental_dedup_decision_invariants(spark):
                 assert r["dup_of"] < r["doc_id"]
 
 
+def test_incdedup_trigger_replay_idempotent(spark, tmp_path):
+    """r15 append-first trigger fusion: replaying a trigger (any crash
+    between the signature append and the offset commit re-runs the whole
+    foreachBatch body) must not change decision VALUES. The replayed
+    run probes an index that already holds its own signatures — once
+    from each attempt — and cid < bid must keep them inert; the
+    decisions parquet then holds duplicate rows with IDENTICAL values,
+    which the read-back dropDuplicates collapses deterministically.
+    (Pre-r15 this was a real hole: the unfiltered corpus probe leg
+    self-matched a replayed batch at Jaccard 1.)"""
+    from petfinder_database_distributor_spark.plans.corpus_ops import (
+        _incdedup_trigger,
+    )
+
+    run = str(tmp_path / "incdedup_replay")
+    table_dir, dec_dir = f"{run}/index", f"{run}/decisions"
+    all_docs = load_table(spark, SF_SMALL, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    ids = sorted(r["doc_id"] for r in all_docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    b1 = all_docs.filter(F.col("doc_id") < cut)
+    b2 = all_docs.filter(F.col("doc_id") >= cut)
+
+    _incdedup_trigger(table_dir, dec_dir, all_docs, b1)
+    _incdedup_trigger(table_dir, dec_dir, all_docs, b2)
+    once = {
+        r["doc_id"]: (r["dup_of"], r["admitted"])
+        for r in spark.read.parquet(dec_dir).dropDuplicates(["doc_id"]).collect()
+    }
+    assert set(once) == set(ids)
+
+    # replay trigger 2 (crash after append + decisions, before offset commit)
+    _incdedup_trigger(table_dir, dec_dir, all_docs, b2)
+    dec = spark.read.parquet(dec_dir)
+    # every doc's decision rows agree in VALUE (dropDuplicates is then
+    # order-independent), and the collapsed set equals the clean run
+    conflicting = (
+        dec.groupBy("doc_id")
+        .agg(F.countDistinct(F.struct("dup_of", "admitted")).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert conflicting == 0, "replayed trigger changed a decision value"
+    replayed = {
+        r["doc_id"]: (r["dup_of"], r["admitted"])
+        for r in dec.dropDuplicates(["doc_id"]).collect()
+    }
+    assert replayed == once
+
+
 def test_domain_budget_sample_cap_and_maximality(spark):
     """Per domain: kept tokens never exceed the equal-share budget, and
     the kept set is MAXIMAL — the next document in admit (hash) order
