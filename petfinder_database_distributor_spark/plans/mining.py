@@ -1175,12 +1175,15 @@ def _ppl_corpus_frames(spark: SparkSession, sf_dir: str):
     "iterative statistic hash-matches DuckDB bit-for-bit. Probabilities "
     "quantize to t = floor(p * 2^30) clamped >= 1 (the clamp caps any "
     "bigram's surprise at 30 bits — reachable only when a history "
-    "exceeds ~2^30 occurrences). Plan: two linear bigram aggs (c2, c1), "
-    "a broadcast vocab scalar, the tiny distinct-t log frame, one "
-    "join-back + per-doc agg; the CCNet tercile closes through the "
-    "distributed two-phase range-partition ntile (_global_ntile — "
-    "never a single-task global sort). Docs under 2 tokens have no "
-    "bigram evidence and are excluded by construction.",
+    "exceeds ~2^30 occurrences). The kernel is ONE aggregate() "
+    "higher-order expression applied INLINE per corpus-bounded bigram "
+    "row (r14: the old distinct-t + broadcast join-back shape was "
+    "removed — 20 integer ops/row beat a shuffle in every regime). "
+    "Plan: two linear bigram aggs (c2, c1), a broadcast vocab scalar, "
+    "the inline fixed-point kernel, one per-doc agg; the CCNet tercile "
+    "closes through the distributed two-phase range-partition ntile "
+    "(_global_ntile — never a single-task global sort). Docs under 2 "
+    "tokens have no bigram evidence and are excluded by construction.",
 )
 def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk, big = _ppl_corpus_frames(spark, sf_dir)

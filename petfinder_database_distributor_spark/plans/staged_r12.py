@@ -276,47 +276,60 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     )
-    # r14 optimization: the k-1 rounds below each re-scan the corpus; the
-    # quantized frame is the only input they share, so materialize it ONCE
-    # (DISK_ONLY — corpus-bulk discipline) instead of paying the parquet
-    # scan + quantize transform k times (guide §5 caching: reused k times,
-    # recompute k-1 times saved; the witness's sequential shape itself is
-    # unchanged — sample_kcenter_bucketed stays the 100 TB path).
+    # r14 optimization, r15 cleanup: the k-1 rounds below each re-scan
+    # the corpus; the quantized frame is the only input they share, so
+    # materialize it ONCE (DISK_ONLY — corpus-bulk discipline) instead of
+    # paying the parquet scan + quantize transform k times (guide §5
+    # caching: reused k times; the witness's sequential shape itself is
+    # unchanged — sample_kcenter_bucketed stays the 100 TB path). r15
+    # (ADVICE): persist + try/finally unpersist rather than the r14
+    # localCheckpoint — checkpoint blocks are not cache-manager-tracked,
+    # so they lingered on executors until driver GC (a leak across a
+    # 216-query bench session), and the truncated lineage made the query
+    # unrecoverable on executor loss. The persisted plan is re-analyzed
+    # per round, but it is three nodes deep — recompute safety and
+    # deterministic cleanup win.
     from pyspark.storagelevel import StorageLevel
 
-    q = (
-        emb.select("vec_id", _kc_qe(F.col("embedding")).alias("qe"))
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    q = emb.select("vec_id", _kc_qe(F.col("embedding")).alias("qe")).persist(
+        StorageLevel.DISK_ONLY
     )
-    seed_rows = q.orderBy("vec_id").limit(1).collect()
-    if not seed_rows:
-        # degenerate input: no vectors → empty selection, same schema the
-        # oracle produces (its seed CTE is empty too) — never an IndexError
+    try:
+        seed_rows = q.orderBy("vec_id").limit(1).collect()
+        if not seed_rows:
+            # degenerate input: no vectors → empty selection, same schema
+            # the oracle produces (its seed CTE is empty too) — never an
+            # IndexError
+            return spark.createDataFrame(
+                [], "sel_rank bigint, vec_id bigint, dist_sq bigint"
+            )
+        # populate the cache fully before the rounds (count scans every
+        # partition of the persisted relation, caching all its columns)
+        q.count()
+        seed = seed_rows[0]
+        selected = [(1, int(seed["vec_id"]), 0, list(seed["qe"]))]
+        for i in range(2, _KCENTER_K + 1):
+            mind = F.least(
+                *[_kc_dist("qe", c[3]) for c in selected]
+            ) if len(selected) > 1 else _kc_dist("qe", selected[0][3])
+            picked_ids = [c[1] for c in selected]
+            nxt = (
+                q.filter(~F.col("vec_id").isin(picked_ids))
+                .select("vec_id", "qe", mind.alias("mind"))
+                .orderBy(F.col("mind").desc(), "vec_id")
+                .limit(1)
+                .collect()
+            )
+            if not nxt:
+                break
+            r = nxt[0]
+            selected.append((i, int(r["vec_id"]), int(r["mind"]), list(r["qe"])))
         return spark.createDataFrame(
-            [], "sel_rank bigint, vec_id bigint, dist_sq bigint"
+            [(r, v, d) for r, v, d, _ in selected],
+            "sel_rank bigint, vec_id bigint, dist_sq bigint",
         )
-    seed = seed_rows[0]
-    selected = [(1, int(seed["vec_id"]), 0, list(seed["qe"]))]
-    for i in range(2, _KCENTER_K + 1):
-        mind = F.least(
-            *[_kc_dist("qe", c[3]) for c in selected]
-        ) if len(selected) > 1 else _kc_dist("qe", selected[0][3])
-        picked_ids = [c[1] for c in selected]
-        nxt = (
-            q.filter(~F.col("vec_id").isin(picked_ids))
-            .select("vec_id", "qe", mind.alias("mind"))
-            .orderBy(F.col("mind").desc(), "vec_id")
-            .limit(1)
-            .collect()
-        )
-        if not nxt:
-            break
-        r = nxt[0]
-        selected.append((i, int(r["vec_id"]), int(r["mind"]), list(r["qe"])))
-    return spark.createDataFrame(
-        [(r, v, d) for r, v, d, _ in selected],
-        "sel_rank bigint, vec_id bigint, dist_sq bigint",
-    )
+    finally:
+        q.unpersist()
 
 
 # ---------------------------------------------------------------------------

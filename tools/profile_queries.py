@@ -77,11 +77,14 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
             except Exception as exc:  # noqa: BLE001
                 err = f"{type(exc).__name__}: {exc}".split("\n")[0][:160]
-                sc.setJobGroup(None, None)
+                sc._jsc.clearJobGroup()  # noqa: SLF001 — not exposed on the Python SparkContext
                 break
             el = time.perf_counter() - t0
-            sc.setJobGroup(None, None)
+            # read the group's job ids BEFORE clearing (r15 ADVICE:
+            # clearJobGroup() is the documented reset; passing None pairs
+            # to setJobGroup leaned on py4j null coercion)
             j = len(tracker.getJobIdsForGroup(group))
+            sc._jsc.clearJobGroup()  # noqa: SLF001 — not exposed on the Python SparkContext
             if best is None or el < best:
                 best = el
             # jobs should be identical between passes; keep the first
