@@ -142,6 +142,27 @@ def _time_once(fn) -> float:
     return time.perf_counter() - t0
 
 
+def write_self_record(out: dict, path: str | None = None) -> str | None:
+    """Write the FULL per-query record to a file (r15, r14 verdict #2b):
+    the driver archives only the last 2000 chars of stdout, so the
+    216-entry map never survived its capture and PERF's per_query
+    round-over-round table came back empty two rounds running. Called
+    after both stdout prints — additions only, nothing in the timed path
+    changes. Default target is ``BENCH_SELF.json`` in the repo root
+    (override with ``$SPARK_GRAFT_BENCH_SELF``); a read-only checkout
+    degrades to the stdout record (returns None)."""
+    self_path = path or os.environ.get(
+        "SPARK_GRAFT_BENCH_SELF", os.path.join(REPO_ROOT, "BENCH_SELF.json")
+    )
+    try:
+        with open(self_path, "w") as fh:
+            json.dump(out, fh)
+            fh.write("\n")
+    except OSError:
+        return None
+    return self_path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -193,6 +214,7 @@ def main() -> None:
     # Trailing compact record — the driver's 2000-char tail capture always
     # contains this line whole (the full line above is ~3 KB and truncates).
     print(compact_summary(timings, errors, total, out["sf"], calibration=cal))
+    write_self_record(out)
 
 
 if __name__ == "__main__":

@@ -110,3 +110,19 @@ def test_bench_failed_query_not_retried_in_pass_two(spark):
     specs = {"boom": FakeSpec(counting_boom)}
     run_queries(spark, specs, ["boom"], SF_SMALL, passes=2)
     assert calls["n"] == 1, "a failed query must not pay the second pass"
+
+
+def test_write_self_record_roundtrip_and_readonly(tmp_path):
+    """r15: the full per-query record lands in a JSON file the driver's
+    2000-char stdout capture can't truncate; an unwritable target
+    degrades silently (the stdout record still stands)."""
+    import json
+
+    from bench import write_self_record
+
+    out = {"metric": "headline_queries_wall", "value": 1.23,
+           "queries": {"q": 0.5}, "sf": 0.1}
+    p = write_self_record(out, path=str(tmp_path / "BENCH_SELF.json"))
+    assert p is not None
+    assert json.loads(open(p).read()) == out
+    assert write_self_record(out, path=str(tmp_path / "nodir" / "x.json")) is None
