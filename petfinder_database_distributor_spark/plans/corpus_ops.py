@@ -501,19 +501,29 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull()
     )
-    toks = tokens(F.col("text"))
+    # r15 (guide §1.2 + §4.4): inline, the hashed-feature fold tokenized
+    # every document 3x/row — once in the aggregate, once in size, and
+    # once more inside the pushed-down n_toks > 0 filter. Materialize
+    # the token array behind a pushdown barrier: one tokenize per row,
+    # the filter reads the computed attribute.
+    from petfinder_database_distributor_spark.util import pushdown_barrier
+
+    toked = docs.select(
+        "doc_id", "lang", pushdown_barrier(tokens(F.col("text"))).alias("__toks")
+    )
+    tk = F.col("__toks")
     num = F.aggregate(
-        toks,
+        tk,
         F.lit(0).cast("long"),
         lambda acc, x: acc
         + ((md5int(x) % _QC_D) * F.lit(_QC_A)) % _QC_P
         - _QC_C,
     )
     scored = (
-        docs.select(
+        toked.select(
             "doc_id",
             "lang",
-            F.size(toks).alias("n_toks"),
+            F.size(tk).alias("n_toks"),
             num.alias("num"),
         )
         .filter(F.col("n_toks") > 0)

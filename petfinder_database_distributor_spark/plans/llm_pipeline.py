@@ -140,14 +140,30 @@ _EXACT_JACCARD_ORACLE = f"""
     doc="Token counting: whitespace tokens + BPE-ish subword estimate + mean word length",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petfinder_database_distributor_spark.operators.text import (
+        mean_word_length_from_tokens,
+        tokens,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    n = F.coalesce(token_count(t), F.lit(0)).cast("long")
-    return docs.select(
+    # r15 (guide §1.2): the three stats each tokenized inline (~5
+    # evaluations/row through interpreted HOF slots, which get no
+    # codegen CSE); materialize the token array once per row — the
+    # two-stage text_lang_id pattern — and derive all three from the
+    # attribute.
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    tk = F.col("__toks")
+    n = F.coalesce(F.size(tk), F.lit(0)).cast("long")
+    bpe = F.aggregate(
+        tk, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("int")
+    )
+    return toked.select(
         "doc_id",
         n.alias("n_tokens"),
-        F.coalesce(bpe_ish_token_count(t), F.lit(0)).cast("long").alias("n_tokens_bpe"),
-        F.when(n > 0, F.round(mean_word_length(t), 6)).alias("mean_word_len"),
+        F.coalesce(bpe, F.lit(0)).cast("long").alias("n_tokens_bpe"),
+        F.when(n > 0, F.round(mean_word_length_from_tokens(tk), 6)).alias(
+            "mean_word_len"
+        ),
     )
 
 
@@ -268,11 +284,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     from petfinder_database_distributor_spark.operators.text import distinct_tokens
 
+    # r15 (guide §1.2): both output hashes are md5 over the SAME sorted
+    # distinct-token bag; materialize the bag once per row instead of
+    # running the tokenize+distinct+sort chain twice (referenced 2x, so
+    # CollapseProject keeps the two-stage shape).
     sorted_bag = F.concat_ws(" ", F.array_sort(distinct_tokens(t)))
-    return docs.select(
+    bagged = docs.select("doc_id", sorted_bag.alias("__bag"))
+    return bagged.select(
         "doc_id",
-        bag_of_words_fingerprint(t).alias("fingerprint"),
-        md5int(sorted_bag).alias("fingerprint_int"),
+        F.md5(F.col("__bag")).alias("fingerprint"),
+        md5int(F.col("__bag")).alias("fingerprint_int"),
     )
 
 
@@ -951,14 +972,18 @@ def text_bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.util import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # non-distinct bigrams: shingles() dedups, so build the raw list here
-    toks = tokens(F.col("text"))
+    # non-distinct bigrams: shingles() dedups, so build the raw list here.
+    # Token array materialized in its OWN projection (r15, guide §1.2):
+    # the zip/slice/size slots below reference it 4x, and interpreted
+    # HOFs get no codegen CSE — inline, every document tokenized 4x/row.
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
     shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
     bigrams = F.filter(
         F.zip_with(toks, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
         lambda x: x.isNotNull(),
     )
-    exploded = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    exploded = toked.select("doc_id", F.explode(bigrams).alias("bigram"))
     return (
         exploded.groupBy("bigram")
         .agg(
@@ -1066,9 +1091,14 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     window, stride = 32, 16
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
-        F.size("t") > 0
-    )
+    # pushdown_barrier (r15, guide §4.4): without it the size(t) > 0
+    # filter pushes below this projection with the tokenize tree inlined
+    # — every document tokenized twice per row.
+    from petfinder_database_distributor_spark.util import pushdown_barrier
+
+    toked = docs.select(
+        "doc_id", pushdown_barrier(tokens(F.col("text"))).alias("t")
+    ).filter(F.size("t") > 0)
     n_chunks = F.greatest(
         F.lit(1), F.ceil((F.size("t") - window).cast("double") / stride).cast("int") + 1
     )
@@ -1164,8 +1194,16 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petfinder_database_distributor_spark.operators.text import tokens
     from petfinder_database_distributor_spark.util import ensure_parallelism
 
+    from petfinder_database_distributor_spark.util import pushdown_barrier
+
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = tokens(F.col("text"))
+    # r15 (guide §1.2 + §4.4): the trigram forest references the token
+    # array 6x from interpreted HOF slots (no codegen CSE) — materialize
+    # it in its own projection; and the size(g) > 0 filter would push
+    # below the g-projection with the whole tree inlined — the barrier
+    # keeps it reading the computed attribute.
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
     shifted1 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
     shifted2 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
     raw = F.filter(
@@ -1176,7 +1214,9 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
-    out = docs.select("doc_id", raw.alias("g")).filter(F.size("g") > 0)
+    out = toked.select(
+        "doc_id", pushdown_barrier(raw).alias("g")
+    ).filter(F.size("g") > 0)
     return out.select(
         "doc_id",
         F.size("g").cast("long").alias("n_trigrams"),
@@ -2484,9 +2524,14 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     )
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
-        F.size("t") > 0
-    )
+    # pushdown_barrier (r15, guide §4.4): without it the size(t) > 0
+    # filter pushes below this projection with the tokenize tree inlined
+    # — every document tokenized twice in the chunk-checkpoint job.
+    from petfinder_database_distributor_spark.util import pushdown_barrier
+
+    toked = docs.select(
+        "doc_id", pushdown_barrier(tokens(F.col("text"))).alias("t")
+    ).filter(F.size("t") > 0)
     n_chunks = F.ceil(F.size("t") / F.lit(float(W))).cast("int")
     piece = F.slice(F.col("t"), F.col("i") * W + 1, W)
     # The (doc_id, h, plen) triples feed BOTH the common-set build and the
@@ -2570,10 +2615,16 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     )
     t = F.col("text")
+    # r15 (guide §1.2): quality_score_from_tokens references its token
+    # argument ~6x through interpreted HOF slots (no codegen CSE) — an
+    # inline tokens(t) tokenized every document ~6x/row. Materialize the
+    # array once (the text_quality_score two-stage pattern).
     scored = docs.select(
+        "doc_id", "lang", t, tokens(t).alias("__toks")
+    ).select(
         "doc_id",
         "lang",
-        F.round(quality_score_from_tokens(t, tokens(t)), 6).alias("quality"),
+        F.round(quality_score_from_tokens(t, F.col("__toks")), 6).alias("quality"),
     )
     win = Window.partitionBy("lang").orderBy("quality", "doc_id")
     n_lang = F.count(F.lit(1)).over(Window.partitionBy("lang"))

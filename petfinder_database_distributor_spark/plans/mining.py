@@ -1143,8 +1143,17 @@ def _ppl_corpus_frames(spark: SparkSession, sf_dir: str):
 
     from petfinder_database_distributor_spark.operators.text import tokens
 
+    from petfinder_database_distributor_spark.util import pushdown_barrier
+
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    tk = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # pushdown_barrier (r15, guide §4.4): the size(t) >= 2 filter below
+    # otherwise pushes beneath this projection with the whole tokenize
+    # tree inlined into the Filter — every document tokenized twice in
+    # the bigram-checkpoint job (and again for the vocab branch, which
+    # the barrier leaves as its own single evaluation).
+    tk = docs.select(
+        "doc_id", pushdown_barrier(tokens(F.col("text"))).alias("t")
+    )
     big = (
         tk.filter(F.size("t") >= 2)
         .select(
@@ -1490,7 +1499,15 @@ def _dsir_per_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     B = _DSIR_BUCKETS
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    tk = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    # pushdown_barrier (r15, guide §4.4): the explode below makes
+    # Catalyst infer size(t) > 0 and push it beneath this projection
+    # with the tokenize tree inlined — every document tokenized twice
+    # in the feats-checkpoint job without the barrier.
+    from petfinder_database_distributor_spark.util import pushdown_barrier
+
+    tk = docs.select(
+        "doc_id", "lang", pushdown_barrier(tokens(F.col("text"))).alias("t")
+    )
     # the exploded feature table feeds the raw counts, the target counts
     # AND the per-doc re-agg — materialize once; corpus-bulk, so
     # DISK_ONLY per the heap post-mortem

@@ -548,8 +548,15 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan with full column pruning."""
     docs = load_table(spark, sf_dir, "documents")
     raw = F.coalesce(F.col("text"), F.lit(""))
-    t = tokens(F.col("text"))
-    base = docs.select(
+    # r15 (guide §1.2): the flags below reference the token array ~9x
+    # (size, aggregate, filter, one array_contains per required stopword)
+    # through interpreted HOF slots, which get no codegen CSE — inline,
+    # every document tokenized ~9x/row. Materialize the array once.
+    toked = docs.select(
+        "doc_id", F.col("text"), tokens(F.col("text")).alias("__toks")
+    )
+    t = F.col("__toks")
+    base = toked.select(
         "doc_id",
         raw.alias("raw"),
         t.alias("t"),

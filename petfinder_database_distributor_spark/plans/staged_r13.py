@@ -104,7 +104,13 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning, the same shape as text_gopher_rules (PLANS.md)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     raw = F.coalesce(F.col("text"), F.lit(""))
-    lines = F.split(raw, "\n", -1)
+    # r15 (guide §1.2): the four line-counters below each reference the
+    # line array from interpreted HOF slots (no codegen CSE) — inline,
+    # every document re-split 4x/row. Materialize the split once.
+    lined = docs.select(
+        "doc_id", F.col("text"), F.split(raw, "\n", -1).alias("__lines")
+    )
+    lines = F.col("__lines")
 
     def is_term(x: Column) -> Column:
         r = F.rtrim(x)
@@ -122,7 +128,7 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_words(x) >= _C4_MIN_WORDS)
         & ~F.lower(x).contains("javascript"),
     )
-    m = docs.select(
+    m = lined.select(
         "doc_id",
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("kept_lines"),
@@ -583,11 +589,16 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     one gram-count shuffle, the same budget as the bigram/shingle
     family."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
-    t = tokens(F.col("text"))
-    base = docs.select(
+    # r15 (guide §1.2): t and denom both need the token array — inline,
+    # the checkpoint job tokenized every document twice; materialize the
+    # array in its own projection (referenced 2x, CollapseProject keeps
+    # the two-stage shape) so the checkpoint pays one tokenize per row.
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    tk = F.col("__toks")
+    base = toked.select(
         "doc_id",
-        t.alias("t"),
-        F.greatest(F.length(F.array_join(t, " ")), F.lit(1)).alias("denom"),
+        tk.alias("t"),
+        F.greatest(F.length(F.array_join(tk, " ")), F.lit(1)).alias("denom"),
     ).localCheckpoint(eager=True)
 
     def grams(n: int) -> Column:

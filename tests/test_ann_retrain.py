@@ -32,6 +32,13 @@ from petfinder_database_distributor_spark.sources.snapshot import (
 )
 from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT
 
+import pytest
+
+# r15 (driver pytest budget): heavy tail — two full drift->retrain
+# lifecycles (~130 s); excluded from the default fast set, run with -m slow.
+pytestmark = pytest.mark.slow
+
+
 DIM = 64
 
 

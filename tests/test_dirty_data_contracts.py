@@ -35,6 +35,11 @@ import pytest
 
 from tests.conftest import SF_SMALL
 
+# r15 (driver pytest budget): heavy tail — dirty-fixture contract sweep (~60 s);
+# all mutated-fixture robustness sweeps live behind -m slow.
+pytestmark = pytest.mark.slow
+
+
 # Every registered query whose embeddings entry carries the zero-norm
 # guard (llm_pipeline._load_embeddings + the corpus_ops index family).
 VECTOR_FAMILY = [

@@ -21,6 +21,11 @@ from __future__ import annotations
 
 import pytest
 
+# r15 (driver pytest budget): heavy tail — empty-fixture sweep (~25 s);
+# all mutated-fixture robustness sweeps live behind -m slow.
+pytestmark = pytest.mark.slow
+
+
 # the eight round-12 fixes — each crashed Spark-side before
 FIXED = [
     "j6_dpp_join",

@@ -23,6 +23,11 @@ import pytest
 
 from tests.conftest import SF_SMALL
 
+# r15 (driver pytest budget): heavy tail — the 8x-extremes robustness sweep re-runs much of the registry over mutated fixtures (~520 s);
+# excluded from the default fast set, run with -m slow.
+pytestmark = pytest.mark.slow
+
+
 FAMILY = [
     "text_token_stats",
     "text_quality_score",

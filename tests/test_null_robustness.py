@@ -23,6 +23,11 @@ import pytest
 
 from tests.conftest import SF_SMALL
 
+# r15 (driver pytest budget): heavy tail — null-fixture sweep over much of the registry (~80 s);
+# all mutated-fixture robustness sweeps live behind -m slow.
+pytestmark = pytest.mark.slow
+
+
 # the queries the sweep originally failed, grouped by contract
 SWEPT = [
     # text family: NULL text ≡ '' (tokens()/_TOKS_SQL coalesce;

@@ -155,6 +155,7 @@ def _zone_mapped_table(spark, table_dir, n_slices=4):
     return read_manifest(table_dir, latest_version(table_dir))
 
 
+@pytest.mark.slow  # r15 driver-budget: many-partition staging (~15-18 s each)
 def test_pushdown_prunes_scan_partitions(spark, table_dir):
     manifest = _zone_mapped_table(spark, table_dir)
     total_files = len(manifest["files"])
@@ -167,6 +168,7 @@ def test_pushdown_prunes_scan_partitions(spark, table_dir):
     assert sorted(r["k"] for r in pruned.collect()) == list(range(110, 131))
 
 
+@pytest.mark.slow  # r15 driver-budget: many-partition staging (~15-18 s each)
 def test_pushdown_equality_and_exact_residual(spark, table_dir):
     _zone_mapped_table(spark, table_dir)
     one = spark.read.format("snapshot").load(table_dir).filter(F.col("k") == 250)
@@ -174,6 +176,7 @@ def test_pushdown_equality_and_exact_residual(spark, table_dir):
     assert [(r["k"], r["v"]) for r in one.collect()] == [(250, "v250")]
 
 
+@pytest.mark.slow  # r15 driver-budget: many-partition staging (~15-18 s each)
 def test_pushdown_impossible_range_yields_empty_with_schema(spark, table_dir):
     _zone_mapped_table(spark, table_dir)
     none = spark.read.format("snapshot").load(table_dir).filter(F.col("k") > 10_000)
@@ -411,6 +414,7 @@ def test_stream_skips_compaction_commits(spark, table_dir, tmp_path):
     assert spark.read.parquet(out2).count() == 3
 
 
+@pytest.mark.slow  # r15 driver-budget: many-partition staging (~15-18 s each)
 def test_pushdown_on_string_stats_degrades_gracefully(spark, table_dir):
     """One-sided bounds on non-numeric zone maps (inf sentinels don't
     compare against strings) must degrade to a full scan, never fail the

@@ -43,6 +43,11 @@ from petfinder_database_distributor_spark.sources.snapshot import (
 )
 from petfinder_database_distributor_spark.streaming.incremental import SCRATCH_ROOT
 
+# r15 (driver pytest budget): heavy tail — model-based randomized walks (~55 s);
+# excluded from the default fast set, run with -m slow.
+pytestmark = pytest.mark.slow
+
+
 SCHEMA = "k long, v long, o long"
 KEYS = list(range(12))  # small key space → frequent collisions on purpose
 

@@ -29,6 +29,11 @@ import pytest
 
 from tests.oracle_compare import assert_parity, run_oracle
 
+# r15 (driver pytest budget): heavy tail — degenerate-fixture sweep over every staged query (~85 s);
+# excluded from the default fast set, run with -m slow.
+pytestmark = pytest.mark.slow
+
+
 
 def _staged_manifests() -> dict[str, tuple]:
     """Union of every plans.staged_r* module's STAGED dict (name ->

@@ -270,6 +270,7 @@ def test_knn_graph_pair_budget_in_bounds(spark):
     )
 
 
+@pytest.mark.slow  # r15 driver-budget: full retrain lifecycle (~125 s)
 def test_knn_guard_retrain_recovery(spark):
     """The kNN graph's pair-budget refusal names an executable fix, and
     the fix suffices — the SemDeDup recovery loop's twin

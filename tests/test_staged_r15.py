@@ -15,6 +15,11 @@ from petfinder_database_distributor_spark.plans.staged_r15 import STAGED
 from tests.conftest import SF_ORACLE, SF_SMALL
 from tests.oracle_compare import assert_parity, run_oracle
 
+# r15 (driver pytest budget): heavy tail — staged-for-r16 members, not yet registered (~30 s);
+# excluded from the default fast set, run with -m slow.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.mark.parametrize("name", sorted(STAGED))
 def test_staged_oracle_parity(spark, name):

@@ -21,6 +21,11 @@ import pytest
 
 from tests.conftest import SF_SMALL
 
+# r15 (driver pytest budget): heavy tail — unicode-fixture sweep (~15 s);
+# all mutated-fixture robustness sweeps live behind -m slow.
+pytestmark = pytest.mark.slow
+
+
 FAMILY = [
     "text_lang_id",
     "text_token_stats",
